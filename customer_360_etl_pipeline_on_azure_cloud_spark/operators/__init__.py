@@ -1,0 +1,18 @@
+from .aggregates import distinct_count, quantile_cutoffs, sum_pivot, two_pass_segment
+from .cleaning import dedup_deterministic, drop_sentinels
+from .joins import lookup, positional_zip
+from .sets import union_by_name_all
+from .windows import top_k_per_group
+
+__all__ = [
+    "distinct_count",
+    "quantile_cutoffs",
+    "sum_pivot",
+    "two_pass_segment",
+    "dedup_deterministic",
+    "drop_sentinels",
+    "lookup",
+    "positional_zip",
+    "union_by_name_all",
+    "top_k_per_group",
+]

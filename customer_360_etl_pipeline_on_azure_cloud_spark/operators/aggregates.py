@@ -1,0 +1,118 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A6).
+
+All of these compile to Spark's partial+final hash aggregation (map-side
+combine before the shuffle), which is the right shape at 100 TB: the
+shuffle carries one row per (partition, group), not per input row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_count(
+    df: DataFrame,
+    keys: Iterable[str],
+    col: str,
+    alias: str,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """COUNT(DISTINCT col) per group (reference ETL_pipeline.py:41-49).
+
+    Exact distinct-count expands to a two-phase aggregate (dedup on
+    (keys, col) then count) — two shuffles. At 100 TB prefer
+    ``approx=True``: HyperLogLog++ sketches merge map-side, one shuffle,
+    fixed memory per group.
+    """
+    agg = (
+        F.approx_count_distinct(col, rsd=rsd) if approx else F.countDistinct(col)
+    ).alias(alias)
+    return df.groupBy(*keys).agg(agg)
+
+
+def sum_pivot(
+    df: DataFrame,
+    keys: Iterable[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    value_col: Column | str,
+    fill: object = 0,
+    prefix: str = "",
+) -> DataFrame:
+    """Long->wide: SUM(value) per (keys, pivot) pivoted to one column per
+    pivot value, nulls filled (reference ETL_pipeline.py:79-86).
+
+    ``pivot_values`` is REQUIRED: declaring values up front removes the
+    eager distinct-values job Spark otherwise runs (reference
+    ETL_pipeline.py:84 pays that extra scan), and makes the output schema
+    static. The whole pivot compiles to a single hash aggregate over
+    ``keys`` with one conditional-sum per value — one shuffle total, no
+    join. The reference's extra pre-aggregation by (keys, pivot) before
+    pivoting is subsumed.
+    """
+    keys = list(keys)
+    value_col = F.col(value_col) if isinstance(value_col, str) else value_col
+    out = (
+        df.groupBy(*keys)
+        .pivot(pivot_col, list(pivot_values))
+        .agg(F.sum(value_col))
+    )
+    if prefix:
+        out = out.select(
+            *keys,
+            *[F.col(v).alias(f"{prefix}{v}") for v in pivot_values],
+        )
+    if fill is not None:
+        out = out.fillna(fill)
+    return out
+
+
+def quantile_cutoffs(
+    df: DataFrame,
+    col: Column | str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> list[float]:
+    """Pass 1 of the two-pass scalar pattern: compute quantiles of a
+    column and return them as driver-side floats
+    (reference ETL_pipeline.py:113-123).
+
+    ``exact=True`` uses ``percentile`` (full sort of the single column —
+    fine when the column fits the aggregate buffer per group; it is a
+    global agg here). ``exact=False`` uses ``percentile_approx`` whose
+    ``accuracy`` is configurable — the reference hardcodes 100, a very
+    coarse sketch (SURVEY.md §0.1).
+
+    This collect() moves ONE ROW to the driver — the legitimate
+    scalar-broadcast pattern, not a data collect.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    probs_arr = F.array(*[F.lit(p) for p in probs])
+    if exact:
+        agg = F.percentile(col, probs_arr)
+    else:
+        agg = F.percentile_approx(col, probs_arr, F.lit(accuracy))
+    row = df.select(agg.alias("q")).first()
+    return list(row["q"])
+
+
+def two_pass_segment(
+    df: DataFrame,
+    value_col: str,
+    case_builder,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    exact: bool = True,
+    accuracy: int = 10000,
+    alias: str = "segment",
+) -> DataFrame:
+    """Two-pass quantile segmentation (reference ETL_pipeline.py:110-145):
+    pass 1 collects the quantile scalars, pass 2 folds them into a CASE
+    expression built by ``case_builder(cutoffs) -> Column``.
+    """
+    cutoffs = quantile_cutoffs(df, value_col, probs, exact=exact, accuracy=accuracy)
+    return df.withColumn(alias, case_builder(cutoffs))

@@ -1,0 +1,81 @@
+"""Join operators (SURVEY.md §2.3 J1-J4).
+
+Spark's ``df.join`` already provides inner/left/right/full/semi/anti/cross
+— the engine adds the two shapes the reference needed glue for: broadcast
+dimension lookup and a *well-defined* positional zip.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def lookup(
+    df: DataFrame,
+    dim: DataFrame,
+    key,
+    dim_key: str,
+    value_cols: Iterable[str],
+    how: str = "left",
+    alias: str | None = None,
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Enrich ``df`` with columns from a small dimension table.
+
+    Generalizes the reference's 2x keyword->category mapping join
+    (reference ETL_pipeline.py:170-188). The dimension is broadcast
+    (explicit hint — at 100 TB never let a fact-fact shuffle sneak in for
+    a kilobyte-scale dim; AQE would usually catch it, but the hint makes
+    the plan deterministic). ``alias`` renames the single value column.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    value_cols = list(value_cols)
+    dim_proj = dim.select(
+        F.col(dim_key).alias("__lk"), *[F.col(c) for c in value_cols]
+    )
+    if hint_broadcast:
+        dim_proj = F.broadcast(dim_proj)
+    out = df.join(dim_proj, key_col == F.col("__lk"), how).drop("__lk")
+    if alias is not None:
+        assert len(value_cols) == 1, "alias requires exactly one value col"
+        out = out.withColumnRenamed(value_cols[0], alias)
+    return out
+
+
+def positional_zip(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: Iterable[Column | str],
+    right_order: Iterable[Column | str],
+    how: str = "inner",
+    keep_index: bool = False,
+    index_name: str = "zip_index",
+) -> DataFrame:
+    """Pair the i-th row of ``left`` (under ``left_order``) with the i-th
+    row of ``right`` (under ``right_order``).
+
+    The reference zips two DataFrames by equating two independent
+    ``monotonically_increasing_id`` columns (reference
+    ETL_pipeline.py:359-362) — those ids depend on partition layout, so
+    the pairing is non-deterministic and changes with parallelism
+    (SURVEY.md §0.1 / §2.3 J4). Here each side gets
+    ``row_number() OVER (ORDER BY <explicit total order>)``.
+
+    Scale note: a global row_number is a single-partition sort — this
+    operator is intended for SMALL frames (the reference zips 250-row
+    outputs). For large frames use ``zipWithIndex``-style partition-offset
+    indexing instead; positional pairing of big distributed data is
+    almost always a modeling error.
+    """
+    from pyspark.sql import Window
+
+    lo = [F.col(c) if isinstance(c, str) else c for c in left_order]
+    ro = [F.col(c) if isinstance(c, str) else c for c in right_order]
+    idx = index_name if keep_index else "__idx"
+    lw = left.withColumn(idx, F.row_number().over(Window.orderBy(*lo)).cast("long"))
+    rw = right.withColumn(idx, F.row_number().over(Window.orderBy(*ro)).cast("long"))
+    out = lw.join(rw, on=idx, how=how)
+    return out if keep_index else out.drop(idx)

@@ -1,0 +1,64 @@
+"""Window operators (SURVEY.md §2.5 W1, generalized)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: Iterable[str],
+    order_by: Iterable[Column | str],
+    k: int = 1,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep the top-k rows per group under an explicit total order.
+
+    Generalizes the reference's most-searched-keyword
+    ``row_number().over(partitionBy(month, user_id).orderBy(count desc))``
+    (reference ETL_pipeline.py:153-158) — but the caller must supply a
+    TOTAL order (include a tiebreak column); the reference's ties are
+    broken arbitrarily (SURVEY.md §0.1).
+
+    Physical shape: one hash-partition shuffle on ``keys`` + per-partition
+    sort. For k=1 over very hot groups consider the max_by/struct-max
+    rewrite (single hash agg, no sort): ``groupBy(keys).agg(max(struct(
+    order_cols..., payload)))`` — both are exposed so callers can pick.
+    """
+    keys = list(keys)
+    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    rn = "__rank" if rank_col is None else rank_col
+    out = df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) <= k)
+    return out.drop(rn) if rank_col is None else out
+
+
+def top_1_per_group_agg(
+    df: DataFrame,
+    keys: Iterable[str],
+    order_by: Iterable[Column],
+    payload: Iterable[Column | str],
+) -> DataFrame:
+    """Top-1 per group as a single hash aggregate (no sort, no window).
+
+    ``max(struct(order..., payload...))`` computes the argmax with
+    map-side partial aggregation — at 100 TB this beats the window form
+    because the shuffle carries one row per group instead of every row.
+    ``order_by`` columns must be DESC-semantics-encoded by the caller
+    (e.g. pass ``col("count")`` to mean "largest count wins"; for an
+    ascending tiebreak on a string column there is no total-order
+    negation, so this variant requires numeric/invertible tiebreaks —
+    otherwise use :func:`top_k_per_group`).
+    """
+    keys = list(keys)
+    order = list(order_by)
+    payload = [F.col(c) if isinstance(c, str) else c for c in payload]
+    packed = F.max(F.struct(*order, *payload)).alias("__top")
+    out = df.groupBy(*keys).agg(packed)
+    n_order = len(order)
+    fields = out.select("__top.*").columns
+    payload_fields = fields[n_order:]
+    return out.select(*keys, *[F.col(f"__top.{f}") for f in payload_fields])

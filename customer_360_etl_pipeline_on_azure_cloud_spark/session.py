@@ -1,0 +1,72 @@
+"""SparkSession construction and per-session tuning.
+
+The reference relies on a Databricks-provided session and ``dbutils``
+mounts (reference ETL_pipeline.py:10-19). This engine builds portable
+sessions: plain local paths for tests, ``abfss://`` / ``s3a://`` URIs with
+``spark.conf`` credentials on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+#: Configs that are safe (and desirable) to apply to an existing session at
+#: runtime. Everything here is a runtime-settable SQL conf.
+RUNTIME_CONF: dict[str, str] = {
+    # AQE re-plans at runtime: coalesces tiny shuffle partitions, converts
+    # sort-merge joins to broadcast when a side turns out small, and splits
+    # skewed partitions — all critical at 100 TB where static planning on
+    # stale stats picks wrong strategies.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic calendar arithmetic regardless of host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) is not a Spark-native type; read it as
+    # long nanoseconds (sources.tables converts back to timestamp).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow transfer for the few Pandas-UDF operators (SimHash, media).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime tuning to an existing session (idempotent).
+
+    Used by every ``queries()`` entry because the driver owns the session:
+    we cannot rely on builder-time config, only runtime SQL confs.
+    """
+    for k, v in RUNTIME_CONF.items():
+        spark.conf.set(k, v)
+    if shuffle_partitions is not None:
+        # At small SF the default 200 partitions means 200 near-empty
+        # tasks per shuffle; AQE coalesces them but scheduling overhead
+        # remains. On a real cluster size this to ~2-3x total cores and
+        # let AQE coalesce down.
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark
+
+
+def get_spark(
+    app_name: str = "c360-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return tune(spark, shuffle_partitions)
+
+
+def configure_azure_blob(spark: SparkSession, account: str, key: str) -> None:
+    """Portable replacement for the reference's dbutils mount
+    (reference ETL_pipeline.py:10-19): set the fs.azure account key so
+    ``abfss://container@account.dfs.core.windows.net/path`` URIs resolve.
+    No Databricks dependency.
+    """
+    spark.conf.set(f"fs.azure.account.key.{account}.dfs.core.windows.net", key)

@@ -1,0 +1,754 @@
+"""Driver-contract queries: every SURVEY.md §2 operator cast onto the
+testdata star schema (FIXTURES.md §B), each paired with an ANSI-SQL
+oracle that DuckDB runs on the same parquet.
+
+Cross-engine exactness rules used throughout (so the driver's
+order-insensitive value hash can never drift):
+
+* Money aggregates go through integer CENTS (``ROUND(x*100) -> BIGINT``)
+  on BOTH engines before SUM — integer sums are associative, so they are
+  bit-identical under any partitioning (and any engine). Dollars are
+  reconstructed with the identical ``CAST(sum AS DOUBLE)/100.0`` tree.
+* Ratio outputs use the identical expression tree on both sides, so IEEE
+  evaluation matches bit-for-bit.
+* Ranking/top-k always carries an explicit total order (tiebreak column).
+* Row-number/size outputs are cast to BIGINT on the Spark side (Spark's
+  row_number/size return int32; DuckDB's return int64).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import (
+    argmax_label,
+    bucketize,
+    conditional_concat,
+    money_cents,
+    recode,
+)
+from .operators.aggregates import distinct_count, quantile_cutoffs, sum_pivot
+from .operators.cleaning import dedup_deterministic
+from .operators.joins import lookup, positional_zip
+from .operators.sets import union_by_name_all
+from .operators.windows import top_k_per_group
+from .session import tune
+from .sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --- shared fragments -----------------------------------------------------
+
+#: SQL twin of functions.scalar.money_cents — keep in lockstep.
+def _cents_sql(col: str) -> str:
+    return f"CAST(ROUND({col} * 100, 0) AS BIGINT)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark, shuffle_partitions=32)
+    return load_table(spark, sf_dir, name)
+
+
+#: Month-count buckets for the activeness analogues (reference buckets are
+#: day-counts 1-31, ETL_pipeline.py:52-57; orders span calendar months 1-12).
+MONTH_BUCKETS = (
+    (1, 3, "very low"),
+    (4, 6, "low"),
+    (7, 8, "moderate"),
+    (9, 10, "high"),
+    (11, 12, "very high"),
+)
+
+DAY_BUCKETS = (
+    (1, 7, "very low"),
+    (8, 14, "low"),
+    (15, 21, "moderate"),
+    (22, 28, "high"),
+    (29, 31, "very high"),
+)
+
+#: event_type -> category dimension for the trend queries (the analogue of
+#: the reference's keyword->category mapping.csv; 'error' is deliberately
+#: unmapped so NULL-category -> 'Changed' semantics get exercised,
+#: reference ETL_pipeline.py:190-196).
+EVENT_CATEGORY = (
+    ("click", "engagement"),
+    ("view", "content"),
+    ("purchase", "commerce"),
+    ("signup", "growth"),
+)
+EVENT_CATEGORY_SQL = (
+    "(VALUES ('click','engagement'),('view','content'),"
+    "('purchase','commerce'),('signup','growth')) AS m(etype, category)"
+)
+
+
+def _dim_event_category(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(list(EVENT_CATEGORY), ["etype", "category"])
+
+
+def _dot(a, b):
+    """Sequential-fold dot product over array<double> — same reduction
+    order as the oracle's list_dot_product, so results match bitwise."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+# --- S: scans + P: filters + A: aggregates --------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with exact money arithmetic.
+
+    Covers P1/P4 (pushed filter), A3 (multi-key agg), F9/F10. The filter
+    and the 7-column projection reach the parquet scan (PushedFilters +
+    ReadSchema) — at 100 TB this is the difference between reading 7 and
+    16 columns.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    base_c = money_cents("l_extendedprice")
+    disc_c = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    charge_c = F.round(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+        * 100,
+        0,
+    ).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        (F.sum(base_c) / F.lit(100.0)).alias("sum_base"),
+        (F.sum(disc_c) / F.lit(100.0)).alias("sum_disc_price"),
+        (F.sum(charge_c) / F.lit(100.0)).alias("sum_charge"),
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(base_c) / F.lit(100.0) / F.count(F.lit(1))).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+  CAST(SUM({_cents_sql('l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_base,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
+  SUM(l_quantity) / COUNT(*) AS avg_qty,
+  CAST(SUM({_cents_sql('l_extendedprice')}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: exact COUNT(DISTINCT) per group — the reference's TotalDevices
+    (ETL_pipeline.py:41-44). Engine also exposes approx_count_distinct
+    (HLL++) as the 100 TB path; the exact form is what the oracle checks.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return distinct_count(li, ["l_suppkey"], "l_partkey", "distinct_parts")
+
+
+SQL_SUPPLIER_DISTINCT_PARTS = """
+SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS distinct_parts
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_user_activeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+F1/F2: distinct active days per user, bucketed — the reference's
+    Days_Active/Activeness (ETL_pipeline.py:46-60)."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.groupBy("user_id").agg(
+        F.countDistinct(F.to_date("ts")).alias("days_active")
+    )
+    return days.withColumn(
+        "activeness", bucketize("days_active", DAY_BUCKETS)
+    ).filter(F.col("activeness") != "error")
+
+
+SQL_USER_ACTIVENESS = """
+WITH d AS (
+  SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS days_active
+  FROM events GROUP BY user_id
+)
+SELECT user_id, days_active,
+  CASE WHEN days_active BETWEEN 1 AND 7 THEN 'very low'
+       WHEN days_active BETWEEN 8 AND 14 THEN 'low'
+       WHEN days_active BETWEEN 15 AND 21 THEN 'moderate'
+       WHEN days_active BETWEEN 22 AND 28 THEN 'high'
+       WHEN days_active BETWEEN 29 AND 31 THEN 'very high'
+       ELSE 'error' END AS activeness
+FROM d
+WHERE (CASE WHEN days_active BETWEEN 1 AND 7 THEN 'very low'
+       WHEN days_active BETWEEN 8 AND 14 THEN 'low'
+       WHEN days_active BETWEEN 15 AND 21 THEN 'moderate'
+       WHEN days_active BETWEEN 22 AND 28 THEN 'high'
+       WHEN days_active BETWEEN 29 AND 31 THEN 'very high'
+       ELSE 'error' END) <> 'error'
+"""
+
+
+def q_priority_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 recode + P4 sentinel-drop — the reference's AppName->Type chain
+    with otherwise('error') then filter (ETL_pipeline.py:63-76).
+    '5-LOW' is intentionally unmapped so the error-drop path is exercised.
+    """
+    o = _t(spark, sf_dir, "orders")
+    mapping = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "urgent",
+        "3-MEDIUM": "normal",
+        "4-NOT SPECIFIED": "low",
+    }
+    out = (
+        o.withColumn("priority_class", recode("o_orderpriority", mapping))
+        .filter(F.col("priority_class") != "error")
+        .groupBy("priority_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(money_cents("o_totalprice")) / F.lit(100.0)).alias("revenue"),
+        )
+    )
+    return out
+
+
+SQL_PRIORITY_RECODE = f"""
+WITH r AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+              WHEN o_orderpriority = '2-HIGH' THEN 'urgent'
+              WHEN o_orderpriority = '3-MEDIUM' THEN 'normal'
+              WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'low'
+              ELSE 'error' END AS priority_class,
+         o_totalprice
+  FROM orders
+)
+SELECT priority_class, COUNT(*) AS n_orders,
+       CAST(SUM({_cents_sql('o_totalprice')}) AS DOUBLE) / 100.0 AS revenue
+FROM r WHERE priority_class <> 'error'
+GROUP BY priority_class
+"""
+
+
+def q_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4+P8: sum + pivot with DECLARED values + fillna(0) — the
+    reference's category-totals wide table (ETL_pipeline.py:79-86).
+    Declared pivot values mean a single hash aggregate and no eager
+    distinct-values job."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "cents", money_cents("l_extendedprice")
+    )
+    wide = sum_pivot(
+        li, ["l_suppkey"], "l_returnflag", ["A", "N", "R"], "cents", fill=0
+    )
+    return wide.select(
+        "l_suppkey",
+        (F.col("A") / F.lit(100.0)).alias("total_a"),
+        (F.col("N") / F.lit(100.0)).alias("total_n"),
+        (F.col("R") / F.lit(100.0)).alias("total_r"),
+    )
+
+
+def _pivot_cents_sql() -> str:
+    c = _cents_sql("l_extendedprice")
+    return f"""
+  SELECT l_suppkey,
+    COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN {c} END), 0) AS a,
+    COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN {c} END), 0) AS n,
+    COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN {c} END), 0) AS r
+  FROM lineitem GROUP BY l_suppkey
+"""
+
+
+SQL_RETURNFLAG_PIVOT = f"""
+WITH p AS ({_pivot_cents_sql()})
+SELECT l_suppkey,
+  CAST(a AS DOUBLE) / 100.0 AS total_a,
+  CAST(n AS DOUBLE) / 100.0 AS total_n,
+  CAST(r AS DOUBLE) / 100.0 AS total_r
+FROM p
+"""
+
+
+def q_supplier_most_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 argmax with fixed-order tiebreak — the reference's MostWatch
+    (ETL_pipeline.py:88-96): first column equal to greatest(...) wins."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "cents", money_cents("l_extendedprice")
+    )
+    wide = sum_pivot(
+        li, ["l_suppkey"], "l_returnflag", ["A", "N", "R"], "cents", fill=0
+    )
+    return wide.select(
+        "l_suppkey",
+        argmax_label([("A", "A"), ("N", "N"), ("R", "R")]).alias("most_flag"),
+    )
+
+
+SQL_SUPPLIER_MOST_FLAG = f"""
+WITH p AS ({_pivot_cents_sql()})
+SELECT l_suppkey,
+  CASE WHEN a >= n AND a >= r THEN 'A'
+       WHEN n >= a AND n >= r THEN 'N'
+       ELSE 'R' END AS most_flag
+FROM p
+"""
+
+
+def q_supplier_flag_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 conditional concat_ws (null parts skipped) — the reference's
+    CustomerTaste (ETL_pipeline.py:98-107)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "cents", money_cents("l_extendedprice")
+    )
+    wide = sum_pivot(
+        li, ["l_suppkey"], "l_returnflag", ["A", "N", "R"], "cents", fill=0
+    )
+    return wide.select(
+        "l_suppkey",
+        conditional_concat("-", [("A", "A"), ("N", "N"), ("R", "R")]).alias(
+            "flag_mix"
+        ),
+    )
+
+
+SQL_SUPPLIER_FLAG_MIX = f"""
+WITH p AS ({_pivot_cents_sql()})
+SELECT l_suppkey,
+  concat_ws('-',
+    CASE WHEN a <> 0 THEN 'A' END,
+    CASE WHEN n <> 0 THEN 'N' END,
+    CASE WHEN r <> 0 THEN 'R' END) AS flag_mix
+FROM p
+"""
+
+
+def q_customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 two-pass quantile segmentation + F1/F10 — the reference's
+    CustomerType (ETL_pipeline.py:110-145): pass 1 collects ONE ROW of
+    quantile scalars, pass 2 folds them into a CASE expression. Exact
+    ``percentile`` here (the engine keeps percentile_approx with
+    configurable accuracy as the 100 TB path; the reference hardcodes a
+    coarse accuracy=100)."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(money_cents("o_totalprice")).alias("spend_cents"),
+        F.countDistinct(F.month("o_orderdate")).alias("active_months"),
+    )
+    spend = spend.withColumn(
+        "activeness", bucketize("active_months", MONTH_BUCKETS)
+    )
+    q1, median, _q3 = quantile_cutoffs(spend, "spend_cents", exact=True)
+    a, d = F.col("activeness"), F.col("spend_cents")
+    ctype = (
+        F.when((a == "very low") & (d < q1), "leaving")
+        .when((a == "low") & (d < median), "need attention")
+        .when((a == "moderate") & (d < median), "normal")
+        .when((a == "moderate") & (d >= median), "potential")
+        .when((a == "high") & (d > q1), "loyal")
+        .when((a == "very high") & (d > q1), "VIP")
+        .otherwise("anomaly")
+    )
+    return spend.select(
+        F.col("o_custkey").alias("custkey"),
+        "activeness",
+        ctype.alias("customer_type"),
+    )
+
+
+SQL_CUSTOMER_SEGMENTATION = f"""
+WITH s AS (
+  SELECT o_custkey,
+         SUM({_cents_sql('o_totalprice')}) AS spend_cents,
+         COUNT(DISTINCT MONTH(o_orderdate)) AS active_months
+  FROM orders GROUP BY o_custkey
+), b AS (
+  SELECT o_custkey, spend_cents,
+    CASE WHEN active_months BETWEEN 1 AND 3 THEN 'very low'
+         WHEN active_months BETWEEN 4 AND 6 THEN 'low'
+         WHEN active_months BETWEEN 7 AND 8 THEN 'moderate'
+         WHEN active_months BETWEEN 9 AND 10 THEN 'high'
+         WHEN active_months BETWEEN 11 AND 12 THEN 'very high'
+         ELSE 'error' END AS activeness
+  FROM s
+), q AS (
+  SELECT quantile_cont(spend_cents, [0.25, 0.5, 0.75]) AS qs FROM b
+)
+SELECT o_custkey AS custkey, activeness,
+  CASE WHEN activeness = 'very low' AND spend_cents < qs[1] THEN 'leaving'
+       WHEN activeness = 'low' AND spend_cents < qs[2] THEN 'need attention'
+       WHEN activeness = 'moderate' AND spend_cents < qs[2] THEN 'normal'
+       WHEN activeness = 'moderate' AND spend_cents >= qs[2] THEN 'potential'
+       WHEN activeness = 'high' AND spend_cents > qs[1] THEN 'loyal'
+       WHEN activeness = 'very high' AND spend_cents > qs[1] THEN 'VIP'
+       ELSE 'anomaly' END AS customer_type
+FROM b, q
+"""
+
+
+# --- W: windows + J: joins -------------------------------------------------
+
+
+def _events_with_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn(
+        "period", F.when(F.dayofmonth("ts") <= 15, "p1").otherwise("p2")
+    )
+
+
+PERIOD_SQL = "CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 'p1' ELSE 'p2' END"
+
+
+def q_top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+W1: top-1 per group with DETERMINISTIC tiebreak — the
+    reference's most-searched keyword (ETL_pipeline.py:153-158) whose bare
+    row_number breaks ties arbitrarily; here order is total:
+    (count DESC, event_type ASC)."""
+    ev = _events_with_period(spark, sf_dir)
+    counts = ev.groupBy("period", "user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = top_k_per_group(
+        counts,
+        keys=["period", "user_id"],
+        order_by=[F.col("n").desc(), F.col("event_type").asc()],
+        k=1,
+    )
+    return top.select("period", "user_id", F.col("event_type").alias("top_event"), "n")
+
+
+SQL_TOP_EVENT_PER_USER = f"""
+WITH c AS (
+  SELECT {PERIOD_SQL} AS period, user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT period, user_id, event_type AS top_event, n
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY period, user_id ORDER BY n DESC, event_type) = 1
+"""
+
+
+def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 period-pivot + J3 broadcast dim lookup x2 + Trending/Previous —
+    the reference's full search-trend tail (ETL_pipeline.py:160-196).
+    The two-period pivot is ONE conditional aggregation (no self-join);
+    the category dim is broadcast. 'error' events are unmapped -> NULL
+    category -> 'Changed', matching reference NULL semantics."""
+    ev = _events_with_period(spark, sf_dir)
+    counts = ev.groupBy("period", "user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = top_k_per_group(
+        counts,
+        keys=["period", "user_id"],
+        order_by=[F.col("n").desc(), F.col("event_type").asc()],
+        k=1,
+    )
+    pivoted = (
+        top.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("period") == "p1", F.col("event_type"))).alias(
+                "most_p1"
+            ),
+            F.max(F.when(F.col("period") == "p2", F.col("event_type"))).alias(
+                "most_p2"
+            ),
+        )
+        .filter(F.col("most_p1").isNotNull() & F.col("most_p2").isNotNull())
+    )
+    dim = _dim_event_category(spark)
+    out = lookup(pivoted, dim, "most_p1", "etype", ["category"], alias="category_p1")
+    out = lookup(out, dim, "most_p2", "etype", ["category"], alias="category_p2")
+    eq = F.col("category_p1") == F.col("category_p2")
+    return out.withColumn(
+        "trending_type", F.when(eq, "Unchanged").otherwise("Changed")
+    ).withColumn(
+        "previous",
+        F.when(eq, "Unchanged").otherwise(
+            F.concat_ws(" -> ", F.col("category_p1"), F.col("category_p2"))
+        ),
+    )
+
+
+SQL_USER_TREND = f"""
+WITH c AS (
+  SELECT {PERIOD_SQL} AS period, user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), top AS (
+  SELECT period, user_id, event_type
+  FROM c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY period, user_id ORDER BY n DESC, event_type) = 1
+), piv AS (
+  SELECT user_id,
+         MAX(CASE WHEN period = 'p1' THEN event_type END) AS most_p1,
+         MAX(CASE WHEN period = 'p2' THEN event_type END) AS most_p2
+  FROM top GROUP BY user_id
+), both_p AS (
+  SELECT * FROM piv WHERE most_p1 IS NOT NULL AND most_p2 IS NOT NULL
+), enr AS (
+  SELECT b.user_id, b.most_p1, b.most_p2, m1.category AS category_p1, m2.category AS category_p2
+  FROM both_p b
+  LEFT JOIN {EVENT_CATEGORY_SQL.replace('m(etype', 'm1(etype')} ON b.most_p1 = m1.etype
+  LEFT JOIN {EVENT_CATEGORY_SQL.replace('m(etype', 'm2(etype')} ON b.most_p2 = m2.etype
+)
+SELECT user_id, most_p1, most_p2, category_p1, category_p2,
+  CASE WHEN category_p1 = category_p2 THEN 'Unchanged' ELSE 'Changed' END AS trending_type,
+  CASE WHEN category_p1 = category_p2 THEN 'Unchanged'
+       ELSE concat_ws(' -> ', category_p1, category_p2) END AS previous
+FROM enr
+"""
+
+
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J3: snowflake broadcast-join chain customer->nation->region with
+    rollup — the reference's feature-join shape (ETL_pipeline.py:285-286)
+    over proper dimensions. Both dims are broadcast: zero shuffle on the
+    fact side until the final 5-group aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.countDistinct("n_name").alias("nations"),
+        (F.sum(money_cents("c_acctbal")) / F.lit(100.0)).alias("total_acctbal"),
+    )
+
+
+SQL_REGION_ROLLUP = f"""
+SELECT r_name, COUNT(*) AS customers, COUNT(DISTINCT n_name) AS nations,
+       CAST(SUM({_cents_sql('c_acctbal')}) AS DOUBLE) / 100.0 AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 fixed: deterministic positional zip via row_number over an
+    explicit total order — the well-defined replacement for the
+    reference's monotonically_increasing_id pairing
+    (ETL_pipeline.py:356-362; SURVEY.md §0.1)."""
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    wl = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    wr = Window.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    left = (
+        c.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") <= 100)
+        .select("c_custkey", "c_name")
+    )
+    right = (
+        p.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 100)
+        .select("p_partkey", "p_name")
+    )
+    return positional_zip(
+        left,
+        right,
+        left_order=[F.col("c_name"), F.col("c_custkey")],
+        right_order=[F.col("p_name"), F.col("p_partkey")],
+        keep_index=True,
+    ).select("zip_index", "c_custkey", "c_name", "p_partkey", "p_name")
+
+
+SQL_POSITIONAL_ZIP = """
+WITH lt AS (
+  SELECT c_custkey, c_name FROM customer
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) <= 100
+), rt AS (
+  SELECT p_partkey, p_name FROM part
+  QUALIFY ROW_NUMBER() OVER (ORDER BY p_retailprice DESC, p_partkey) <= 100
+), li AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS zip_index, c_custkey, c_name FROM lt
+), ri AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS zip_index, p_partkey, p_name FROM rt
+)
+SELECT li.zip_index, c_custkey, c_name, p_partkey, p_name
+FROM li JOIN ri USING (zip_index)
+"""
+
+
+def q_union_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: unionByName of two projections with different column order —
+    the reference's daily-union loop (ETL_pipeline.py:256-260) minus the
+    per-iteration cache anti-pattern (a union is purely logical)."""
+    ev = _t(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.dayofmonth("ts") <= 15)
+        .select("event_id", "user_id", "event_type")
+        .withColumn("half", F.lit("h1"))
+    )
+    b = (
+        ev.filter(F.dayofmonth("ts") > 15)
+        .select("event_type", "event_id", "user_id")
+        .withColumn("half", F.lit("h2"))
+    )
+    return union_by_name_all([a, b]).select(
+        "event_id", "user_id", "event_type", "half"
+    )
+
+
+SQL_UNION_HALVES = """
+SELECT event_id, user_id, event_type, 'h1' AS half FROM events WHERE EXTRACT(day FROM ts) <= 15
+UNION ALL
+SELECT event_id, user_id, event_type, 'h2' AS half FROM events WHERE EXTRACT(day FROM ts) > 15
+"""
+
+
+def q_dedup_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 deterministic dedup: keep the lowest-event_id row per
+    (user_id, event_type) — replaces arbitrary-survivor
+    dropDuplicates(subset) (ETL_pipeline.py:302; SURVEY.md §0.1)."""
+    ev = _t(spark, sf_dir, "events")
+    return dedup_deterministic(
+        ev, ["user_id", "event_type"], order_by=["event_id"]
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+SQL_DEDUP_USER_EVENT = """
+SELECT event_id, user_id, event_type, value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1
+"""
+
+
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension surface: JSON property extraction over events.props
+    (semi-structured column), aggregated per event type."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum("k").alias("k_sum"),
+        F.max("k").alias("k_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_PROPS_JSON = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --- flagship composite -----------------------------------------------------
+
+
+def q_supplier_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's full interaction-feature pipeline shape
+    (§3.1 — pivot + argmax + taste + distinct-count + two-pass quantile
+    segmentation + broadcast dim join), recast per-supplier.
+
+    Plan shape: two aggregations over lineitem on the same l_suppkey key
+    (pivot, distinct parts) + broadcast supplier-dim join + scalar
+    quantile pass. Everything shuffles on one key; feature joins stay
+    broadcast under AQE."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "cents", money_cents("l_extendedprice")
+    )
+    wide = sum_pivot(
+        li, ["l_suppkey"], "l_returnflag", ["A", "N", "R"], "cents", fill=0
+    )
+    wide = wide.withColumn(
+        "most_flag", argmax_label([("A", "A"), ("N", "N"), ("R", "R")])
+    ).withColumn(
+        "flag_mix", conditional_concat("-", [("A", "A"), ("N", "N"), ("R", "R")])
+    )
+    wide = wide.withColumn(
+        "total_cents", F.col("A") + F.col("N") + F.col("R")
+    )
+    parts = distinct_count(li, ["l_suppkey"], "l_partkey", "distinct_parts")
+    feats = wide.join(parts, on=["l_suppkey"], how="inner")
+    q1, median, q3 = quantile_cutoffs(feats, "total_cents", exact=True)
+    band = (
+        F.when(F.col("total_cents") < q1, "B1")
+        .when(F.col("total_cents") < median, "B2")
+        .when(F.col("total_cents") < q3, "B3")
+        .otherwise("B4")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    feats = lookup(feats, sup, "l_suppkey", "s_suppkey", ["s_name"])
+    return feats.select(
+        "l_suppkey",
+        "s_name",
+        (F.col("A") / F.lit(100.0)).alias("total_a"),
+        (F.col("N") / F.lit(100.0)).alias("total_n"),
+        (F.col("R") / F.lit(100.0)).alias("total_r"),
+        "distinct_parts",
+        "most_flag",
+        "flag_mix",
+        band.alias("revenue_band"),
+    )
+
+
+SQL_SUPPLIER_360 = f"""
+WITH p AS ({_pivot_cents_sql()}
+), parts AS (
+  SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS distinct_parts
+  FROM lineitem GROUP BY l_suppkey
+), feats AS (
+  SELECT p.l_suppkey, p.a, p.n, p.r, (p.a + p.n + p.r) AS total_cents, parts.distinct_parts
+  FROM p JOIN parts ON p.l_suppkey = parts.l_suppkey
+), q AS (
+  SELECT quantile_cont(total_cents, [0.25, 0.5, 0.75]) AS qs FROM feats
+)
+SELECT f.l_suppkey, s.s_name,
+  CAST(f.a AS DOUBLE) / 100.0 AS total_a,
+  CAST(f.n AS DOUBLE) / 100.0 AS total_n,
+  CAST(f.r AS DOUBLE) / 100.0 AS total_r,
+  f.distinct_parts,
+  CASE WHEN f.a >= f.n AND f.a >= f.r THEN 'A'
+       WHEN f.n >= f.a AND f.n >= f.r THEN 'N'
+       ELSE 'R' END AS most_flag,
+  concat_ws('-',
+    CASE WHEN f.a <> 0 THEN 'A' END,
+    CASE WHEN f.n <> 0 THEN 'N' END,
+    CASE WHEN f.r <> 0 THEN 'R' END) AS flag_mix,
+  CASE WHEN f.total_cents < qs[1] THEN 'B1'
+       WHEN f.total_cents < qs[2] THEN 'B2'
+       WHEN f.total_cents < qs[3] THEN 'B3'
+       ELSE 'B4' END AS revenue_band
+FROM feats f
+LEFT JOIN supplier s ON f.l_suppkey = s.s_suppkey
+CROSS JOIN q
+"""
+
+
+#: name -> (spark_fn, oracle_sql | None)
+CORE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "supplier_distinct_parts": (
+        q_supplier_distinct_parts,
+        SQL_SUPPLIER_DISTINCT_PARTS,
+    ),
+    "user_activeness": (q_user_activeness, SQL_USER_ACTIVENESS),
+    "priority_recode": (q_priority_recode, SQL_PRIORITY_RECODE),
+    "returnflag_pivot": (q_returnflag_pivot, SQL_RETURNFLAG_PIVOT),
+    "supplier_most_flag": (q_supplier_most_flag, SQL_SUPPLIER_MOST_FLAG),
+    "supplier_flag_mix": (q_supplier_flag_mix, SQL_SUPPLIER_FLAG_MIX),
+    "customer_segmentation": (q_customer_segmentation, SQL_CUSTOMER_SEGMENTATION),
+    "top_event_per_user": (q_top_event_per_user, SQL_TOP_EVENT_PER_USER),
+    "user_trend": (q_user_trend, SQL_USER_TREND),
+    "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
+    "positional_zip": (q_positional_zip, SQL_POSITIONAL_ZIP),
+    "union_halves": (q_union_halves, SQL_UNION_HALVES),
+    "dedup_user_event": (q_dedup_user_event, SQL_DEDUP_USER_EVENT),
+    "props_json": (q_props_json, SQL_PROPS_JSON),
+    "supplier_360": (q_supplier_360, SQL_SUPPLIER_360),
+}
