@@ -98,6 +98,13 @@ def quantile_cutoffs(
     else:
         agg = F.percentile_approx(col, probs_arr, F.lit(accuracy))
     row = df.select(agg.alias("q")).first()
+    if row is None or row["q"] is None:
+        # Empty input: no quantiles exist. NaN cutoffs make every
+        # comparison false, so downstream CASEs fall through to their
+        # otherwise-branch (the input is empty anyway). The reference
+        # instead crashes with an undefined RaiseException
+        # (ETL_pipeline.py:264; SURVEY.md §0.1).
+        return [float("nan")] * len(probs)
     return list(row["q"])
 
 
