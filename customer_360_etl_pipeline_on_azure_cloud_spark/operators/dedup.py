@@ -1,0 +1,293 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point of these ops is the 100 TB corpus case):
+
+* exact dedup     — one hash aggregate on a fingerprint; linear, one shuffle.
+* n-gram Jaccard  — exact pairwise similarity, but candidate generation is
+  a self-join on shared shingles: fine at small corpus / high-entropy text,
+  quadratic blowup on low-entropy corpora. Use for verification and small
+  partitions; LSH is the scale path.
+* MinHash + LSH   — signatures are a narrow map (no shuffle); banding turns
+  near-dup search into an equi-join on (band, band_hash) buckets, so the
+  shuffle is O(docs x bands) and candidates are only same-bucket pairs.
+  This is the classic Broder/LSH construction used by web-scale corpus
+  dedup (e.g. the C4/RefinedWeb recipes).
+* SimHash         — 64-bit signature via a vectorized Arrow UDF (numpy bit
+  ops); Hamming-near pairs via 4-way band blocking on 16-bit chunks.
+
+Everything is deterministic: hash functions are xxhash64 with fixed seeds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame,
+    fingerprint_col: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup groups: one row per distinct fingerprint with the
+    deterministic keeper (min id) and the duplicate count. One hash
+    aggregate — the cheapest possible dedup at any scale."""
+    return df.groupBy(fingerprint_col.alias("fp")).agg(
+        F.min(id_col).alias(f"keeper_{id_col}"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --- shingling --------------------------------------------------------------
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (1-based element_at
+    so the construction matches SQL oracles literally). Empty array when
+    the text has fewer than n tokens."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(text), " ")
+    # NB: Spark's sequence(1, 0) DESCENDS instead of being empty, so the
+    # short-text case must be guarded explicitly.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+# --- exact n-gram Jaccard ---------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_pct: int = 30,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard >= threshold_pct/100,
+    computed EXACTLY via a shared-shingle self-join.
+
+    Integer-only math (inter*100 >= uni*threshold_pct) keeps results
+    engine-exact. Output: (id_a, id_b, inter, uni) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= F.col("uni") * threshold_pct)
+    )
+    return out.select("id_a", "id_b", "inter", "uni")
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 32, shingle_n: int = 3
+) -> Column:
+    """MinHash signature as array<long>: for seed j, min over shingles of
+    xxhash64(shingle, j). Pure column expressions — a narrow map, no
+    Python, no shuffle; signatures for 100 TB of docs cost one scan."""
+    sh = word_shingles(text, shingle_n)
+    sig = [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(j))))
+        for j in range(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    verify_threshold_pct: int | None = 30,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, optionally
+    verified with exact signature-level Jaccard.
+
+    Banding: the signature splits into ``bands`` rows of
+    ``num_hashes/bands`` hashes; docs colliding on any band's hash are
+    candidates. Shuffle is an equi-join on (band, hash) — linear in
+    corpus size times bands, never all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
+    ).filter(F.size(F.col("sig")) > 0)
+    sig = sig.cache()
+
+    band_rows = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bhash")
+
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if verify_threshold_pct is None:
+        return cand.select("id_a", "id_b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        cand.withColumn("sig_agree", agree)
+        .filter(F.col("sig_agree") * 100 >= F.lit(num_hashes * verify_threshold_pct))
+        .select("id_a", "id_b", "sig_agree")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+_SIMHASH_RETURN = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document via a vectorized Arrow batch UDF.
+
+    The bit-vote accumulation (64 per-bit counters over every token hash)
+    is genuinely awkward as column expressions; numpy does it in a few
+    vector ops per batch — the documented Pandas-UDF escape hatch
+    (SURVEY.md §2.11: prefer built-ins, Arrow-vectorized UDF when not).
+    """
+
+    def batch(iterator):
+        for pdf in iterator:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = str(text).split()
+                if not toks:
+                    ids.append(doc_id)
+                    hashes.append(0)
+                    continue
+                import numpy as np
+
+                # deterministic 64-bit token hashes (FNV-1a, public domain)
+                hs = np.zeros(len(toks), dtype=np.uint64)
+                for i, tok in enumerate(toks):
+                    h = np.uint64(0xCBF29CE484222325)
+                    for ch in tok.encode("utf-8"):
+                        h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+                    hs[i] = h
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                    np.int64
+                )
+                votes = (2 * bits - 1).sum(axis=0)
+                sh = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                ids.append(doc_id)
+                hashes.append(sh - (1 << 64) if sh >= 1 << 63 else sh)
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(batch, _SIMHASH_RETURN)
+
+
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-near SimHash pairs via 4-chunk blocking: if two 64-bit
+    hashes differ in <= 3 bits, at least one 16-bit chunk is identical
+    (pigeonhole) — so candidates come from equi-joins on chunks, not
+    all-pairs."""
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cval"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.cval")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+
+* brute-force cosine top-k — exact baseline. Shape: broadcast the query
+  set, map over the corpus (no corpus shuffle), then a per-query top-k.
+  Linear in |corpus| x |queries|; right whenever queries are few or as
+  the verification oracle.
+* LSH-bucketed (random hyperplane / SRP) — the scale path: sign-bit
+  signatures bucket the corpus; candidates come from same-bucket
+  equi-joins (plus optional multiprobe), then exact re-ranking on the
+  small candidate set. Sub-linear candidate generation, tunable recall.
+
+The dot product is a sequential fold over array<double> (zip_with +
+aggregate) — built-in expressions, JVM-side, and the same reduction order
+as DuckDB's list_dot_product so oracle comparisons are exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.withColumn("__vec", v).withColumn("__norm", F.sqrt(dot(v, v)))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Physical plan: queries are BROADCAST (never shuffle the corpus for a
+    small query set); cosine is computed in one narrow map over the
+    corpus; the per-query top-k is a window over (query_id) — at scale
+    swap the window for the min_heap aggregate if k is small and query
+    count is huge. Deterministic order: (cos desc, neighbor_id asc).
+    Output: (query_id, rk, neighbor_id) — rank is BIGINT, no floats in
+    the output so cross-engine comparisons stay exact.
+    """
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("qvec"),
+        F.col("__norm").alias("qnorm"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__vec").alias("nvec"),
+        F.col("__norm").alias("nnorm"),
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id")
+    )
+
+
+def srp_signature(
+    vec_col: Column, hyperplanes: list[list[float]]
+) -> Column:
+    """Signed-random-projection bucket id: sign bit of the dot product
+    with each fixed hyperplane, packed into a long. Hyperplanes are
+    passed as literal arrays — deterministic, broadcast with the plan."""
+    bits = []
+    for i, hp in enumerate(hyperplanes):
+        hp_col = F.array(*[F.lit(float(x)) for x in hp])
+        bits.append(
+            F.when(dot(vec_col, hp_col) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def make_hyperplanes(dim: int, nbits: int = 12, seed: int = 7) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(nbits, dim).tolist()
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    nbits: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: MULTI-TABLE SRP-bucketed candidates, exact
+    re-rank.
+
+    One sign-random-projection table prunes hard but has poor recall for
+    moderate-cosine neighbors (collision prob per bit is 1 - theta/pi);
+    the standard construction is L independent tables of b bits each —
+    a candidate is anyone sharing the query's bucket in ANY table.
+    Expected candidate fraction is ~L/2^b of the corpus; recall for a
+    neighbor at angle theta is 1-(1-p^b)^L with p = 1 - theta/pi. Tune
+    (b, L) to the corpus: bigger corpora afford bigger b (more pruning)
+    at the same recall.
+
+    Physical shape stays equi-join: corpus explodes to L (table, bucket)
+    rows — linear, no all-pairs — and the query side is broadcast.
+    """
+    tbls = [make_hyperplanes(dim, nbits, seed=7 + 1000 * t) for t in range(tables)]
+
+    def bucketed(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str):
+        e = with_norm(df, vec_col)
+        return e.select(
+            F.col(id_col).alias(id_alias),
+            F.col("__vec").alias(vec_alias),
+            F.col("__norm").alias(norm_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            srp_signature(F.col("__vec"), tbls[t]).alias("bucket"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(id_alias, vec_alias, norm_alias, "tb.tbl", "tb.bucket")
+
+    c = bucketed(corpus, "neighbor_id", "nvec", "nnorm")
+    q = bucketed(queries, "query_id", "qvec", "qnorm")
+    cand = c.join(F.broadcast(q), on=["tbl", "bucket"]).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    nbits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP buckets + exact
+    verification — the vector analogue of MinHash-LSH dedup."""
+    hps = make_hyperplanes(dim, nbits)
+    e = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col("__vec").alias("vec"),
+        F.col("__norm").alias("norm"),
+        srp_signature(F.col("__vec"), hps).alias("bucket"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    )
+    cos = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        cand.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

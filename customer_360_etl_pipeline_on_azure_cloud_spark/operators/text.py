@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in column functions (JVM-side,
+whole-stage codegen); nothing here drops to Python per row. Designed for
+the `documents` table shape (doc_id, text, lang, source, n_chars) but
+parameterized on column names.
+
+Scale notes: every operator is a narrow map (no shuffle) except the
+aggregating ones, which use partial aggregation. At 100 TB, text ops are
+scan-bound — keeping them codegen-friendly is the entire game.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny in-expression stopword lists for the language-ID heuristic.
+#: Deliberately small: the heuristic is a cheap n-gram/stopword vote,
+#: not a model (the container has no langid libs; see SURVEY §north-star).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+}
+
+
+def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization as an array column."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(text), pattern)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Subword-ish token estimate: count word pieces AND punctuation
+    runs with a BPE-flavored regex — cheap proxy for tokenizer counts
+    when budgeting corpora (no tokenizer libs in-container)."""
+    text = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]{1,6}|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    return F.size(pieces).cast("long")
+
+
+def stopword_hits(text: Column | str, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in ``words`` — array filter, JVM-side."""
+    return F.size(
+        F.filter(tokens(text), lambda t: t.isin(*words))
+    ).cast("long")
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID by stopword vote with a fixed precedence
+    order (en > de > es > fr > unknown) for deterministic ties."""
+    hits = {lang: stopword_hits(text, words) for lang, words in LANG_STOPWORDS.items()}
+    en, de, es, fr = hits["en"], hits["de"], hits["es"], hits["fr"]
+    return (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
+        .when((de >= es) & (de >= fr) & (de > 0), "de")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+
+
+def non_alnum_count(text: Column | str) -> Column:
+    """Characters that are not [a-z0-9 ] after lowering — punctuation/
+    symbol load, an ingredient of quality scoring."""
+    text = F.col(text) if isinstance(text, str) else text
+    return (
+        F.length(text) - F.length(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""))
+    ).cast("long")
+
+
+def quality_class(
+    text: Column | str,
+    min_tokens: int = 10,
+    stop_ratio_pct: int = 10,
+) -> Column:
+    """Coarse quality label from integer-ratio rules (integer math keeps
+    the classification engine-exact for oracles): 'fluent' when stopword
+    density >= stop_ratio_pct%, 'fragment' when shorter than min_tokens,
+    else 'ok'."""
+    n_tok = token_count(text)
+    n_stop = stopword_hits(text, LANG_STOPWORDS["en"])
+    return (
+        F.when(n_tok < min_tokens, "fragment")
+        .when(n_stop * 100 >= n_tok * stop_ratio_pct, "fluent")
+        .otherwise("ok")
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalized content fingerprint: md5 of the text with everything
+    but [a-z0-9] stripped — catches whitespace/punctuation-variant exact
+    dups. For shift-tolerant fingerprints see dedup.minhash_signature."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+
+
+def text_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-pass per-document profile: counts, language, quality,
+    fingerprint. Single narrow projection — no shuffle."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        token_count(t).alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        bpe_ish_token_count(t).alias("n_subwords"),
+        non_alnum_count(t).alias("n_non_alnum"),
+        lang_id(t).alias("pred_lang"),
+        quality_class(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )

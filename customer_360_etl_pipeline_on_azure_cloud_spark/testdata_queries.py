@@ -752,3 +752,199 @@ CORE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "props_json": (q_props_json, SQL_PROPS_JSON),
     "supplier_360": (q_supplier_360, SQL_SUPPLIER_360),
 }
+
+
+# --- LLM-pipeline extensions: text analysis, dedup, similarity --------------
+
+from .operators.dedup import (  # noqa: E402
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+    simhash_table,
+)
+from .operators.similarity import (  # noqa: E402
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
+from .operators.text import LANG_STOPWORDS, fingerprint, text_profile  # noqa: E402
+
+
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: one-pass per-document profile (token counts,
+    BPE-ish subword estimate, punctuation load, heuristic language ID,
+    quality class, normalized fingerprint). All built-in expressions —
+    a narrow map, no shuffle, codegen-friendly at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_profile(docs)
+
+
+def _stop_hits_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        f" x -> x IN ({lst}))) AS BIGINT)"
+    )
+
+
+def _doc_profile_sql() -> str:
+    en = _stop_hits_sql(LANG_STOPWORDS["en"])
+    de = _stop_hits_sql(LANG_STOPWORDS["de"])
+    es = _stop_hits_sql(LANG_STOPWORDS["es"])
+    fr = _stop_hits_sql(LANG_STOPWORDS["fr"])
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(lower(text), '[a-z]{{1,6}}|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords,
+    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_non_alnum,
+    {en} AS en_h, {de} AS de_h, {es} AS es_h, {fr} AS fr_h,
+    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars, n_subwords, n_non_alnum,
+  CASE WHEN en_h >= de_h AND en_h >= es_h AND en_h >= fr_h AND en_h > 0 THEN 'en'
+       WHEN de_h >= es_h AND de_h >= fr_h AND de_h > 0 THEN 'de'
+       WHEN es_h >= fr_h AND es_h > 0 THEN 'es'
+       WHEN fr_h > 0 THEN 'fr'
+       ELSE 'unknown' END AS pred_lang,
+  CASE WHEN n_tokens < 10 THEN 'fragment'
+       WHEN en_h * 100 >= n_tokens * 10 THEN 'fluent'
+       ELSE 'ok' END AS quality,
+  fp
+FROM base
+"""
+
+
+SQL_DOC_PROFILE = _doc_profile_sql()
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized fingerprint: one hash aggregate,
+    deterministic keeper (min doc_id) — the linear-cost first stage of
+    any corpus dedup cascade."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs, fingerprint(F.col("text")), id_col="doc_id")
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection, exact path: word-trigram Jaccard >= 30% via
+    shared-shingle self-join (integer-only similarity math). The LSH
+    MinHash variant (rows-only query) is the 100 TB path; this exact
+    form doubles as its verification oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, n=3, threshold_pct=30)
+
+
+SQL_DOC_JACCARD_PAIRS = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+        FROM toks WHERE len(t) >= 3)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter, (sa.nsh + sb.nsh - inter) AS uni
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 100 >= (sa.nsh + sb.nsh - inter) * 30
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, exact baseline: brute-force cosine top-5 for
+    10 query vectors (vec_id < 10) against the full corpus. Queries are
+    broadcast; ranks only in the output (floats stay internal)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id < 10
+), n AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ne,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+  FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qe, ne) / (qn * nn) AS cos
+  FROM q, n WHERE neighbor_id <> query_id
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk,
+       neighbor_id
+FROM s
+QUALIFY rk <= 5
+"""
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup, scale path: banded MinHash-LSH (32 hashes, 8 bands)
+    with signature-level verification. Not SQL-expressible compactly ->
+    rows-only driver check; tests/test_extensions.py verifies recall
+    against the exact Jaccard pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, verify_threshold_pct=30)
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via 64-bit SimHash (Arrow-vectorized UDF) + Hamming<=3
+    chunk blocking. Rows-only driver check."""
+    docs = _t(spark, sf_dir, "documents")
+    sim = simhash_table(docs)
+    return simhash_near_pairs(sim, max_hamming=3)
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, scale path: SRP-LSH bucketed top-5 with
+    multiprobe. Approximate -> rows-only driver check; recall vs the
+    exact brute-force is asserted in tests/test_extensions.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, nbits=4, tables=8
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.95) via SRP
+    buckets + exact verification. Rows-only driver check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.95, dim=64, nbits=10).select(
+        "id_a", "id_b"
+    )
+
+
+EXTENSION_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "doc_profile": (q_doc_profile, SQL_DOC_PROFILE),
+    "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
+    "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD_PAIRS),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "minhash_near_dup": (q_minhash_near_dup, None),
+    "simhash_near_dup": (q_simhash_near_dup, None),
+    "ann_topk_lsh": (q_ann_topk_lsh, None),
+    "embedding_near_dup": (q_embedding_near_dup, None),
+}
+
+CORE_QUERIES.update(EXTENSION_QUERIES)
