@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1, ...}
+
+Times are end-to-end per query: plan build + execution + collect of the
+result (result sets are small by design; no caching between queries, so
+every query pays its own scan — the honest configuration).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from customer_360_etl_pipeline_on_azure_cloud_spark.session import get_spark  # noqa: E402
+from customer_360_etl_pipeline_on_azure_cloud_spark.testdata_queries import (  # noqa: E402
+    CORE_QUERIES,
+)
+
+#: Queries timed by the bench: the full oracle-checked surface plus the
+#: approximate scale-path ops (everything a user would actually run).
+BENCH_QUERIES = [
+    "pricing_summary",
+    "supplier_distinct_parts",
+    "user_activeness",
+    "priority_recode",
+    "returnflag_pivot",
+    "supplier_most_flag",
+    "supplier_flag_mix",
+    "customer_segmentation",
+    "top_event_per_user",
+    "user_trend",
+    "region_rollup",
+    "positional_zip",
+    "union_halves",
+    "dedup_user_event",
+    "props_json",
+    "supplier_360",
+    "doc_profile",
+    "doc_exact_dedup",
+    "doc_jaccard_pairs",
+    "ann_topk",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "ann_topk_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(
+        app_name="c360-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/executor pool so query 1 doesn't pay session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = CORE_QUERIES[name]
+        t0 = time.perf_counter()
+        out = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = len(out)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "rows": rows,
+                "sf": sf,
+                "cpus": cpus,
+                "conf": {
+                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                    "shuffle_partitions": spark.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    ),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -81,7 +81,9 @@ def jaccard_pairs(
     Integer-only math (inter*100 >= uni*threshold_pct) keeps results
     engine-exact. Output: (id_a, id_b, inter, uni) with id_a < id_b.
     """
-    sh = df.select(
+    from .util import spread
+
+    sh = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("s"),
     )
@@ -111,13 +113,18 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature as array<long>: for seed j, min over shingles of
     xxhash64(shingle, j). Pure column expressions — a narrow map, no
-    Python, no shuffle; signatures for 100 TB of docs cost one scan."""
+    Python, no shuffle; signatures for 100 TB of docs cost one scan.
+
+    Shape matters: the outer ``transform`` over the seed sequence keeps
+    the shingle array a SINGLE subexpression — building 32 separate
+    ``array_min(transform(shingles, ...))`` columns would re-evaluate the
+    whole shingle construction (split/concat/distinct) 32x per row, which
+    measured ~40x slower at sf0.1."""
     sh = word_shingles(text, shingle_n)
-    sig = [
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(j))))
-        for j in range(num_hashes)
-    ]
-    return F.array(*sig)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    )
 
 
 def minhash_lsh_pairs(
@@ -137,17 +144,42 @@ def minhash_lsh_pairs(
     candidates. Shuffle is an equi-join on (band, hash) — linear in
     corpus size times bands, never all-pairs.
     """
+    from .util import spread
+
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
-    ).filter(F.size(F.col("sig")) > 0)
-    sig = sig.cache()
+    # Materialize the shingle array FIRST, behind a cache barrier.
+    # Without it, CollapseProject inlines the whole shingle construction
+    # (split/concat/array_distinct) into EVERY seed lambda of the
+    # signature — 32x re-evaluation per row, on both sides of the
+    # candidate self-join (measured 300s vs 8s at sf0.1). The cache is an
+    # optimizer barrier at plan time, so signatures read stored shingles.
+    shingled = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, shingle_n).alias("sh"),
+        )
+        .cache()
+    )
+    sig = (
+        shingled.select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda j: F.array_min(
+                    F.transform(F.col("sh"), lambda s: F.xxhash64(s, j))
+                ),
+            ).alias("sig"),
+        )
+        .filter(F.size(F.col("sig")) > 0)
+        .cache()
+    )
 
+    # Band rows carry only (id, band, bhash) — never drag the 32-long
+    # signature arrays through the candidate shuffle.
     band_rows = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -161,7 +193,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bhash")
+    ).select("id", "bb.band", "bb.bhash")
 
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
@@ -171,16 +203,15 @@ def minhash_lsh_pairs(
             & (F.col("a.bhash") == F.col("b.bhash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify_threshold_pct is None:
-        return cand.select("id_a", "id_b")
+        return cand
+    # Re-attach signatures only for the (small) candidate set.
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(sa, "id_a").join(sb, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -242,7 +273,9 @@ def simhash_table(
                 hashes.append(sh - (1 << 64) if sh >= 1 << 63 else sh)
             yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
 
-    return df.select(id_col, text_col).mapInPandas(batch, _SIMHASH_RETURN)
+    from .util import spread
+
+    return spread(df.select(id_col, text_col)).mapInPandas(batch, _SIMHASH_RETURN)
 
 
 def simhash_near_pairs(

@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Design: media travels as an opaque ``binary`` column plus a typed
+metadata struct (mime, width/height/duration, source URI). All Spark-side
+mechanics — schema, partition sizing, Arrow batch shape, UDF signatures —
+are real and tested; the actual codec calls are STUBBED because this
+container has no image/audio libraries (clearly marked below). Swapping a
+stub for Pillow/ffmpeg keeps every signature identical.
+
+Scale notes:
+
+* media rows are big — size ``spark.sql.files.maxPartitionBytes`` and
+  repartition so a batch of decoded frames fits executor memory.
+* decode/feature-extract run in ``mapInPandas`` (Arrow batches): one
+  Python worker round-trip per batch, not per row.
+* metadata-only queries must never touch bytes: keeping metadata in a
+  separate struct column lets Parquet column pruning skip the blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical media-row schema.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("uri", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("decoded_w", T.IntegerType()),
+        T.StructField("decoded_h", T.IntegerType()),
+    ]
+)
+
+
+def _fake_decode(content: bytes, meta_w: int, meta_h: int) -> tuple[list, int, int]:
+    """STUB DECODER (no codec libs in this container): produces a
+    deterministic 8-float pseudo-feature from a digest of the bytes.
+    Replace the body with PIL.Image.open + a real model; the signature,
+    batching and schema do not change."""
+    digest = hashlib.sha256(content or b"").digest()
+    feat = [b / 255.0 for b in digest[:8]]
+    return feat, meta_w or 0, meta_h or 0
+
+
+def decode_image_features(
+    media: DataFrame, batch_hint: int | None = None
+) -> DataFrame:
+    """Decode + feature-extract images via Arrow-batched mapInPandas.
+
+    The plan projects ONLY (media_id, content, meta) into the Python
+    worker; everything upstream/downstream stays JVM-side.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, ws, hs = [], [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                w = meta["width"] if meta is not None else 0
+                h = meta["height"] if meta is not None else 0
+                f, dw, dh = _fake_decode(content, w, h)
+                feats.append(f)
+                ws.append(dw)
+                hs.append(dh)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "decoded_w": ws,
+                    "decoded_h": hs,
+                }
+            )
+
+    return media.select("media_id", "content", "meta").mapInPandas(
+        run, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Frame-sampling plumbing for video rows: expands each media row to
+    its frame timestamps (metadata-only — no bytes touched, so Parquet
+    prunes the blob column entirely). A real implementation would seek
+    per timestamp inside the decode UDF."""
+    n_frames = (F.col("meta.duration_ms") / F.lit(every_ms)).cast("int")
+    return (
+        media.filter(F.col("meta.duration_ms").isNotNull())
+        .select(
+            "media_id",
+            F.explode(
+                F.when(
+                    n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("frame_idx"),
+        )
+        .withColumn("frame_ts_ms", F.col("frame_idx").cast("long") * every_ms)
+    )
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter used by tests: wraps the documents table as media rows
+    (text bytes as the blob) so the multimodal plumbing has a real
+    distributed input to run against."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("uri"),
+        ).alias("meta"),
+    )

@@ -35,8 +35,10 @@ def _as_double(c: Column) -> Column:
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    from .util import spread
+
     v = _as_double(F.col(vec_col))
-    return df.withColumn("__vec", v).withColumn("__norm", F.sqrt(dot(v, v)))
+    return spread(df).withColumn("__vec", v).withColumn("__norm", F.sqrt(dot(v, v)))
 
 
 def cosine_topk_bruteforce(
@@ -134,7 +136,10 @@ def cosine_topk_lsh(
     tbls = [make_hyperplanes(dim, nbits, seed=7 + 1000 * t) for t in range(tables)]
 
     def bucketed(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str):
-        e = with_norm(df, vec_col)
+        # cache = optimizer barrier: stops CollapseProject from inlining
+        # the vector cast/norm into every hyperplane-dot lambda (the
+        # signature computes L*b interpreted dots per row).
+        e = with_norm(df, vec_col).cache()
         return e.select(
             F.col(id_col).alias(id_alias),
             F.col("__vec").alias(vec_alias),
@@ -182,7 +187,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via SRP buckets + exact
     verification — the vector analogue of MinHash-LSH dedup."""
     hps = make_hyperplanes(dim, nbits)
-    e = with_norm(df, vec_col).select(
+    e = with_norm(df, vec_col).cache().select(
         F.col(id_col).alias("id"),
         F.col("__vec").alias("vec"),
         F.col("__norm").alias("norm"),

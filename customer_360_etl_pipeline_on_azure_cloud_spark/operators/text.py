@@ -107,7 +107,11 @@ def text_profile(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """One-pass per-document profile: counts, language, quality,
-    fingerprint. Single narrow projection — no shuffle."""
+    fingerprint. Single narrow projection — no shuffle (beyond spreading
+    single-partition small inputs across cores)."""
+    from .util import spread
+
+    df = spread(df)
     t = F.col(text_col)
     return df.select(
         id_col,

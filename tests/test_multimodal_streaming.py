@@ -1,0 +1,88 @@
+"""Tests for multimodal plumbing (Arrow batch UDF path) and the
+incremental streaming operators."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.multimodal import (
+    decode_image_features,
+    documents_as_media,
+    sample_frames,
+)
+from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import load_table
+from customer_360_etl_pipeline_on_azure_cloud_spark.streaming.incremental import (
+    run_incremental,
+    stream_file_source,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    return documents_as_media(docs).cache()
+
+
+def test_media_schema_and_blob_roundtrip(media):
+    row = media.first()
+    assert isinstance(row["content"], (bytes, bytearray))
+    assert row["meta"]["mime"] == "text/plain"
+
+
+def test_decode_features_batched_and_deterministic(media):
+    feats1 = {r["media_id"]: r["feature"] for r in decode_image_features(media).collect()}
+    feats2 = {r["media_id"]: r["feature"] for r in decode_image_features(media).collect()}
+    assert feats1 == feats2
+    assert all(len(f) == 8 for f in feats1.values())
+
+
+def test_frame_sampling_prunes_blob(spark, media):
+    # Persist media to parquet so pruning is observable at a real scan.
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="c360_media_")
+    try:
+        media.write.mode("overwrite").parquet(f"{tmp}/media")
+        on_disk = spark.read.parquet(f"{tmp}/media")
+        frames = sample_frames(on_disk, every_ms=500)
+        # metadata-only: the parquet scan must not read the blob column
+        plan = frames._jdf.queryExecution().executedPlan().toString()
+        scan_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scan_line and "content" not in scan_line[0]
+        n = frames.filter(F.col("media_id") == 0).count()
+        dur = media.filter(F.col("media_id") == 0).first()["meta"]["duration_ms"]
+        assert n == dur // 500
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incremental_stream_matches_batch(spark):
+    events = load_table(spark, SF_SMALL, "events")
+    tmp = tempfile.mkdtemp(prefix="c360_stream_")
+    try:
+        src = f"{tmp}/src"
+        events.write.parquet(src)
+        static = spark.read.parquet(src)
+        stream = stream_file_source(spark, src, static.schema)
+        agg = windowed_counts(stream, window="6 hours", watermark="1 hour")
+        # complete mode: append would (correctly) withhold the windows the
+        # watermark hasn't finalized yet — here we want the full rollup to
+        # compare against batch.
+        run_incremental(agg, f"{tmp}/ckpt", "stream_out", mode="complete")
+        got = spark.table("stream_out")
+        batch = (
+            static.groupBy(F.window("ts", "6 hours"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("window_start"), "event_type", "n")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
