@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB
+(pushdown, pruning, broadcast joins, no stray shuffles) pinned so a
+refactor can't silently regress them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMALL
+
+from customer_360_etl_pipeline_on_azure_cloud_spark.testdata_queries import (
+    CORE_QUERIES,
+)
+
+
+def plan_of(spark, name: str) -> str:
+    fn, _ = CORE_QUERIES[name]
+    return fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "pricing_summary")
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
+    # filter reaches the scan
+    assert "l_shipdate" in scan and "DataFilters" in scan
+    # only the 7 needed columns are read, not all 11
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+
+
+def test_dim_joins_are_broadcast(spark):
+    for name in ("region_rollup", "supplier_360", "user_trend"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, (
+            f"{name}: dimension join regressed to a sort-merge shuffle"
+        )
+
+
+def test_pivot_is_single_aggregate_no_extra_job(spark):
+    # Declared pivot values: plan builds eagerly without running a
+    # distinct-values job, and pivots via hash aggregate (no join).
+    plan = plan_of(spark, "returnflag_pivot")
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    for name, (fn, _sql) in CORE_QUERIES.items():
+        if name in ("ann_topk",):  # brute-force ANN is an intended
+            continue  # broadcast nested-loop baseline
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_frame_blob_never_read_for_metadata_ops(spark):
+    # covered in test_multimodal_streaming but cheap to keep close to
+    # the other plan checks: doc_profile reads only doc_id + text
+    plan = plan_of(spark, "doc_profile")
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
+    assert "lang" not in scan and "source" not in scan

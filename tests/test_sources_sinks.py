@@ -1,0 +1,119 @@
+"""Tests for the file sources (date-ranged daily layouts, the
+reference's ingestion shape) and sinks."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_360_etl_pipeline_on_azure_cloud_spark.schemas import (
+    LOG_CONTENT_SCHEMA,
+    MAPPING_SCHEMA,
+)
+from customer_360_etl_pipeline_on_azure_cloud_spark.sinks import (
+    write_csv,
+    write_parquet,
+)
+from customer_360_etl_pipeline_on_azure_cloud_spark.sources.files import (
+    paths_in_date_range,
+    read_csv_dim,
+    read_json_daily,
+    read_parquet_daily,
+)
+
+
+@pytest.fixture(scope="module")
+def daily_layout():
+    tmp = tempfile.mkdtemp(prefix="c360_src_")
+    jdir = os.path.join(tmp, "log_content")
+    os.makedirs(jdir)
+    for day, rows in {
+        "20220401": [("C1", "m1", "CHANNEL", 10), ("C2", "m2", "VOD", 20)],
+        "20220402": [("C1", "m1", "SPORT", 30)],
+        "20220410": [("C3", "m3", "CHILD", 40)],
+    }.items():
+        with open(os.path.join(jdir, f"{day}.json"), "w") as f:
+            for c, m, a, t in rows:
+                f.write(
+                    json.dumps(
+                        {"_source": {"Contract": c, "Mac": m, "AppName": a, "TotalDuration": t}}
+                    )
+                    + "\n"
+                )
+    # a non-matching file that must be ignored
+    with open(os.path.join(jdir, "notes.txt"), "w") as f:
+        f.write("ignore me")
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_paths_in_date_range(daily_layout):
+    jdir = os.path.join(daily_layout, "log_content")
+    got = paths_in_date_range(jdir, 20220401, 20220402, suffix=".json")
+    assert [os.path.basename(p) for p in got] == ["20220401.json", "20220402.json"]
+
+
+def test_read_json_daily_single_scan_flatten_and_date(spark, daily_layout):
+    jdir = os.path.join(daily_layout, "log_content")
+    df = read_json_daily(
+        spark,
+        jdir,
+        20220401,
+        20220409,
+        schema=LOG_CONTENT_SCHEMA,
+        flatten_struct="_source",
+    )
+    rows = df.collect()
+    assert len(rows) == 3  # 20220410 excluded by range
+    assert set(df.columns) == {"Contract", "Mac", "AppName", "TotalDuration", "Date"}
+    by_contract = {r["Contract"]: r for r in rows if r["Mac"] == "m1"}
+    assert by_contract["C1"]["Date"] in (dt.date(2022, 4, 1), dt.date(2022, 4, 2))
+    # the whole range is ONE logical scan relation, not a union of N reads
+    assert df._jdf.queryExecution().optimizedPlan().toString().count("Relation") == 1
+
+
+def test_read_json_daily_empty_range_raises(spark, daily_layout):
+    jdir = os.path.join(daily_layout, "log_content")
+    with pytest.raises(FileNotFoundError):
+        read_json_daily(spark, jdir, 20230101, 20230131)
+
+
+def test_read_parquet_daily(spark, daily_layout):
+    pdir = os.path.join(daily_layout, "log_search")
+    os.makedirs(pdir, exist_ok=True)
+    base = spark.createDataFrame(
+        [("2022-06-01 10:00:00", "u1", "kw")], ["datetime", "user_id", "keyword"]
+    )
+    for day in ("20220601", "20220602"):
+        base.write.mode("overwrite").parquet(os.path.join(pdir, day))
+    df = read_parquet_daily(spark, pdir, 20220601, 20220601)
+    assert df.count() == 1
+
+
+def test_read_csv_dim_deterministic_survivor(spark, daily_layout):
+    path = os.path.join(daily_layout, "mapping.csv")
+    with open(path, "w") as f:
+        f.write("search,category\nfoo,zzz\nfoo,aaa\nbar,movies\n")
+    df = read_csv_dim(spark, path, key="search", schema=MAPPING_SCHEMA)
+    got = {r["search"]: r["category"] for r in df.collect()}
+    # deterministic survivor: first by remaining-column sort order
+    assert got == {"foo": "aaa", "bar": "movies"}
+
+
+def test_csv_and_parquet_sink_roundtrip(spark, daily_layout):
+    out = os.path.join(daily_layout, "out")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    write_csv(df, f"{out}/csv")
+    back = spark.read.option("header", True).csv(f"{out}/csv")
+    assert sorted((r["k"], int(r["v"])) for r in back.collect()) == [("a", 1), ("b", 2)]
+
+    write_parquet(df, f"{out}/pq", partition_by=["k"])
+    assert os.path.isdir(f"{out}/pq/k=a")  # Hive-partitioned layout
+    back = spark.read.parquet(f"{out}/pq")
+    assert back.count() == 2
