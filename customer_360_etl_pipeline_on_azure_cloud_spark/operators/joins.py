@@ -45,6 +45,73 @@ def lookup(
     return out
 
 
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: Iterable[str] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for every left row, attach the LATEST right row of the
+    same ``by`` key with ``right_ts <= left_ts`` (backward direction,
+    inclusive). Spark has no native as-of join; this is the scalable
+    union-window construction:
+
+    1. tag and union both sides (right rows sort before left rows at
+       equal timestamps, making the match inclusive),
+    2. one window over (by) ordered by (ts, tag): running ``max(struct(
+       right_ts, right_values...))`` — nulls (left rows) are ignored by
+       max, so each left row sees the latest right payload at or before
+       its timestamp,
+    3. keep left rows.
+
+    Cost: ONE shuffle on ``by`` + per-partition sort — same shape as any
+    window; no range join, no per-row subquery. This is the standard
+    distributed as-of pattern (cf. pandas merge_asof semantics).
+    """
+    from pyspark.sql import Window
+
+    rv = list(right_values)
+    right_struct = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in rv]
+    )
+    left_struct = F.struct(*[F.col(c) for c in left.columns])
+    right_struct_type = right.select(right_struct.alias("s")).schema["s"].dataType
+    left_struct_type = left.select(left_struct.alias("s")).schema["s"].dataType
+
+    l_tag = left.select(
+        F.col(by).alias("__by"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        left_struct.alias("__left"),
+        F.lit(None).cast(right_struct_type).alias("__right"),
+    )
+    r_tag = right.select(
+        F.col(by).alias("__by"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(left_struct_type).alias("__left"),
+        right_struct.alias("__right"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("__by")
+        .orderBy(F.col("__ts"), F.col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__last", F.max("__right").over(w)).filter(
+        F.col("__tag") == 1
+    )
+    out = matched.select(
+        "__left.*",
+        F.col("__last.__rts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__last.{c}").alias(f"{c}{suffix}") for c in rv],
+    )
+    return out
+
+
 def positional_zip(
     left: DataFrame,
     right: DataFrame,

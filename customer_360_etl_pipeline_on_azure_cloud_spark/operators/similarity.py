@@ -89,7 +89,9 @@ def srp_signature(
 ) -> Column:
     """Signed-random-projection bucket id: sign bit of the dot product
     with each fixed hyperplane, packed into a long. Hyperplanes are
-    passed as literal arrays — deterministic, broadcast with the plan."""
+    passed as literal arrays — deterministic, broadcast with the plan.
+    Expression form — fine for a handful of bits; for multi-table
+    signatures use :func:`srp_buckets_vectorized` (one Arrow matmul)."""
     bits = []
     for i, hp in enumerate(hyperplanes):
         hp_col = F.array(*[F.lit(float(x)) for x in hp])
@@ -100,6 +102,47 @@ def srp_signature(
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def srp_buckets_vectorized(
+    df: DataFrame,
+    tables_hps: list[list[list[float]]],
+    id_col: str,
+    vec_col: str = "__vec",
+    out_col: str = "__buckets",
+) -> DataFrame:
+    """All L table bucket-ids in ONE Arrow-vectorized pass: stack every
+    table's hyperplanes into a single (L*b, dim) matrix, one numpy matmul
+    per batch, pack sign bits per table. L x b interpreted expression
+    dots measured noisy and ~5x slower at 5k vectors; a batch matmul is
+    one BLAS call."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    H = np.vstack([np.asarray(t, dtype=np.float64) for t in tables_hps])
+    nbits = len(tables_hps[0])
+    L = len(tables_hps)
+    weights = (1 << np.arange(nbits, dtype=np.int64))
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.LongType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (V @ H.T) >= 0  # (n, L*b)
+            signs = signs.reshape(len(V), L, nbits)
+            buckets = (signs * weights).sum(axis=2).astype(np.int64)  # (n, L)
+            pdf = pdf.copy()
+            pdf[out_col] = list(buckets)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
 
 
 def make_hyperplanes(dim: int, nbits: int = 12, seed: int = 7) -> list[list[float]]:
@@ -136,26 +179,19 @@ def cosine_topk_lsh(
     tbls = [make_hyperplanes(dim, nbits, seed=7 + 1000 * t) for t in range(tables)]
 
     def bucketed(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str):
-        # cache = optimizer barrier: stops CollapseProject from inlining
-        # the vector cast/norm into every hyperplane-dot lambda (the
-        # signature computes L*b interpreted dots per row).
-        e = with_norm(df, vec_col).cache()
-        return e.select(
+        e = with_norm(df, vec_col).select(
             F.col(id_col).alias(id_alias),
             F.col("__vec").alias(vec_alias),
             F.col("__norm").alias(norm_alias),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            srp_signature(F.col("__vec"), tbls[t]).alias("bucket"),
-                        )
-                        for t in range(tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(id_alias, vec_alias, norm_alias, "tb.tbl", "tb.bucket")
+        )
+        # all L bucket ids in one Arrow matmul pass, then explode
+        bk = srp_buckets_vectorized(e, tbls, id_col=id_alias, vec_col=vec_alias)
+        return bk.select(
+            id_alias,
+            vec_alias,
+            norm_alias,
+            F.posexplode("__buckets").alias("tbl", "bucket"),
+        )
 
     c = bucketed(corpus, "neighbor_id", "nvec", "nnorm")
     q = bucketed(queries, "query_id", "qvec", "qnorm")

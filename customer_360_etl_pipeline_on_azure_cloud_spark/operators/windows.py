@@ -36,6 +36,36 @@ def top_k_per_group(
     return out.drop(rn) if rank_col is None else out
 
 
+def sessionize(
+    df: DataFrame,
+    keys: Iterable[str],
+    ts_col: str,
+    gap_seconds: int = 1800,
+    order_tiebreak: Iterable[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same key exceeds ``gap_seconds``.
+
+    Classic two-window construction (lag -> boundary flag -> running
+    sum), both windows on the SAME partitioning key, so Spark plans ONE
+    shuffle + one sort for the whole thing. Integer arithmetic only
+    (epoch microseconds) — engine-exact.
+    """
+    keys = list(keys)
+    order = [F.col(ts_col)] + [F.col(c) for c in order_tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    gap_us = F.unix_micros(F.col(ts_col)) - prev_us
+    boundary = F.when(
+        prev_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    return df.withColumn("__b", boundary).withColumn(
+        session_col,
+        F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    ).drop("__b")
+
+
 def top_1_per_group_agg(
     df: DataFrame,
     keys: Iterable[str],
@@ -47,18 +77,18 @@ def top_1_per_group_agg(
     ``max(struct(order..., payload...))`` computes the argmax with
     map-side partial aggregation — at 100 TB this beats the window form
     because the shuffle carries one row per group instead of every row.
-    ``order_by`` columns must be DESC-semantics-encoded by the caller
+    ``payload`` is a list of column NAMES (duplicated order columns are fine). ``order_by`` columns must be DESC-semantics-encoded by the caller
     (e.g. pass ``col("count")`` to mean "largest count wins"; for an
     ascending tiebreak on a string column there is no total-order
     negation, so this variant requires numeric/invertible tiebreaks —
     otherwise use :func:`top_k_per_group`).
     """
     keys = list(keys)
-    order = list(order_by)
-    payload = [F.col(c) if isinstance(c, str) else c for c in payload]
-    packed = F.max(F.struct(*order, *payload)).alias("__top")
+    order = [
+        (c.alias(f"__o{i}") if not isinstance(c, str) else F.col(c).alias(f"__o{i}"))
+        for i, c in enumerate(order_by)
+    ]
+    payload = list(payload)
+    packed = F.max(F.struct(*order, *[F.col(c) for c in payload])).alias("__top")
     out = df.groupBy(*keys).agg(packed)
-    n_order = len(order)
-    fields = out.select("__top.*").columns
-    payload_fields = fields[n_order:]
-    return out.select(*keys, *[F.col(f"__top.{f}") for f in payload_fields])
+    return out.select(*keys, *[F.col(f"__top.{c}").alias(c) for c in payload])

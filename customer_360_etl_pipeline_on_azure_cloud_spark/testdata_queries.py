@@ -913,7 +913,10 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup via 64-bit SimHash (Arrow-vectorized UDF) + Hamming<=3
     chunk blocking. Rows-only driver check."""
     docs = _t(spark, sf_dir, "documents")
-    sim = simhash_table(docs)
+    # eager cache: the chunk self-join reads the signature table twice;
+    # materializing once avoids double mapInPandas evaluation
+    sim = simhash_table(docs).cache()
+    sim.count()
     return simhash_near_pairs(sim, max_hamming=3)
 
 
@@ -948,3 +951,257 @@ EXTENSION_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 CORE_QUERIES.update(EXTENSION_QUERIES)
+
+
+# --- join/window/set completions (semi/anti, as-of, rollup, analytics) ------
+
+from .operators.joins import asof_join_backward  # noqa: E402
+from .operators.windows import sessionize  # noqa: E402
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 fixed: deterministic global top-n (orderBy + limit compiles to
+    TakeOrderedAndProject — a distributed top-k, no global sort) —
+    replaces the reference's unordered limit(250) (SURVEY §0.1)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+"""
+
+
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti joins (free via df.join modes, SURVEY §2.3 note):
+    customers WITH an urgent order (left_semi) and WITHOUT one
+    (left_anti), rolled up per market segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("has_urgent", F.lit("yes"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("has_urgent", F.lit("no"))
+    )
+    return semi.unionByName(anti).select("c_mktsegment", "has_urgent", "n")
+
+
+SQL_SEMI_ANTI_CUSTOMERS = """
+WITH u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT c_mktsegment, 'yes' AS has_urgent, COUNT(*) AS n
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM u)
+GROUP BY c_mktsegment
+UNION ALL
+SELECT c_mktsegment, 'no' AS has_urgent, COUNT(*) AS n
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM u)
+GROUP BY c_mktsegment
+"""
+
+
+def q_returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (engine exposes Spark's native
+    rollup/cube/groupingSets; absent from the reference but part of the
+    complete aggregation surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_RETURNFLAG_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: users who both clicked and purchased."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+SQL_USERS_CLICK_AND_PURCHASE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_users_click_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: users who clicked but never purchased."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract = set EXCEPT (exceptAll is bag-difference: a user with two
+    # clicks would survive the removal of one occurrence)
+    return clicks.subtract(buys)
+
+
+SQL_USERS_CLICK_NOT_PURCHASE = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively): for every click,
+    the latest purchase by the same user at or before the click.
+    Implemented as the scalable union-window merge (one shuffle), see
+    operators/joins.py:asof_join_backward."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join_backward(
+        clicks, buys, by="user_id", left_ts="ts", right_ts="pts",
+        right_values=["purchase_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("pts_asof")).alias("last_purchase_us"),
+        F.col("purchase_id_asof").alias("last_purchase_id"),
+    )
+
+
+SQL_ASOF_LAST_PURCHASE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), buys AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id,
+  (SELECT epoch_us(MAX(b.ts)) FROM buys b
+    WHERE b.user_id = c.user_id AND b.ts <= c.ts) AS last_purchase_us,
+  (SELECT b.event_id FROM buys b
+    WHERE b.user_id = c.user_id AND b.ts <= c.ts
+    ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS last_purchase_id
+FROM clicks c
+"""
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window (lag): microsecond gap to the previous event per
+    user — integer epoch arithmetic, engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return ev.select("event_id", "user_id", gap.alias("gap_us"))
+
+
+SQL_EVENT_GAPS = """
+SELECT event_id, user_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+"""
+
+
+def q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag -> boundary ->
+    running sum, one shuffle. The batch twin of streaming session
+    windows."""
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(
+        ev, ["user_id"], "ts", gap_seconds=1800, order_tiebreak=["event_id"]
+    )
+    return out.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+SQL_SESSIONIZED_EVENTS = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), b AS (
+  SELECT user_id, event_id,
+         CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS boundary,
+         ts
+  FROM g
+), s AS (
+  SELECT user_id, event_id,
+         CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM b
+)
+SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_event_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time bucketing (the batch twin of the streaming windowed
+    count): 6-hour buckets via integer epoch arithmetic so both engines
+    bucket identically."""
+    ev = _t(spark, sf_dir, "events")
+    bucket_us = 6 * 3600 * 1_000_000
+    b = (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts")) % bucket_us)
+    return ev.groupBy(
+        b.alias("bucket_start_us"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_EVENT_TIME_BUCKETS = """
+SELECT epoch_us(ts) - epoch_us(ts) % CAST(21600000000 AS BIGINT) AS bucket_start_us,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_supplier_distinct_parts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 scale path: HyperLogLog++ distinct count (one shuffle, merged
+    sketches, fixed memory) — deterministic within Spark but engine-
+    specific, hence rows-only; accuracy asserted vs exact in
+    tests/test_operators_more.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return distinct_count(
+        li, ["l_suppkey"], "l_partkey", "approx_parts", approx=True, rsd=0.02
+    )
+
+
+MORE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "semi_anti_customers": (q_semi_anti_customers, SQL_SEMI_ANTI_CUSTOMERS),
+    "returnflag_rollup": (q_returnflag_rollup, SQL_RETURNFLAG_ROLLUP),
+    "users_click_and_purchase": (
+        q_users_click_and_purchase,
+        SQL_USERS_CLICK_AND_PURCHASE,
+    ),
+    "users_click_not_purchase": (
+        q_users_click_not_purchase,
+        SQL_USERS_CLICK_NOT_PURCHASE,
+    ),
+    "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
+    "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
+    "sessionized_events": (q_sessionized_events, SQL_SESSIONIZED_EVENTS),
+    "event_time_buckets": (q_event_time_buckets, SQL_EVENT_TIME_BUCKETS),
+    "supplier_distinct_parts_approx": (q_supplier_distinct_parts_approx, None),
+}
+
+CORE_QUERIES.update(MORE_QUERIES)

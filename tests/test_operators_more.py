@@ -1,0 +1,108 @@
+"""Unit tests for the join/window/aggregate completions: as-of join,
+sessionization, HLL approx distinct, top-1-per-group agg variant."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.aggregates import (
+    distinct_count,
+)
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.joins import (
+    asof_join_backward,
+)
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.windows import (
+    sessionize,
+    top_1_per_group_agg,
+)
+from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import load_table
+
+
+def ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_backward_basic_and_inclusive(spark):
+    left = spark.createDataFrame(
+        [("u1", ts(10), "e1"), ("u1", ts(30), "e2"), ("u2", ts(5), "e3")],
+        ["uid", "lts", "eid"],
+    )
+    right = spark.createDataFrame(
+        [("u1", ts(10), 100), ("u1", ts(20), 200), ("u2", ts(6), 300)],
+        ["uid", "rts", "val"],
+    )
+    out = {
+        r["eid"]: r.asDict()
+        for r in asof_join_backward(
+            left, right, by="uid", left_ts="lts", right_ts="rts",
+            right_values=["val"],
+        ).collect()
+    }
+    # equal timestamps match (inclusive backward)
+    assert out["e1"]["val_asof"] == 100 and out["e1"]["rts_asof"] == ts(10)
+    # latest at-or-before wins
+    assert out["e2"]["val_asof"] == 200
+    # no right row at or before -> nulls
+    assert out["e3"]["val_asof"] is None and out["e3"]["rts_asof"] is None
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        ("u1", ts(0), 1),
+        ("u1", ts(10), 2),   # 10 min gap -> same session
+        ("u1", ts(50), 3),   # 40 min gap -> new session
+        ("u2", ts(0), 4),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "t", "eid"])
+    out = {
+        r["eid"]: r["session_id"]
+        for r in sessionize(
+            df, ["uid"], "t", gap_seconds=1800, order_tiebreak=["eid"]
+        ).collect()
+    }
+    assert out[1] == 1 and out[2] == 1 and out[3] == 2 and out[4] == 1
+
+
+def test_approx_distinct_within_rsd(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    exact = {
+        r["l_suppkey"]: r["distinct_parts"]
+        for r in distinct_count(li, ["l_suppkey"], "l_partkey", "distinct_parts").collect()
+    }
+    approx = {
+        r["l_suppkey"]: r["approx_parts"]
+        for r in distinct_count(
+            li, ["l_suppkey"], "l_partkey", "approx_parts", approx=True, rsd=0.02
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(3, 0.1 * e), (k, e, approx[k])
+
+
+def test_top1_agg_variant_matches_window_form(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    # numeric-only order: highest n, tiebreak by event_type DESC encoded
+    # via max(struct) — compare against the window form with the same
+    # (n desc, event_type desc) total order.
+    agg_form = top_1_per_group_agg(
+        counts, ["user_id"], [F.col("n"), F.col("event_type")], ["event_type", "n"]
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    win_form = top_k_per_group(
+        counts,
+        ["user_id"],
+        [F.col("n").desc(), F.col("event_type").desc()],
+        k=1,
+    ).select("user_id", "event_type", "n")
+    a = sorted(map(tuple, agg_form.select("user_id", "event_type", "n").collect()))
+    b = sorted(map(tuple, win_form.collect()))
+    assert a == b

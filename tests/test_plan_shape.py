@@ -15,6 +15,9 @@ from customer_360_etl_pipeline_on_azure_cloud_spark.testdata_queries import (
 
 
 def plan_of(spark, name: str) -> str:
+    # other test modules may have cached tables (session-scoped spark);
+    # plan assertions are about the cold parquet-scan shape
+    spark.catalog.clearCache()
     fn, _ = CORE_QUERIES[name]
     return fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
 
