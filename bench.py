@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "sessionized_events",
     "event_time_buckets",
     "supplier_distinct_parts_approx",
+    "customer360_merged",
+    "streaming_event_counts",
 ]
 
 

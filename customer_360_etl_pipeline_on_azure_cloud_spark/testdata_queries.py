@@ -1205,3 +1205,145 @@ MORE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 CORE_QUERIES.update(MORE_QUERIES)
+
+
+# --- full three-stage pipeline + streaming ---------------------------------
+
+
+def q_customer360_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's COMPLETE three-stage flow (SURVEY §3.1+§3.2+§3.3)
+    on driver tables: interaction features (supplier_360) MERGED with
+    trend features (user_trend) — using the keyed-join semantics the
+    reference's README claims, with the deterministic positional-zip
+    variant available via merge_feature_tables (§0.1 J4)."""
+    feats = q_supplier_360(spark, sf_dir)
+    trends = q_user_trend(spark, sf_dir)
+    # key the two feature tables: supplier key modulo the user domain
+    # plays the role of the shared customer key in the reference merge
+    left = feats.withColumn("join_key", F.col("l_suppkey") % 150)
+    right = trends.withColumnRenamed("user_id", "join_key")
+    merged = left.join(right, on="join_key", how="inner")
+    return merged.select(
+        "join_key",
+        "l_suppkey",
+        "total_a",
+        "total_n",
+        "total_r",
+        "distinct_parts",
+        "most_flag",
+        "flag_mix",
+        "revenue_band",
+        "most_p1",
+        "most_p2",
+        "category_p1",
+        "category_p2",
+        "trending_type",
+        "previous",
+    )
+
+
+SQL_CUSTOMER360_MERGED = f"""
+WITH p AS ({_pivot_cents_sql()}
+), parts AS (
+  SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS distinct_parts
+  FROM lineitem GROUP BY l_suppkey
+), feats AS (
+  SELECT p.l_suppkey, p.a, p.n, p.r, (p.a + p.n + p.r) AS total_cents, parts.distinct_parts
+  FROM p JOIN parts ON p.l_suppkey = parts.l_suppkey
+), q AS (
+  SELECT quantile_cont(total_cents, [0.25, 0.5, 0.75]) AS qs FROM feats
+), sup360 AS (
+  SELECT f.l_suppkey,
+    CAST(f.a AS DOUBLE) / 100.0 AS total_a,
+    CAST(f.n AS DOUBLE) / 100.0 AS total_n,
+    CAST(f.r AS DOUBLE) / 100.0 AS total_r,
+    f.distinct_parts,
+    CASE WHEN f.a >= f.n AND f.a >= f.r THEN 'A'
+         WHEN f.n >= f.a AND f.n >= f.r THEN 'N'
+         ELSE 'R' END AS most_flag,
+    concat_ws('-',
+      CASE WHEN f.a <> 0 THEN 'A' END,
+      CASE WHEN f.n <> 0 THEN 'N' END,
+      CASE WHEN f.r <> 0 THEN 'R' END) AS flag_mix,
+    CASE WHEN f.total_cents < qs[1] THEN 'B1'
+         WHEN f.total_cents < qs[2] THEN 'B2'
+         WHEN f.total_cents < qs[3] THEN 'B3'
+         ELSE 'B4' END AS revenue_band
+  FROM feats f CROSS JOIN q
+), c AS (
+  SELECT {PERIOD_SQL} AS period, user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), top AS (
+  SELECT period, user_id, event_type
+  FROM c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY period, user_id ORDER BY n DESC, event_type) = 1
+), piv AS (
+  SELECT user_id,
+         MAX(CASE WHEN period = 'p1' THEN event_type END) AS most_p1,
+         MAX(CASE WHEN period = 'p2' THEN event_type END) AS most_p2
+  FROM top GROUP BY user_id
+), both_p AS (
+  SELECT * FROM piv WHERE most_p1 IS NOT NULL AND most_p2 IS NOT NULL
+), trends AS (
+  SELECT b.user_id, b.most_p1, b.most_p2, m1.category AS category_p1, m2.category AS category_p2,
+    CASE WHEN m1.category = m2.category THEN 'Unchanged' ELSE 'Changed' END AS trending_type,
+    CASE WHEN m1.category = m2.category THEN 'Unchanged'
+         ELSE concat_ws(' -> ', m1.category, m2.category) END AS previous
+  FROM both_p b
+  LEFT JOIN {EVENT_CATEGORY_SQL.replace('m(etype', 'm1(etype')} ON b.most_p1 = m1.etype
+  LEFT JOIN {EVENT_CATEGORY_SQL.replace('m(etype', 'm2(etype')} ON b.most_p2 = m2.etype
+)
+SELECT s.l_suppkey % 150 AS join_key, s.l_suppkey,
+       s.total_a, s.total_n, s.total_r, s.distinct_parts, s.most_flag,
+       s.flag_mix, s.revenue_band,
+       t.most_p1, t.most_p2, t.category_p1, t.category_p2,
+       t.trending_type, t.previous
+FROM sup360 s
+JOIN trends t ON (s.l_suppkey % 150) = t.user_id
+"""
+
+
+def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the contract: availableNow file
+    stream over events.parquet -> watermarked 6h windowed counts ->
+    in-memory sink, returned as a DataFrame. Rows-only check (streaming
+    is engine-side machinery; its batch equivalence is proven in
+    tests/test_multimodal_streaming.py)."""
+    import os
+    import tempfile
+
+    from .streaming.incremental import run_incremental, windowed_counts
+
+    tune(spark, shuffle_partitions=32)
+    path = os.path.join(sf_dir, "events.parquet")
+    # file-stream sources require a DIRECTORY; stream the sf dir with a
+    # glob filter selecting just the events file
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_counts(stream, window="6 hours", watermark="1 hour")
+    ckpt = tempfile.mkdtemp(prefix="c360_q_stream_")
+    # unique sink name: memory-sink query names are session-global and a
+    # finished query's name cannot be reused by a new start
+    name = f"stream_counts_{os.path.basename(ckpt).split('_')[-1]}"
+    run_incremental(agg, os.path.join(ckpt, "ckpt"), name, mode="complete")
+    return spark.table(name).select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n",
+    )
+
+
+FINAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "customer360_merged": (q_customer360_merged, SQL_CUSTOMER360_MERGED),
+    "streaming_event_counts": (q_streaming_event_counts, None),
+}
+
+CORE_QUERIES.update(FINAL_QUERIES)
