@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "supplier_distinct_parts_approx",
     "customer360_merged",
     "streaming_event_counts",
+    "near_dup_edit_distance",
+    "media_decode_features",
 ]
 
 

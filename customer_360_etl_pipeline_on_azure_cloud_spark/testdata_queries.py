@@ -1347,3 +1347,87 @@ FINAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 CORE_QUERIES.update(FINAL_QUERIES)
+
+
+# --- edit distance + multimodal contract queries ---------------------------
+
+
+def q_near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification layer on the near-dup cascade:
+    levenshtein over 64-char prefixes, computed ONLY for the (small)
+    exact-Jaccard candidate pairs — the standard pattern of running an
+    expensive exact measure on a pre-filtered candidate set, never
+    all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=3, threshold_pct=30)
+    pa = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring(F.col("text"), 1, 64).alias("ta"),
+    )
+    pb = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.substring(F.col("text"), 1, 64).alias("tb"),
+    )
+    return (
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("ta"), F.col("tb")).cast("long").alias("prefix_edit"),
+        )
+    )
+
+
+SQL_NEAR_DUP_EDIT_DISTANCE = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+        FROM toks WHERE len(t) >= 3)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+keep AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 100 >= (sa.nsh + sb.nsh - inter) * 30
+)
+SELECT k.id_a, k.id_b,
+       CAST(levenshtein(substring(da.text, 1, 64), substring(db.text, 1, 64)) AS BIGINT) AS prefix_edit
+FROM keep k
+JOIN documents da ON da.doc_id = k.id_a
+JOIN documents db ON db.doc_id = k.id_b
+"""
+
+
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the contract: documents wrapped as
+    binary media rows -> Arrow-batched decode (stub codec, deterministic
+    digest features) -> per-source feature aggregate. Rows-only (the
+    codec is a stub; the Spark-side schema/batching/pruning is what is
+    being exercised — see operators/multimodal.py)."""
+    from .operators.multimodal import decode_image_features, documents_as_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    feats = decode_image_features(media)
+    return feats.select(
+        "media_id",
+        F.size(F.col("feature")).cast("long").alias("feat_dim"),
+        (F.element_at(F.col("feature"), 1) > 0.5).alias("bright_first"),
+    )
+
+
+FINAL_QUERIES_2: dict[str, tuple[QueryFn, str | None]] = {
+    "near_dup_edit_distance": (q_near_dup_edit_distance, SQL_NEAR_DUP_EDIT_DISTANCE),
+    "media_decode_features": (q_media_decode_features, None),
+}
+
+CORE_QUERIES.update(FINAL_QUERIES_2)

@@ -117,3 +117,25 @@ def test_csv_and_parquet_sink_roundtrip(spark, daily_layout):
     assert os.path.isdir(f"{out}/pq/k=a")  # Hive-partitioned layout
     back = spark.read.parquet(f"{out}/pq")
     assert back.count() == 2
+
+
+def test_partition_pruning_on_hive_layout(spark, daily_layout):
+    """The engine's preferred 100TB layout: date-partitioned parquet ->
+    a filter on the partition column prunes at PLAN time (PartitionFilters),
+    replacing the reference's driver-side filename arithmetic."""
+    out = os.path.join(daily_layout, "pruned")
+    df = spark.createDataFrame(
+        [("2022-04-01", i, float(i)) for i in range(50)]
+        + [("2022-04-02", i, float(i)) for i in range(50)],
+        ["date", "id", "v"],
+    )
+    write_parquet(df, out, partition_by=["date"])
+    back = spark.read.parquet(out).filter(F.col("date") == "2022-04-01")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "PartitionFilters: [isnotnull(date" in scan or "PartitionFilters: [" in scan
+    # only one of the two partitions is read
+    assert back.count() == 50
+    n_files = back.select(F.input_file_name()).distinct().count()
+    all_files = spark.read.parquet(out).select(F.input_file_name()).distinct().count()
+    assert n_files < all_files
