@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "streaming_event_counts",
     "near_dup_edit_distance",
     "media_decode_features",
+    "ann_topk_ivf",
 ]
 
 

@@ -83,9 +83,16 @@ def jaccard_pairs(
     """
     from .util import spread
 
-    sh = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("s"),
+    # cache: the exploded shingle table feeds three consumers (sizes +
+    # both sides of the self-join); uncached, the shingle construction
+    # would be evaluated three times
+    sh = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, n)).alias("s"),
+        )
+        .cache()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -212,6 +212,118 @@ def cosine_topk_lsh(
     )
 
 
+def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample — the coarse
+    quantizer for IVF. A sample of a few thousand vectors is enough to
+    place centroids; the full corpus never leaves the cluster."""
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _assign_centroids(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    nprobe: int,
+    out_col: str = "__cells",
+) -> DataFrame:
+    """Attach each row's ``nprobe`` nearest centroid ids (one Arrow
+    matmul pass, same shape as srp_buckets_vectorized)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = centroids.astype(np.float64)
+    c_sq = (C**2).sum(axis=1)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            # squared L2 to each centroid: |v|^2 - 2 v.c + |c|^2 (|v|^2 constant per row)
+            d = -2.0 * (V @ C.T) + c_sq[None, :]
+            cells = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+            pdf = pdf.copy()
+            pdf[out_col] = list(cells)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via IVF: a k-means coarse quantizer partitions
+    the corpus into cells; each query probes its ``nprobe`` nearest
+    cells and re-ranks exactly within them.
+
+    This is the FAISS-style inverted-file construction, DataFrame-shaped:
+    corpus rows are assigned to ONE cell (equi-join key), queries fan out
+    to ``nprobe`` cells, candidates come from the cell equi-join —
+    expected candidate fraction ~ nprobe/n_centroids, and unlike
+    sign-LSH it adapts to the data distribution (centroids follow
+    density). Centroid fitting runs once on a driver-side sample
+    (deterministic seed); at 100 TB that sample is still a few thousand
+    rows.
+    """
+    sample_rows = (
+        corpus.select(vec_col).limit(sample_size).collect()
+    )
+    sample = np.array([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    centroids = _kmeans_lite(sample, k=n_centroids)
+
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__vec").alias("nvec"),
+        F.col("__norm").alias("nnorm"),
+    )
+    c = _assign_centroids(c, centroids, "nvec", nprobe=1).select(
+        "neighbor_id", "nvec", "nnorm", F.element_at(F.col("__cells"), 1).alias("cell")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("qvec"),
+        F.col("__norm").alias("qnorm"),
+    )
+    q = _assign_centroids(q, centroids, "qvec", nprobe=nprobe).select(
+        "query_id", "qvec", "qnorm", F.explode(F.col("__cells")).alias("cell")
+    )
+    cand = c.join(F.broadcast(q), on="cell")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

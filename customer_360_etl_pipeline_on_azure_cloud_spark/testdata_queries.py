@@ -1431,3 +1431,19 @@ FINAL_QUERIES_2: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 CORE_QUERIES.update(FINAL_QUERIES_2)
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, IVF scale path: k-means coarse quantizer
+    (deterministic, driver-side sample) + nprobe cell probing + exact
+    re-rank. Rows-only; recall vs brute force asserted in
+    tests/test_extensions.py."""
+    from .operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=6
+    )
+
+
+CORE_QUERIES["ann_topk_ivf"] = (q_ann_topk_ivf, None)

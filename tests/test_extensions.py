@@ -99,3 +99,34 @@ def test_lsh_is_deterministic(emb):
         map(tuple, cosine_topk_lsh(emb, queries, dim=64, k=5, nbits=4, tables=4).collect())
     )
     assert a == b
+
+
+def test_ann_ivf_recall_vs_bruteforce(emb):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(
+            emb, queries, k=5, n_centroids=16, nprobe=6
+        ).collect()
+    }
+    # uniform-random embeddings again (worst case); nprobe=6/16 probes
+    # ~38% of cells — L2 cells only partially align with cosine
+    # neighbors on this distribution
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # determinism
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(
+            emb, queries, k=5, n_centroids=16, nprobe=6
+        ).collect()
+    }
+    assert approx == again
