@@ -62,3 +62,19 @@ def test_frame_blob_never_read_for_metadata_ops(spark):
     plan = plan_of(spark, "doc_profile")
     scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
     assert "lang" not in scan and "source" not in scan
+
+
+def test_asof_join_is_single_window_no_join(spark):
+    # the as-of construction must be union+window: one hash-partition
+    # Exchange on the key, ZERO join nodes
+    plan = plan_of(spark, "asof_last_purchase")
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_sessionize_single_shuffle(spark):
+    # lag + running sum share the same partitioning: one Exchange
+    # hashpartitioning(user_id) before the windows, plus one for the
+    # final session aggregate
+    plan = plan_of(spark, "sessionized_events")
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -208,3 +208,18 @@ def test_merge_positional_zip_deterministic(spark):
         a, b, on=None, zip_order=(["k"], ["j"])
     ).orderBy("k").collect()
     assert [(r["k"], r["j"]) for r in out] == [("a", "c"), ("b", "d")]
+
+
+def test_pipeline_runner_composes_reference_flow(spark, log_content):
+    """The runner composes the full interaction pipeline and executes it
+    with one terminal action, matching the direct call."""
+    from pyspark.sql import functions as F
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.plans.runner import Pipeline
+
+    direct = {r["Contract"]: r.asDict() for r in interaction_features(log_content).collect()}
+    collected = []
+    pipe = Pipeline("interaction").step("features", interaction_features)
+    pipe.run_to(log_content, lambda df: collected.extend(df.collect()))
+    via_runner = {r["Contract"]: r.asDict() for r in collected}
+    assert direct == via_runner
