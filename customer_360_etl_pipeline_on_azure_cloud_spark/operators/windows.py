@@ -66,6 +66,29 @@ def sessionize(
     ).drop("__b")
 
 
+def top_1_per_group_min(
+    df: DataFrame,
+    keys: Iterable[str],
+    order_by_asc: Iterable[Column],
+    payload: Iterable[str],
+) -> DataFrame:
+    """Top-1 per group as ONE hash aggregate, supporting ASCENDING
+    tiebreaks on any orderable type (strings included): ``min(struct(
+    order_asc..., payload...))`` picks the row that sorts FIRST.
+
+    To rank by a count DESCENDING with a string tiebreak ASCENDING, pass
+    ``[-col("n"), col("event_type")]`` — negating the numeric flips its
+    direction while the string stays ascending. Same map-side-combine
+    scale advantage as :func:`top_1_per_group_agg` (shuffle carries one
+    row per group, no sort)."""
+    keys = list(keys)
+    order = [c.alias(f"__o{i}") for i, c in enumerate(order_by_asc)]
+    payload = list(payload)
+    packed = F.min(F.struct(*order, *[F.col(c) for c in payload])).alias("__top")
+    out = df.groupBy(*keys).agg(packed)
+    return out.select(*keys, *[F.col(f"__top.{c}").alias(c) for c in payload])
+
+
 def top_1_per_group_agg(
     df: DataFrame,
     keys: Iterable[str],

@@ -106,3 +106,42 @@ def test_top1_agg_variant_matches_window_form(spark):
     a = sorted(map(tuple, agg_form.select("user_id", "event_type", "n").collect()))
     b = sorted(map(tuple, win_form.collect()))
     assert a == b
+
+
+def test_top1_min_agg_matches_window_with_string_asc_tiebreak(spark):
+    # the exact order used by the contract queries: count DESC,
+    # event_type ASC — now expressible as one aggregate
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.windows import (
+        top_1_per_group_min,
+        top_k_per_group,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    agg_form = top_1_per_group_min(
+        counts, ["user_id"], [-F.col("n"), F.col("event_type")], ["event_type", "n"]
+    )
+    win_form = top_k_per_group(
+        counts, ["user_id"], [F.col("n").desc(), F.col("event_type").asc()], k=1
+    ).select("user_id", "event_type", "n")
+    a = sorted(map(tuple, agg_form.select("user_id", "event_type", "n").collect()))
+    b = sorted(map(tuple, win_form.collect()))
+    assert a == b
+    # and the agg form plans ONE shuffle on top of the counts agg, no Window
+    plan = agg_form._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_quantile_approx_converges_to_exact(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.aggregates import (
+        quantile_cutoffs,
+    )
+
+    o = load_table(spark, SF_SMALL, "orders")
+    exact = quantile_cutoffs(o, "o_totalprice", exact=True)
+    approx = quantile_cutoffs(o, "o_totalprice", exact=False, accuracy=10000)
+    coarse = quantile_cutoffs(o, "o_totalprice", exact=False, accuracy=100)
+    for e, a in zip(exact, approx):
+        assert abs(a - e) / e < 0.02  # high accuracy ~ exact
+    # the reference's hardcoded accuracy=100 is visibly coarser
+    assert any(abs(c - e) / e > 1e-6 for e, c in zip(exact, coarse)) or coarse != exact
