@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "near_dup_edit_distance",
     "media_decode_features",
     "ann_topk_ivf",
+    "returnflag_cube",
+    "value_range_join",
 ]
 
 

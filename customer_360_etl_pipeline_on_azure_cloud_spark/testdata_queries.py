@@ -1447,3 +1447,57 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORE_QUERIES["ann_topk_ivf"] = (q_ann_topk_ivf, None)
+
+
+def q_returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 2^2 grouping combinations in one pass
+    (complements ROLLUP; both are native Spark exposures)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_RETURNFLAG_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_value_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: classify event values against a banded dim via
+    a non-equi (BETWEEN) join condition. The band dim is tiny and
+    broadcast -> BroadcastNestedLoopJoin, the right physical plan for a
+    small-dim range join (a large-large range join would use a banding/
+    bucketing rewrite instead)."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 5.0, "low"), (5.0, 15.0, "mid"), (15.0, 1e9, "high")],
+        ["lo", "hi", "band"],
+    )
+    joined = ev.join(
+        F.broadcast(bands),
+        (ev.value >= bands.lo) & (ev.value < bands.hi),
+        "inner",
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+SQL_VALUE_RANGE_JOIN = """
+SELECT b.band, COUNT(*) AS n, COUNT(DISTINCT e.user_id) AS users
+FROM events e
+JOIN (VALUES (0.0, 5.0, 'low'), (5.0, 15.0, 'mid'), (15.0, 1e9, 'high'))
+     AS b(lo, hi, band)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+"""
+
+
+CORE_QUERIES["returnflag_cube"] = (q_returnflag_cube, SQL_RETURNFLAG_CUBE)
+CORE_QUERIES["value_range_join"] = (q_value_range_join, SQL_VALUE_RANGE_JOIN)
