@@ -1,4 +1,10 @@
-from .aggregates import distinct_count, quantile_cutoffs, sum_pivot, two_pass_segment
+from .aggregates import (
+    distinct_count,
+    quantile_agg,
+    quantile_cutoffs,
+    sum_pivot,
+    two_pass_segment,
+)
 from .cleaning import dedup_deterministic, drop_sentinels
 from .joins import lookup, positional_zip
 from .sets import union_by_name_all
@@ -6,6 +12,7 @@ from .windows import top_k_per_group
 
 __all__ = [
     "distinct_count",
+    "quantile_agg",
     "quantile_cutoffs",
     "sum_pivot",
     "two_pass_segment",

@@ -71,33 +71,49 @@ def sum_pivot(
     return out
 
 
-def quantile_cutoffs(
+def quantile_agg(
     df: DataFrame,
     col: Column | str,
     probs: Sequence[float] = (0.25, 0.5, 0.75),
-    exact: bool = True,
+    exact: bool = False,
     accuracy: int = 10000,
-) -> list[float]:
-    """Pass 1 of the two-pass scalar pattern: compute quantiles of a
-    column and return them as driver-side floats
-    (reference ETL_pipeline.py:113-123).
-
-    ``exact=True`` uses ``percentile`` (full sort of the single column —
-    fine when the column fits the aggregate buffer per group; it is a
-    global agg here). ``exact=False`` uses ``percentile_approx`` whose
-    ``accuracy`` is configurable — the reference hardcodes 100, a very
-    coarse sketch (SURVEY.md §0.1).
-
-    This collect() moves ONE ROW to the driver — the legitimate
-    scalar-broadcast pattern, not a data collect.
-    """
+) -> DataFrame:
+    """The one-row quantile aggregate behind :func:`quantile_cutoffs`,
+    exposed unexecuted so plan tests can pin that the default path is
+    ``percentile_approx`` (mergeable sketch), not exact ``percentile``."""
     col = F.col(col) if isinstance(col, str) else col
     probs_arr = F.array(*[F.lit(p) for p in probs])
     if exact:
         agg = F.percentile(col, probs_arr)
     else:
         agg = F.percentile_approx(col, probs_arr, F.lit(accuracy))
-    row = df.select(agg.alias("q")).first()
+    return df.select(agg.alias("q"))
+
+
+def quantile_cutoffs(
+    df: DataFrame,
+    col: Column | str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> list[float]:
+    """Pass 1 of the two-pass scalar pattern: compute quantiles of a
+    column and return them as driver-side floats
+    (reference ETL_pipeline.py:113-123).
+
+    The DEFAULT is ``exact=False`` (``percentile_approx``, a
+    fixed-memory mergeable sketch): exact ``percentile`` materializes
+    the whole column in one aggregation buffer, which cannot work at
+    100 TB. ``accuracy=10000`` is already exact for inputs with fewer
+    than ~10k rows and within 1e-4 relative rank error beyond that —
+    far tighter than the reference's hardcoded 100 (SURVEY.md §0.1).
+    Pass ``exact=True`` only for small/medium inputs where bit-exact
+    interpolated quantiles are required (e.g. oracle-checked queries).
+
+    This collect() moves ONE ROW to the driver — the legitimate
+    scalar-broadcast pattern, not a data collect.
+    """
+    row = quantile_agg(df, col, probs, exact=exact, accuracy=accuracy).first()
     if row is None or row["q"] is None:
         # Empty input: no quantiles exist. NaN cutoffs make every
         # comparison false, so downstream CASEs fall through to their
@@ -113,7 +129,7 @@ def two_pass_segment(
     value_col: str,
     case_builder,
     probs: Sequence[float] = (0.25, 0.5, 0.75),
-    exact: bool = True,
+    exact: bool = False,
     accuracy: int = 10000,
     alias: str = "segment",
 ) -> DataFrame:

@@ -81,18 +81,19 @@ def jaccard_pairs(
     Integer-only math (inter*100 >= uni*threshold_pct) keeps results
     engine-exact. Output: (id_a, id_b, inter, uni) with id_a < id_b.
     """
-    from .util import spread
+    from .util import finalize, spread
 
-    # cache: the exploded shingle table feeds three consumers (sizes +
-    # both sides of the self-join); uncached, the shingle construction
-    # would be evaluated three times
+    # persist: the exploded shingle table feeds three consumers (sizes +
+    # both sides of the self-join); unpersisted, the shingle construction
+    # would be evaluated three times. finalize() below materializes the
+    # (small) pair set and releases these blocks before returning.
     sh = (
         spread(df)
         .select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(text_col, n)).alias("s"),
         )
-        .cache()
+        .persist()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -109,7 +110,7 @@ def jaccard_pairs(
         .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
         .filter(F.col("inter") * 100 >= F.col("uni") * threshold_pct)
     )
-    return out.select("id_a", "id_b", "inter", "uni")
+    return finalize(out.select("id_a", "id_b", "inter", "uni"), sh)
 
 
 # --- MinHash + LSH ----------------------------------------------------------
@@ -151,23 +152,26 @@ def minhash_lsh_pairs(
     candidates. Shuffle is an equi-join on (band, hash) — linear in
     corpus size times bands, never all-pairs.
     """
-    from .util import spread
+    from .util import finalize, spread
 
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
-    # Materialize the shingle array FIRST, behind a cache barrier.
+    # Materialize the shingle array FIRST, behind a persist barrier.
     # Without it, CollapseProject inlines the whole shingle construction
     # (split/concat/array_distinct) into EVERY seed lambda of the
     # signature — 32x re-evaluation per row, on both sides of the
-    # candidate self-join (measured 300s vs 8s at sf0.1). The cache is an
-    # optimizer barrier at plan time, so signatures read stored shingles.
+    # candidate self-join (measured 300s vs 8s at sf0.1). The persist is
+    # an optimizer barrier at plan time, so signatures read stored
+    # shingles. The signature table is then materialized EAGERLY so the
+    # (bigger) shingle blocks can be released at once — peak memory is
+    # one table, not two; finalize() releases the signatures in turn.
     shingled = (
         spread(df)
         .select(
             F.col(id_col).alias("id"),
             word_shingles(text_col, shingle_n).alias("sh"),
         )
-        .cache()
+        .persist()
     )
     sig = (
         shingled.select(
@@ -180,8 +184,10 @@ def minhash_lsh_pairs(
             ).alias("sig"),
         )
         .filter(F.size(F.col("sig")) > 0)
-        .cache()
+        .persist()
     )
+    sig.count()
+    shingled.unpersist()
 
     # Band rows carry only (id, band, bhash) — never drag the 32-long
     # signature arrays through the candidate shuffle.
@@ -214,7 +220,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify_threshold_pct is None:
-        return cand
+        return finalize(cand, sig)
     # Re-attach signatures only for the (small) candidate set.
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -225,10 +231,11 @@ def minhash_lsh_pairs(
             lambda eq: eq,
         )
     )
-    return (
+    return finalize(
         cand.withColumn("sig_agree", agree)
         .filter(F.col("sig_agree") * 100 >= F.lit(num_hashes * verify_threshold_pct))
-        .select("id_a", "id_b", "sig_agree")
+        .select("id_a", "id_b", "sig_agree"),
+        sig,
     )
 
 
@@ -290,10 +297,31 @@ def simhash_table(
 def simhash_near_pairs(
     sim: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
-    """Hamming-near SimHash pairs via 4-chunk blocking: if two 64-bit
-    hashes differ in <= 3 bits, at least one 16-bit chunk is identical
-    (pigeonhole) — so candidates come from equi-joins on chunks, not
+    """Hamming-near SimHash pairs via chunk blocking: splitting the
+    64-bit hash into ``max_hamming + 1`` chunks guarantees (pigeonhole)
+    that two hashes differing in <= max_hamming bits share at least one
+    identical chunk — so candidates come from equi-joins on chunks, not
+    all-pairs. The chunk count is DERIVED from ``max_hamming`` (a fixed
+    4-way split would silently drop pairs for max_hamming >= 4); large
+    max_hamming means narrow chunks and weaker pruning, so values above
+    ~7 (8-bit chunks) are rejected rather than degrading toward
     all-pairs."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"max_hamming={max_hamming}: chunk blocking needs max_hamming+1 "
+            "chunks of 64 bits; beyond 7 the chunks are too narrow to prune"
+        )
+    n_chunks = max_hamming + 1
+    widths = [64 // n_chunks + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+
+    def _chunk_val(i: int) -> Column:
+        if widths[i] == 64:  # max_hamming=0: the single chunk is the hash
+            return F.col("simhash")
+        return (
+            F.shiftrightunsigned(F.col("simhash"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        )
     chunks = sim.select(
         "doc_id",
         "simhash",
@@ -302,11 +330,9 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cval"),
+                        _chunk_val(i).alias("cval"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),

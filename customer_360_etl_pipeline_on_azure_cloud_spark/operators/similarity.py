@@ -216,7 +216,8 @@ def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10, seed: int = 11) ->
     """Deterministic Lloyd's k-means on a driver-side sample — the coarse
     quantizer for IVF. A sample of a few thousand vectors is enough to
     place centroids; the full corpus never leaves the cluster."""
-    rng = np.random.RandomState(seed)
+    k = min(k, len(sample))  # degenerate corpora: never ask for more
+    rng = np.random.RandomState(seed)  # centroids than sample rows
     centroids = sample[rng.choice(len(sample), size=k, replace=False)]
     for _ in range(iters):
         d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -287,10 +288,16 @@ def cosine_topk_ivf(
     (deterministic seed); at 100 TB that sample is still a few thousand
     rows.
     """
+    # Deterministic sample: LIMIT without ordering is whatever partition
+    # Spark reads first — not stable across partitionings/AQE. Ordering
+    # by id pins the sample (TakeOrderedAndProject: no full sort, each
+    # partition keeps its top-N and the driver merges).
     sample_rows = (
-        corpus.select(vec_col).limit(sample_size).collect()
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
     )
-    sample = np.array([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    if not sample_rows:
+        raise ValueError("cosine_topk_ivf: empty corpus")
+    sample = np.array([np.asarray(r[1], dtype=np.float64) for r in sample_rows])
     centroids = _kmeans_lite(sample, k=n_centroids)
 
     c = with_norm(corpus, vec_col).select(
@@ -329,30 +336,65 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     dim: int = 64,
     nbits: int = 10,
+    tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP buckets + exact
-    verification — the vector analogue of MinHash-LSH dedup."""
-    hps = make_hyperplanes(dim, nbits)
-    e = with_norm(df, vec_col).cache().select(
-        F.col(id_col).alias("id"),
-        F.col("__vec").alias("vec"),
-        F.col("__norm").alias("norm"),
-        srp_signature(F.col("__vec"), hps).alias("bucket"),
-    )
-    a, b = e.alias("a"), e.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-    )
-    cos = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm"))
-    return (
-        cand.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cos.alias("cos"),
+    """Embedding-cosine near-duplicate pairs via MULTI-TABLE SRP buckets
+    + exact verification — the vector analogue of MinHash-LSH dedup.
+
+    A single b-bit SRP table misses a near-dup at angle theta with
+    probability 1 - p^b (p = 1 - theta/pi); L independent tables drive
+    that to (1 - p^b)^L — for cos >= 0.95 (theta <= 18deg), b=10, L=6
+    the miss probability is ~2e-6 per pair. Precision is exact: every
+    candidate is verified with the true cosine.
+
+    Physical shape: bucket rows carry only (id, table, bucket) through
+    the candidate self-join — vectors are re-attached to the (small)
+    candidate set afterward, so the corpus embeddings are never
+    replicated L times through a shuffle. Intermediates are persisted for
+    the duration of the call and released by finalize().
+    """
+    from .util import finalize
+
+    tbls = [make_hyperplanes(dim, nbits, seed=7 + 1000 * t) for t in range(tables)]
+    e = (
+        with_norm(df, vec_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("__vec").alias("vec"),
+            F.col("__norm").alias("norm"),
         )
+        .persist()
+    )
+    bk = (
+        srp_buckets_vectorized(e, tbls, id_col="id", vec_col="vec")
+        .select("id", F.posexplode("__buckets").alias("tbl", "bucket"))
+        .persist()
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ea = e.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    eb = e.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    out = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+    return finalize(out, e, bk)

@@ -37,7 +37,17 @@ def salted_join(
     a hot key's rows uniformly. Use when one side has hot keys and the
     other side is small-ish per key (its replication factor is exactly
     ``salt``).
+
+    Only ``inner`` and ``left`` are accepted: the construction replicates
+    every right row ``salt`` times, so right/full outer joins would emit
+    each UNMATCHED right row ``salt`` times (matched rows join exactly
+    once because the left salt value is unique per left row).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — right/full outer would "
+            "duplicate unmatched right rows salt times; use inner or left"
+        )
     lcols = [F.col(c) for c in left.columns]
     l_salted = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*lcols), F.lit(salt)).cast("int")

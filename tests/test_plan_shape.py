@@ -78,3 +78,40 @@ def test_sessionize_single_shuffle(spark):
     # final session aggregate
     plan = plan_of(spark, "sessionized_events")
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_default_segmentation_uses_approx_percentile(spark):
+    # Library default must be the mergeable sketch, never the
+    # full-materialization exact percentile (a 100 TB column cannot land
+    # in one aggregation buffer). Oracle queries opt into exact=True
+    # explicitly; everything built on defaults must plan percentile_approx.
+    from pyspark.sql import functions as F
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.aggregates import (
+        quantile_agg,
+        quantile_cutoffs,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+
+    default_plan = (
+        quantile_agg(df, "v")._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "percentile_approx" in default_plan
+    assert "percentile(" not in default_plan.replace("percentile_approx(", "")
+
+    exact_plan = (
+        quantile_agg(df, "v", exact=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "percentile(" in exact_plan.replace("percentile_approx(", "")
+
+    # behavioural pin: approx (accuracy 10000) is element-exact on small
+    # inputs; exact interpolates — on 0..99 they agree within one element
+    approx = quantile_cutoffs(df, "v")
+    exact = quantile_cutoffs(df, "v", exact=True)
+    assert len(approx) == 3
+    for a, e in zip(approx, exact):
+        assert abs(a - e) <= 1.0
