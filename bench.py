@@ -68,6 +68,22 @@ BENCH_QUERIES = [
     "ann_topk_ivf",
     "returnflag_cube",
     "value_range_join",
+    "range_join_fact_fact",
+    "reference_e2e",
+    "embedding_near_dup",
+]
+
+#: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator
+#: (r1 verdict item 1: the former rows-only checks were restated to carry
+#: their own exact-verification work inside the query), so their r0 ratio
+#: compares different computations. The raw-operator cost without the
+#: verification twin is r0's number; the delta IS the verification.
+REDEFINED_SINCE_R0 = [
+    "simhash_near_dup",     # + brute-force Hamming<=3 violation set
+    "ann_topk_lsh",         # + exact top-20 comparison summary
+    "ann_topk_ivf",         # + exact top-20 comparison summary
+    "supplier_distinct_parts_approx",  # + exact-distinct accuracy twin
+    "embedding_near_dup",   # planted-pair corpus + multi-table SRP
 ]
 
 
@@ -90,29 +106,31 @@ def main() -> None:
     # Warm the JVM/executor pool so query 1 doesn't pay session startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Two passes, report the per-query MIN: this VM shows heavy host
-    # steal-time noise (single-shot timings vary 5-30x), and pass 2 also
-    # removes one-time JIT/codegen compilation from the numbers. Pass 2
-    # is skipped if pass 1 already used most of the time budget.
+    # n>=3 passes, report the per-query MIN: this VM shows heavy host
+    # steal-time noise (single-shot timings vary 5-30x), and later passes
+    # also remove one-time JIT/codegen compilation from the numbers.
+    # Remaining passes are skipped if the cumulative wall time already
+    # used most of the time budget (keeps the driver's per-round bench
+    # bounded even if the environment is slow).
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in BENCH_QUERIES:
-        fn, _sql = CORE_QUERIES[name]
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        out = fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        rows[name] = len(out)
-
-    if sum(timings.values()) < 240:
+    bench_t0 = time.perf_counter()
+    passes_done = 0
+    for p in range(n_passes):
+        if p > 0 and time.perf_counter() - bench_t0 > budget_sec:
+            break
         for name in BENCH_QUERIES:
             fn, _sql = CORE_QUERIES[name]
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            timings[name] = min(
-                timings[name], round(time.perf_counter() - t0, 3)
-            )
+            out = fn(spark, sf_dir).collect()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = dt if p == 0 else min(timings[name], dt)
+            if p == 0:
+                rows[name] = len(out)
+        passes_done = p + 1
 
     total = round(sum(timings.values()), 3)
     print(
@@ -125,6 +143,8 @@ def main() -> None:
                 "rows": rows,
                 "sf": sf,
                 "cpus": cpus,
+                "passes": passes_done,
+                "redefined_since_r0": REDEFINED_SINCE_R0,
                 "conf": {
                     "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
                     "shuffle_partitions": spark.conf.get(

@@ -6,7 +6,7 @@ from .aggregates import (
     two_pass_segment,
 )
 from .cleaning import dedup_deterministic, drop_sentinels
-from .joins import lookup, positional_zip
+from .joins import banded_range_join, lookup, positional_zip
 from .sets import union_by_name_all
 from .windows import top_k_per_group
 
@@ -19,6 +19,7 @@ __all__ = [
     "dedup_deterministic",
     "drop_sentinels",
     "lookup",
+    "banded_range_join",
     "positional_zip",
     "union_by_name_all",
     "top_k_per_group",

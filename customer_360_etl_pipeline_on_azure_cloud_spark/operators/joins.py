@@ -146,3 +146,46 @@ def positional_zip(
     rw = right.withColumn(idx, F.row_number().over(Window.orderBy(*ro)).cast("long"))
     out = lw.join(rw, on=idx, how=how)
     return out if keep_index else out.drop(idx)
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    band_width: float,
+) -> DataFrame:
+    """Large-large interval join (``right.lo <= left.value <= right.hi``)
+    as an EQUI-join on integer bands — the fact-fact companion to the
+    broadcast-dim range join.
+
+    Plain Spark plans a point-in-interval theta join as a
+    BroadcastNestedLoopJoin (fine when one side broadcasts) or, when both
+    sides are large, a cartesian product — quadratic and unusable at
+    scale. Banding rewrites it: each left row maps to the single band
+    containing its value; each right interval explodes to the bands it
+    overlaps (``ceil((hi-lo)/band_width)+1`` rows — pick ``band_width``
+    on the order of the typical interval width so the expansion factor
+    stays ~2); the join is then a hash equi-join on the band id with the
+    exact predicate re-applied as a post-filter. Each qualifying pair is
+    emitted exactly once (the left value lies in exactly one band), so
+    no dedup pass is needed. Both sides shuffle-partition by band —
+    at 100 TB this is one co-partitioned shuffle instead of a cross
+    product; band skew (a hot value range) is the same hot-key problem
+    as any join and composes with ``skew.salted_join``.
+
+    Inner semantics only: unmatched rows on either side are dropped.
+    """
+    band_l = F.floor(F.col(value_col) / band_width).cast("long")
+    lb = left.withColumn("__band", band_l)
+    band_lo = F.floor(F.col(lo_col) / band_width).cast("long")
+    band_hi = F.floor(F.col(hi_col) / band_width).cast("long")
+    rb = right.withColumn("__band", F.explode(F.sequence(band_lo, band_hi)))
+    return (
+        lb.join(rb, "__band")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col))
+        )
+        .drop("__band")
+    )

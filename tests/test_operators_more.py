@@ -145,3 +145,38 @@ def test_quantile_approx_converges_to_exact(spark):
         assert abs(a - e) / e < 0.02  # high accuracy ~ exact
     # the reference's hardcoded accuracy=100 is visibly coarser
     assert any(abs(c - e) / e > 1e-6 for e, c in zip(exact, coarse)) or coarse != exact
+
+
+def test_banded_range_join_matches_theta_join(spark):
+    # correctness vs the naive theta join on a small fixture, including
+    # intervals spanning multiple bands, empty intervals (lo>v>hi never
+    # true), and boundary-exact values
+    from pyspark.sql import functions as F
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.joins import (
+        banded_range_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 5.0, 9.99, 10.0, 25.0, 99.5])],
+        ["lid", "v"],
+    )
+    right = spark.createDataFrame(
+        [
+            (0, 0.0, 10.0),    # spans bands 0..1, inclusive bounds
+            (1, 9.99, 9.99),   # point interval
+            (2, 24.0, 26.0),
+            (3, 50.0, 60.0),   # matches nothing
+            (4, -5.0, 120.0),  # spans everything
+        ],
+        ["rid", "lo", "hi"],
+    )
+    banded = banded_range_join(left, right, "v", "lo", "hi", band_width=10.0)
+    naive = left.join(
+        right, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    )
+    got = sorted((r.lid, r.rid) for r in banded.collect())
+    want = sorted((r.lid, r.rid) for r in naive.collect())
+    assert got == want
+    assert (0, 0) in got and (3, 0) in got  # both 10.0-bounds inclusive
+    assert all(p[0] is not None for p in got)

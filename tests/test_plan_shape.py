@@ -80,6 +80,26 @@ def test_sessionize_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
+def test_fact_fact_range_join_is_equi_join(spark):
+    # the banding rewrite must plan a hash equi-join on the band id —
+    # never a BroadcastNestedLoopJoin (what Spark does for a raw theta
+    # join) and never a cartesian product
+    plan = plan_of(spark, "range_join_fact_fact")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # it still joins — as an equi-join
+
+
+def test_user_trend_fused_agg_no_window(spark):
+    # top-1-per-(period,user) + period pivot are ONE conditional hash
+    # aggregate: no Window node, no sort, two hash-partition exchanges
+    # (counts agg, user pivot agg) — the r1 window form cost a third
+    # shuffle + sort and regressed 3.3x under load
+    plan = plan_of(spark, "user_trend")
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_default_segmentation_uses_approx_percentile(spark):
     # Library default must be the mergeable sketch, never the
     # full-materialization exact percentile (a 100 TB column cannot land
