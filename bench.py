@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "range_join_fact_fact",
     "reference_e2e",
     "embedding_near_dup",
+    "streaming_sessions",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

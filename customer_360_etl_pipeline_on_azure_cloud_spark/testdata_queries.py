@@ -1897,3 +1897,85 @@ FROM itable i JOIN s ON i.contract = s.contract
 
 
 CORE_QUERIES["reference_e2e"] = (q_reference_e2e, SQL_REFERENCE_E2E)
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator through the driver contract:
+    availableNow file stream over events.parquet ->
+    applyInPandasWithState gap sessionization (streaming/stateful.py) ->
+    closed sessions in an in-memory sink.
+
+    The emitted set is deterministic, so a full rows+schema+hash oracle
+    applies: a session is CLOSED (hence emitted) iff a later event of
+    the same user exists (data path — the single data micro-batch closes
+    it in-batch), or its end + gap lies below the final watermark
+    (timeout path — Spark's terminal no-data micro-batch fires
+    event-time timeouts after the watermark advances to max(ts) -
+    delay; behavior probed empirically, see tests). Each user's tail
+    session beyond that stays OPEN and is correctly absent. Timestamps
+    carry full microsecond precision, so the ms-boundary equality case
+    (where timeout strictness would matter) cannot occur in this data —
+    asserted impossible for gap=6h/delay=1h at all shipped SFs."""
+    import os
+    import tempfile
+
+    from .streaming.incremental import run_incremental
+    from .streaming.stateful import stateful_sessionize
+
+    tune(spark, shuffle_partitions=32)
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sessions = stateful_sessionize(
+        stream, key_col="user_id", ts_col="ts",
+        gap_seconds=6 * 3600, watermark="1 hour",
+    )
+    ckpt = tempfile.mkdtemp(prefix="c360_q_sess_")
+    name = f"stream_sessions_{os.path.basename(ckpt).split('_')[-1]}"
+    run_incremental(sessions, os.path.join(ckpt, "ckpt"), name, mode="append")
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+SQL_STREAMING_SESSIONS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), b AS (
+  SELECT user_id, us,
+    CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 21600000000
+         THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), s AS (
+  SELECT user_id, us,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING)
+      AS sid
+  FROM b
+), agg AS (
+  SELECT user_id,
+    MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    MAX(MAX(us)) OVER (PARTITION BY user_id) AS user_last_us
+  FROM s GROUP BY user_id, sid
+), wm AS (
+  SELECT MAX(us) // 1000 - 3600000 AS wm_ms FROM e
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM agg, wm
+WHERE session_end_us < user_last_us
+   OR session_end_us // 1000 + 21600000 < wm_ms
+"""
+
+
+CORE_QUERIES["streaming_sessions"] = (q_streaming_sessions, SQL_STREAMING_SESSIONS)
