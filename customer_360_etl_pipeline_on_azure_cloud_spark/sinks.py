@@ -58,39 +58,3 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-
-
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    bucket_cols: list[str],
-    n_buckets: int,
-    sort_cols: list[str] | None = None,
-    path: str | None = None,
-    mode: str = "overwrite",
-    fmt: str = "parquet",
-) -> None:
-    """Bucketed table sink — pre-shuffle data ONCE at write time so every
-    later join/aggregation on ``bucket_cols`` is exchange-free.
-
-    At 100 TB the dominant cost of a fact-fact join is the shuffle of
-    both sides. Writing both tables bucketed by the join key with the
-    SAME bucket count stores them hash-co-partitioned on disk; Spark's
-    scan then reports the bucketing as its output partitioning and the
-    sort-merge join plans with NO Exchange on either side (and, with
-    ``sort_cols`` = the join key, no Sort either) — the shuffle is paid
-    once at ingest instead of per query. Pinned by
-    tests/test_sources_sinks.py::test_bucketed_join_has_no_exchange.
-
-    Bucketing requires a catalog table (``saveAsTable``); pass ``path``
-    to keep the data external at a chosen location. ``n_buckets`` sizes
-    the per-bucket file: target 128-512 MB per bucket-file at the
-    expected table size (100 TB / 256 MB ~ 400k buckets is too many —
-    bucket the JOIN-heavy subset, partition-by-date the rest).
-    """
-    writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
-    if sort_cols:
-        writer = writer.sortBy(*sort_cols)
-    if path:
-        writer = writer.option("path", path)
-    writer.saveAsTable(table)

@@ -176,40 +176,3 @@ def test_jdbc_partitioned_read_embedded_derby(spark):
         filtered._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters" in plan and "GreaterThan" in plan
-
-
-def test_bucketed_join_has_no_exchange(spark):
-    """Both sides written bucketed by the join key with the same bucket
-    count -> the sort-merge join plans with NO shuffle Exchange on
-    either side (the write paid the shuffle once; SURVEY scale note)."""
-    from customer_360_etl_pipeline_on_azure_cloud_spark.sinks import write_bucketed
-
-    tmp = tempfile.mkdtemp(prefix="c360_bucket_")
-    try:
-        a = spark.range(1000).select(
-            F.col("id").alias("k"), (F.col("id") % 7).alias("va")
-        )
-        b = spark.range(1000).select(
-            F.col("id").alias("k"), (F.col("id") % 11).alias("vb")
-        )
-        write_bucketed(a, "bkt_a", ["k"], 4, sort_cols=["k"], path=f"{tmp}/a")
-        write_bucketed(b, "bkt_b", ["k"], 4, sort_cols=["k"], path=f"{tmp}/b")
-        with_conf = [("spark.sql.autoBroadcastJoinThreshold", "-1")]
-        old = {k: spark.conf.get(k) for k, _ in with_conf}
-        try:
-            for k, v in with_conf:
-                spark.conf.set(k, v)
-            joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
-            plan = joined._sc._jvm.PythonSQLUtils.explainString(
-                joined._jdf.queryExecution(), "formatted"
-            )
-            assert "SortMergeJoin" in plan
-            assert "Exchange" not in plan
-            assert joined.count() == 1000
-        finally:
-            for k, v in old.items():
-                spark.conf.set(k, v)
-    finally:
-        spark.sql("DROP TABLE IF EXISTS bkt_a")
-        spark.sql("DROP TABLE IF EXISTS bkt_b")
-        shutil.rmtree(tmp, ignore_errors=True)
