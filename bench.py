@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "reference_e2e",
     "embedding_near_dup",
     "streaming_sessions",
+    "dedup_clusters",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -6,6 +6,7 @@ from .aggregates import (
     two_pass_segment,
 )
 from .cleaning import dedup_deterministic, drop_sentinels
+from .graph import connected_components, dedup_survivors
 from .joins import banded_range_join, lookup, positional_zip
 from .sets import union_by_name_all
 from .windows import top_k_per_group
@@ -19,6 +20,8 @@ __all__ = [
     "dedup_deterministic",
     "drop_sentinels",
     "lookup",
+    "connected_components",
+    "dedup_survivors",
     "banded_range_join",
     "positional_zip",
     "union_by_name_all",

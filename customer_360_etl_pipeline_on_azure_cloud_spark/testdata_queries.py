@@ -1979,3 +1979,42 @@ WHERE session_end_us < user_last_us
 
 
 CORE_QUERIES["streaming_sessions"] = (q_streaming_sessions, SQL_STREAMING_SESSIONS)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup cascade's FINAL step: exact 3-gram Jaccard pairs ->
+    connected components (operators/graph.py, hash-min label
+    propagation) -> one survivor per cluster (min doc_id). A~B and B~C
+    collapse into one cluster even though (A,C) was never compared —
+    the transitive closure pair-finding alone cannot express. Oracle:
+    DuckDB recursive CTE computing min-reachable-id over the same pair
+    graph."""
+    from .operators.dedup import jaccard_pairs
+    from .operators.graph import dedup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=3, threshold_pct=30).select("id_a", "id_b")
+    out = dedup_survivors(pairs, docs.select("doc_id"))
+    return out.select(
+        F.col("id").alias("doc_id"), "component", "is_survivor"
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({SQL_DOC_JACCARD_PAIRS}) t
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(v, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.v, e.v FROM reach JOIN e ON reach.r = e.u
+)
+SELECT v AS doc_id, MIN(r) AS component, (v = MIN(r)) AS is_survivor
+FROM reach GROUP BY v
+"""
+
+
+CORE_QUERIES["dedup_clusters"] = (q_dedup_clusters, SQL_DEDUP_CLUSTERS)

@@ -180,3 +180,37 @@ def test_banded_range_join_matches_theta_join(spark):
     assert got == want
     assert (0, 0) in got and (3, 0) in got  # both 10.0-bounds inclusive
     assert all(p[0] is not None for p in got)
+
+
+def test_connected_components_transitive_and_singletons(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    # chain 1-2-3 (1,3 never paired), pair 10-11, isolated 99
+    edges = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], ["id_a", "id_b"])
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], ["id"])
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+    surv = dedup_survivors(edges, verts)
+    keep = sorted(r["id"] for r in surv.filter("is_survivor").collect())
+    assert keep == [1, 10, 99]
+
+
+def test_connected_components_long_chain_converges(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        connected_components,
+    )
+
+    # path graph 0-1-...-12: needs multiple propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    rows = connected_components(edges).collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == 13
