@@ -1,0 +1,83 @@
+"""Deterministic sampling for training-data pipelines.
+
+Corpus curation constantly downsamples — per-language rebalancing,
+source mixing ratios, held-out splits. ``df.sample()`` is the wrong tool
+for it at scale: its output depends on the seed AND the partitioning, so
+a re-run after a repartition (or an AQE re-plan) yields a different
+sample, and a row's fate can't be audited. Hash-gating fixes both: a row
+is kept iff a cryptographic hash of its KEY falls under the rate
+threshold — the decision is a pure function of the key, reproducible on
+any cluster layout, consistent across tables sharing the key (sampling
+`documents` and a features table by the same doc_id keeps them aligned),
+and monotone in the rate (a 10% sample is a subset of a 20% sample, so
+growing a dataset never discards previously-selected rows).
+
+md5 (not xxhash64) deliberately: the gate must be engine-portable so the
+DuckDB oracle can replay the exact selection; both engines spell
+lowercase-hex md5 over the decimal string rendering of the key
+identically. The comparison runs on the first ``nhex`` hex chars as
+STRINGS — no integer conversion, no float rounding ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hex characters of the md5 digest used for gating; 8 hex = 32 bits of
+#: resolution, i.e. rate granularity ~2.3e-10 — ample for any mix ratio.
+_NHEX = 8
+
+
+def rate_threshold(rate: float, nhex: int = _NHEX) -> str:
+    """Hex-string threshold T such that P[md5_prefix < T] == rate (up to
+    1/16^nhex). rate>=1 returns 'g', which every hex string sorts below."""
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return ""
+    return format(int(rate * 16**nhex), f"0{nhex}x")
+
+
+def _gate(key: Column, salt: str, nhex: int) -> Column:
+    salted = (
+        F.concat(key.cast("string"), F.lit(salt)) if salt else key.cast("string")
+    )
+    return F.substring(F.md5(salted), 1, nhex)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    salt: str = "",
+    nhex: int = _NHEX,
+) -> DataFrame:
+    """Keep each row iff md5(key || salt) falls under ``rate``. Narrow
+    map + filter — no shuffle, pushes past column pruning, and the same
+    (key, salt, rate) always selects the same rows. Distinct ``salt``
+    values give independent samples (train/val splits: disjointness via
+    complementary rate bands, not two salts)."""
+    return df.filter(_gate(F.col(key_col), salt, nhex) < rate_threshold(rate, nhex))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+    nhex: int = _NHEX,
+) -> DataFrame:
+    """Per-stratum hash-gated sampling (language/source rebalancing):
+    each stratum value gets its own keep-rate; unlisted strata get
+    ``default_rate``. One CASE expression — still a narrow map, still
+    deterministic, still cross-table consistent on the key."""
+    gate = _gate(F.col(key_col), salt, nhex)
+    thresh: Column = F.lit(rate_threshold(default_rate, nhex))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(rate_threshold(rate, nhex))
+        ).otherwise(thresh)
+    return df.filter(gate < thresh)

@@ -2018,3 +2018,39 @@ FROM reach GROUP BY v
 
 
 CORE_QUERIES["dedup_clusters"] = (q_dedup_clusters, SQL_DEDUP_CLUSTERS)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus rebalancing
+    (operators/sampling.py): keep-rate by stratum via md5 hash-gating —
+    partitioning-independent, auditable per row, engine-portable (the
+    DuckDB oracle replays the exact selection). The shape every
+    training-data mix step needs; df.sample() cannot give any of those
+    properties."""
+    from .operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        key_col="doc_id",
+        strata_col="lang",
+        rates={"en": 0.25, "de": 0.5, "es": 0.75, "fr": 1.0},
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+  CASE lang
+    WHEN 'fr' THEN 'g'
+    WHEN 'es' THEN 'c0000000'
+    WHEN 'de' THEN '80000000'
+    WHEN 'en' THEN '40000000'
+    ELSE '19999999' END
+"""
+
+
+CORE_QUERIES["stratified_sample"] = (q_stratified_sample, SQL_STRATIFIED_SAMPLE)

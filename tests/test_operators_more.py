@@ -214,3 +214,42 @@ def test_connected_components_long_chain_converges(spark):
     rows = connected_components(edges).collect()
     assert {r["component"] for r in rows} == {0}
     assert len(rows) == 13
+
+
+def test_deterministic_sample_rate_and_stability(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    s1 = deterministic_sample(df, "k", 0.3)
+    n = s1.count()
+    assert abs(n / 20000 - 0.3) < 0.02  # md5 uniformity
+    # partitioning-independent: same rows after a repartition
+    ids1 = {r["k"] for r in s1.collect()}
+    ids2 = {r["k"] for r in deterministic_sample(df.repartition(7), "k", 0.3).collect()}
+    assert ids1 == ids2
+    # monotone: a smaller rate selects a subset
+    ids_small = {r["k"] for r in deterministic_sample(df, "k", 0.1).collect()}
+    assert ids_small <= ids1
+    # a different salt gives a different (same-size-ish) sample
+    ids_salted = {r["k"] for r in deterministic_sample(df, "k", 0.3, salt="v2").collect()}
+    assert ids_salted != ids1
+
+
+def test_stratified_sample_rates_per_stratum(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(10000)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    out = stratified_sample(
+        df, "k", "s", {"a": 1.0, "b": 0.2}, default_rate=0.0
+    )
+    by = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert by["a"] == 5000  # rate 1.0 keeps everything
+    assert abs(by["b"] / 5000 - 0.2) < 0.04
+    # unlisted stratum with default 0.0 disappears
+    df2 = df.withColumn("s", F.lit("zz"))
+    assert stratified_sample(df2, "k", "s", {"a": 1.0}).count() == 0
