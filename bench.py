@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "streaming_sessions",
     "dedup_clusters",
+    "stratified_sample",
+    "doc_packing",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -2054,3 +2054,47 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
 
 
 CORE_QUERIES["stratified_sample"] = (q_stratified_sample, SQL_STRATIFIED_SAMPLE)
+
+
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): documents walked per
+    language in doc_id order, greedily packed into 500-token context
+    windows. The per-doc pack assignment is deterministic, so the DuckDB
+    recursive-CTE twin replays the walk exactly — a full oracle for an
+    applyInPandas operator."""
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    out = pack_sequences(
+        docs, group_col="lang", order_col="doc_id",
+        token_col="n_tokens", budget=500,
+    )
+    return out.select("lang", "doc_id", "n_tokens", "pack_id")
+
+
+SQL_DOC_PACKING = """
+WITH RECURSIVE d AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), walk(lang, rn, doc_id, n_tokens, cum, pack_id) AS (
+  SELECT lang, rn, doc_id, n_tokens, n_tokens, CAST(0 AS BIGINT)
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN walk.cum + d.n_tokens <= 500
+              THEN walk.cum + d.n_tokens ELSE d.n_tokens END,
+         CASE WHEN walk.cum + d.n_tokens <= 500
+              THEN walk.pack_id ELSE walk.pack_id + 1 END
+  FROM walk JOIN d ON d.lang = walk.lang AND d.rn = walk.rn + 1
+)
+SELECT lang, doc_id, n_tokens, pack_id FROM walk
+"""
+
+
+CORE_QUERIES["doc_packing"] = (q_doc_packing, SQL_DOC_PACKING)

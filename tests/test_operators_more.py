@@ -253,3 +253,32 @@ def test_stratified_sample_rates_per_stratum(spark):
     # unlisted stratum with default 0.0 disappears
     df2 = df.withColumn("s", F.lit("zz"))
     assert stratified_sample(df2, "k", "s", {"a": 1.0}).count() == 0
+
+
+def test_pack_sequences_greedy_budget_and_oversize(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [
+        # group g: 200+250 fit in 500, 100 overflows -> pack 1; 600 is
+        # oversize -> its own pack; 50 follows in a fresh pack
+        ("g", 1, 200), ("g", 2, 250), ("g", 3, 100), ("g", 4, 600), ("g", 5, 50),
+        ("h", 1, 500),  # exactly at budget
+        ("h", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "ord", "tok"])
+    out = pack_sequences(df, "grp", "ord", "tok", budget=500)
+    got = {(r["grp"], r["ord"]): r["pack_id"] for r in out.collect()}
+    assert got == {
+        ("g", 1): 0, ("g", 2): 0, ("g", 3): 1, ("g", 4): 2, ("g", 5): 3,
+        ("h", 1): 0, ("h", 2): 1,  # 500+1 > 500 -> next pack
+    }
+    # determinism under repartition
+    got2 = {
+        (r["grp"], r["ord"]): r["pack_id"]
+        for r in pack_sequences(
+            df.repartition(5), "grp", "ord", "tok", budget=500
+        ).collect()
+    }
+    assert got2 == got
