@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "stratified_sample",
     "doc_packing",
+    "bm25_search",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -103,6 +103,93 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
 
 
+def term_freq(toks: Column, term: str) -> Column:
+    """Occurrences of ``term`` in a token-array column (JVM-side
+    filter, no Python)."""
+    return F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("long")
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance top-k for a fixed term query — classic lexical
+    retrieval over the corpus, two passes:
+
+    pass 1 (one aggregate row -> driver, the bounded scalar-broadcast
+    pattern): corpus size N, total token count, per-term document
+    frequency. pass 2: per-doc score as a single codegen'd expression
+    with the pass-1 scalars folded in as literals, then global top-k via
+    TakeOrderedAndProject (never a full sort).
+
+    Exactness: the usual BM25 log-idf is a libm call whose last ulp can
+    differ across engines, so this uses the rational RSJ idf
+    ``(N - df + 0.5) / (df + 0.5)`` — every operation in the score is
+    IEEE +,-,*,/ on identical inputs, making scores bit-identical on
+    Spark and the DuckDB oracle. Same ranking behavior (monotone in the
+    log's argument), reproducible hashes.
+
+    The tokenized projection is cached as a plan-time barrier: without
+    it CollapseProject inlines the split() into the dl expression and
+    every per-term filter lambda (HOFs evaluate interpreted), paying
+    len(terms)+1 tokenizations per row. Caller inherits the usual
+    finalize() lifetime: the returned top-k is localCheckpointed and the
+    cache released.
+    """
+    from .util import finalize, spread
+
+    toks_df = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    )
+    toks_df = spread(toks_df).cache()
+    base = toks_df.select(
+        id_col,
+        F.size("__toks").cast("long").alias("__dl"),
+        *[
+            term_freq(F.col("__toks"), t).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__dl").alias("sumdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n = stats["n"]
+    avgdl = stats["sumdl"] / n  # Python IEEE division == oracle's
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}")
+        idf = (n - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5)
+        contrib = F.lit(idf) * (
+            (tf * F.lit(k1p1))
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(one_minus_b) + F.lit(b) * (F.col("__dl") / F.lit(avgdl)))
+            )
+        )
+        score = contrib if score is None else score + contrib
+
+    topk = (
+        base.select(id_col, score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    return finalize(topk, toks_df)
+
+
 def text_profile(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -2098,3 +2098,52 @@ SELECT lang, doc_id, n_tokens, pack_id FROM walk
 
 
 CORE_QUERIES["doc_packing"] = (q_doc_packing, SQL_DOC_PACKING)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-20 for the query terms
+    ('spark','hash','join') with rational RSJ idf (operators/text.py
+    bm25_topk) — every score op is IEEE +,-,*,/ so the DuckDB twin is
+    bit-identical; subexpressions shared with the oracle (k1+1, 1-b,
+    avgdl) are COMPUTED, never re-written as rounded literals."""
+    from .operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, terms=["spark", "hash", "join"], k=20)
+
+
+SQL_BM25_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS dl,
+         CAST(len(list_filter(tk, x -> x = 'spark')) AS BIGINT) AS tf0,
+         CAST(len(list_filter(tk, x -> x = 'hash'))  AS BIGINT) AS tf1,
+         CAST(len(list_filter(tk, x -> x = 'join'))  AS BIGINT) AS tf2
+  FROM toks
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM base
+)
+SELECT doc_id,
+  -- every literal ::DOUBLE: bare decimals are DECIMAL-typed in DuckDB
+  -- and decimal arithmetic rounds differently from IEEE doubles
+  (((n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE)) * ((tf0 * (1.2::DOUBLE + 1.0::DOUBLE)) /
+      (tf0 + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * (dl / avgdl)))))
+  + (((n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE)) * ((tf1 * (1.2::DOUBLE + 1.0::DOUBLE)) /
+      (tf1 + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * (dl / avgdl)))))
+  + (((n - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE)) * ((tf2 * (1.2::DOUBLE + 1.0::DOUBLE)) /
+      (tf2 + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * (dl / avgdl)))))
+  AS score
+FROM base, stats
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+CORE_QUERIES["bm25_search"] = (q_bm25_search, SQL_BM25_SEARCH)

@@ -282,3 +282,22 @@ def test_pack_sequences_greedy_budget_and_oversize(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "spark hash join spark join"),         # all terms, short
+        (2, "spark " + "filler " * 50),            # one term, long
+        (3, "nothing relevant here at all"),
+        (4, "hash join"),                          # two terms, shortest
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, ["spark", "hash", "join"], k=4)
+    ranked = [r["doc_id"] for r in out.collect()]
+    assert ranked[0] in (1, 4) and set(ranked[:2]) == {1, 4}
+    assert ranked[-1] == 3
+    scores = {r["doc_id"]: r["score"] for r in out.collect()}
+    assert scores[3] == 0.0
+    assert all(s >= 0 for s in scores.values())
