@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "doc_packing",
     "bm25_search",
+    "returnflag_unpivot",
+    "group_quantiles",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

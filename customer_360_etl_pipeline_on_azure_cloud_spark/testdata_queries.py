@@ -2147,3 +2147,69 @@ LIMIT 20
 
 
 CORE_QUERIES["bm25_search"] = (q_bm25_search, SQL_BM25_SEARCH)
+
+
+def q_returnflag_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long inverse of the reference's pivot (A4): the cents-exact
+    category-totals wide table melted back to (key, flag, total) with
+    native ``DataFrame.unpivot`` — a narrow map over the aggregated
+    wide table (no shuffle beyond the pivot's own aggregate)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "cents", money_cents("l_extendedprice")
+    )
+    wide = sum_pivot(
+        li, ["l_suppkey"], "l_returnflag", ["A", "N", "R"], "cents", fill=0
+    )
+    return wide.unpivot(
+        ids=["l_suppkey"],
+        values=["A", "N", "R"],
+        variableColumnName="returnflag",
+        valueColumnName="total_cents",
+    )
+
+
+SQL_RETURNFLAG_UNPIVOT = f"""
+UNPIVOT (
+  SELECT l_suppkey,
+    COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN {_cents_sql("l_extendedprice")} END), 0) AS "A",
+    COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN {_cents_sql("l_extendedprice")} END), 0) AS "N",
+    COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN {_cents_sql("l_extendedprice")} END), 0) AS "R"
+  FROM lineitem GROUP BY l_suppkey
+) ON "A", "N", "R" INTO NAME returnflag VALUE total_cents
+"""
+
+
+CORE_QUERIES["returnflag_unpivot"] = (q_returnflag_unpivot, SQL_RETURNFLAG_UNPIVOT)
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP exact quantiles (the global form backs segmentation;
+    this is the grouped companion): quartiles of l_quantity per return
+    flag. Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    same linear-interpolation definition, so values hash-match exactly.
+    Library scale default stays percentile_approx (plan-test pinned);
+    exact is the oracle opt-in."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75])).alias("qs")
+    )
+    return q.select(
+        "l_returnflag",
+        F.col("qs")[0].alias("q25"),
+        F.col("qs")[1].alias("q50"),
+        F.col("qs")[2].alias("q75"),
+    )
+
+
+SQL_GROUP_QUANTILES = """
+SELECT l_returnflag,
+       qs[1] AS q25, qs[2] AS q50, qs[3] AS q75
+FROM (
+  SELECT l_returnflag,
+         quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs
+  FROM lineitem GROUP BY l_returnflag
+)
+"""
+
+
+CORE_QUERIES["group_quantiles"] = (q_group_quantiles, SQL_GROUP_QUANTILES)
