@@ -117,6 +117,7 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    materialize: bool = True,
 ) -> DataFrame:
     """BM25 relevance top-k for a fixed term query — classic lexical
     retrieval over the corpus, two passes:
@@ -187,6 +188,10 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+    if not materialize:
+        # lazy form for plan inspection / composition; caller owns the
+        # toks_df cache lifetime (it is reachable via the plan)
+        return topk
     return finalize(topk, toks_df)
 
 

@@ -135,3 +135,38 @@ def test_default_segmentation_uses_approx_percentile(spark):
     assert len(approx) == 3
     for a, e in zip(approx, exact):
         assert abs(a - e) <= 1.0
+
+
+def test_stratified_sample_is_shuffle_free_pruned_scan(spark):
+    # hash-gated sampling must stay a narrow map: no Exchange at all,
+    # and the scan reads only the 3 projected columns (never text)
+    plan = plan_of(spark, "stratified_sample")
+    assert "Exchange" not in plan
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
+    assert "text" not in scan
+
+
+def test_bm25_topk_never_sorts_the_corpus(spark):
+    # global top-k must plan TakeOrderedAndProject, not a full Sort
+    # (inspect the lazy form — the contract query finalize()s the
+    # result, leaving only a checkpoint scan in its plan)
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+        bm25_topk,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_SMALL, "documents")
+    df = bm25_topk(docs, ["spark", "hash"], k=10, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_doc_packing_single_group_shuffle(spark):
+    # packing shuffles once on the group key; the walk itself is one
+    # Arrow stage (FlatMapGroupsInPandas), no extra exchanges
+    plan = plan_of(spark, "doc_packing")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
