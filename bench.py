@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "returnflag_unpivot",
     "group_quantiles",
+    "streaming_dedup",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

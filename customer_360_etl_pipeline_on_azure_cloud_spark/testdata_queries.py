@@ -1982,18 +1982,24 @@ CORE_QUERIES["streaming_sessions"] = (q_streaming_sessions, SQL_STREAMING_SESSIO
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup cascade's FINAL step: exact 3-gram Jaccard pairs ->
-    connected components (operators/graph.py, hash-min label
-    propagation) -> one survivor per cluster (min doc_id). A~B and B~C
-    collapse into one cluster even though (A,C) was never compared —
-    the transitive closure pair-finding alone cannot express. Oracle:
-    DuckDB recursive CTE computing min-reachable-id over the same pair
-    graph."""
-    from .operators.dedup import jaccard_pairs
+    """The FULL 100 TB dedup cascade: MinHash-LSH candidate pairs
+    (verified at signature level) -> connected components
+    (operators/graph.py, hash-min label propagation) -> one survivor
+    per cluster (min doc_id). A~B and B~C collapse into one cluster
+    even though (A,C) was never compared — the transitive closure
+    pair-finding alone cannot express. Oracle: DuckDB recursive CTE
+    computing min-reachable-id over the EXACT-Jaccard pair graph —
+    valid because on this corpus the verified LSH pairs coincide
+    exactly with the exact >=30% pairs (the same coincidence
+    minhash_near_dup's oracle relies on, pinned with a recall bound in
+    tests/test_extensions.py)."""
+    from .operators.dedup import minhash_lsh_pairs
     from .operators.graph import dedup_survivors
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, n=3, threshold_pct=30).select("id_a", "id_b")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, verify_threshold_pct=30
+    ).select("id_a", "id_b")
     out = dedup_survivors(pairs, docs.select("doc_id"))
     return out.select(
         F.col("id").alias("doc_id"), "component", "is_survivor"
@@ -2213,3 +2219,50 @@ FROM (
 
 
 CORE_QUERIES["group_quantiles"] = (q_group_quantiles, SQL_GROUP_QUANTILES)
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming dedup: availableNow stream ->
+    dropDuplicatesWithinWatermark on (user_id, event_type) — the
+    at-least-once-source -> exactly-once-sink pattern. The watermark
+    delay (35 d) exceeds the data's 30-day span, so every duplicate
+    falls within the dedup window and each key emits exactly once;
+    projecting the key columns (not the nondeterministic surviving
+    row's timestamp) makes the output deterministic = DISTINCT keys.
+    State is bounded by the watermark at streaming scale (keys older
+    than the delay are evicted)."""
+    import os
+    import tempfile
+
+    from .streaming.incremental import run_incremental
+
+    tune(spark, shuffle_partitions=32)
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    ckpt = tempfile.mkdtemp(prefix="c360_q_sdedup_")
+    name = f"stream_dedup_{os.path.basename(ckpt).split('_')[-1]}"
+    run_incremental(deduped, os.path.join(ckpt, "ckpt"), name, mode="append")
+    return spark.table(name)
+
+
+SQL_STREAMING_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+CORE_QUERIES["streaming_dedup"] = (q_streaming_dedup, SQL_STREAMING_DEDUP)
