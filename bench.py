@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "returnflag_unpivot",
     "group_quantiles",
     "streaming_dedup",
+    "heavy_hitters_cms",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -139,3 +139,41 @@ def two_pass_segment(
     """
     cutoffs = quantile_cutoffs(df, value_col, probs, exact=exact, accuracy=accuracy)
     return df.withColumn(alias, case_builder(cutoffs))
+
+
+def cms_frequencies(
+    df: DataFrame,
+    col: str,
+    candidates: Sequence[str],
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-Min-Sketch frequency estimates for a fixed candidate set —
+    the mergeable-sketch answer to "how often does each hot value
+    occur" over a stream/corpus too large for exact counting of the
+    full key space.
+
+    One global aggregate builds the sketch (fixed
+    ``ceil(e/eps) x depth`` integer grid; partial sketches merge by
+    cell-wise ADD, so the result is partitioning-independent for a
+    fixed seed). The ~KB sketch comes back to the driver — the bounded
+    scalar-broadcast pattern — and is probed for the candidate values
+    via the JVM ``CountMinSketch`` deserializer. Guarantees:
+    ``estimate >= true`` ALWAYS (counters only over-count on
+    collision), and ``estimate <= true + eps*N`` with the configured
+    confidence. Probing is driver-side and O(len(candidates)) —
+    candidates must be a small, known hot-key list (pair with exact
+    top-k discovery when the hot set is unknown).
+    """
+    sketch_bytes = df.agg(
+        F.count_min_sketch(
+            col, F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
+        ).alias("s")
+    ).collect()[0]["s"]
+    jvm = df.sparkSession._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch_bytes)
+    )
+    rows = [(c, int(cms.estimateCount(c))) for c in candidates]
+    return df.sparkSession.createDataFrame(rows, [col, "cms_n"])

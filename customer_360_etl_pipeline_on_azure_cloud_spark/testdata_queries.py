@@ -2266,3 +2266,35 @@ SELECT DISTINCT user_id, event_type FROM events
 
 
 CORE_QUERIES["streaming_dedup"] = (q_streaming_dedup, SQL_STREAMING_DEDUP)
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimates for the five known event
+    types, joined against exact counts (operators/aggregates.py
+    cms_frequencies). Oracle: the CMS guarantee is estimate >= exact
+    ALWAYS; with eps=0.001 the sketch is 2719 counters wide and the 5
+    keys are collision-free, so estimates EQUAL exact counts at every
+    shipped SF (verified; the >= theorem itself is pinned in pytest
+    with a deliberately-narrow sketch that does collide). The sketch
+    is one mergeable global aggregate — partitioning-independent for a
+    fixed seed."""
+    from .operators.aggregates import cms_frequencies
+
+    ev = _t(spark, sf_dir, "events")
+    cands = ["click", "error", "purchase", "signup", "view"]
+    est = cms_frequencies(ev, "event_type", cands, eps=0.001, seed=42)
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type", "n", "cms_n"
+    )
+
+
+SQL_HEAVY_HITTERS_CMS = """
+SELECT event_type, COUNT(*) AS n, COUNT(*) AS cms_n
+FROM events
+WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+GROUP BY event_type
+"""
+
+
+CORE_QUERIES["heavy_hitters_cms"] = (q_heavy_hitters_cms, SQL_HEAVY_HITTERS_CMS)

@@ -301,3 +301,33 @@ def test_bm25_ranks_matching_docs_first(spark):
     scores = {r["doc_id"]: r["score"] for r in out.collect()}
     assert scores[3] == 0.0
     assert all(s >= 0 for s in scores.values())
+
+
+def test_cms_never_underestimates_even_with_collisions(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.aggregates import (
+        cms_frequencies,
+    )
+
+    # 200 distinct keys forced into a ~7-counter-wide sketch (eps=0.4):
+    # collisions guaranteed -> estimates inflate, but NEVER drop below
+    # the true count (the CMS theorem the oracle leans on)
+    rows = [(f"k{i % 200}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["k"])
+    cands = [f"k{i}" for i in range(200)]
+    est = {
+        r["k"]: r["cms_n"]
+        for r in cms_frequencies(df, "k", cands, eps=0.4, seed=7).collect()
+    }
+    from collections import Counter
+
+    true = Counter(r[0] for r in rows)
+    assert all(est[k] >= true[k] for k in cands)
+    assert any(est[k] > true[k] for k in cands)  # the narrow sketch collides
+    # determinism: same seed, different partitioning -> same estimates
+    est2 = {
+        r["k"]: r["cms_n"]
+        for r in cms_frequencies(
+            df.repartition(11), "k", cands, eps=0.4, seed=7
+        ).collect()
+    }
+    assert est2 == est
