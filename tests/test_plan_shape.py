@@ -170,3 +170,12 @@ def test_doc_packing_single_group_shuffle(spark):
     plan = plan_of(spark, "doc_packing")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_reference_e2e_no_cartesian_broadcast_dims(spark):
+    # the full native-schema pipeline: tiny dims (keyword mapping,
+    # quantile scalars) must broadcast, and nothing may plan cartesian
+    plan = plan_of(spark, "reference_e2e")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -80,3 +80,47 @@ def test_recode_matches_python_reference(spark, vals):
     out = df.select(recode("v", mapping).alias("r")).collect()
     for v, r in zip(vals, out):
         assert r["r"] == mapping.get(v, "error")
+
+
+def py_pack(tokens, budget):
+    """Reference greedy packer."""
+    out, cum, pack = [], None, 0
+    for t in tokens:
+        if cum is None:
+            cum = t
+        elif cum + t <= budget:
+            cum += t
+        else:
+            pack += 1
+            cum = t
+        out.append(pack)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=600),
+)
+def test_pack_sequences_matches_reference_walk(spark, tokens, budget):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, t) for i, t in enumerate(tokens)], ["grp", "ord", "tok"]
+    )
+    got = {
+        r["ord"]: r["pack_id"]
+        for r in pack_sequences(df, "grp", "ord", "tok", budget=budget).collect()
+    }
+    want = dict(enumerate(py_pack(tokens, budget)))
+    assert got == want
+    # invariants: pack ids start at 0, are contiguous, and no pack
+    # exceeds the budget unless it holds a single oversize row
+    by_pack: dict[int, list[int]] = {}
+    for i, p in got.items():
+        by_pack.setdefault(p, []).append(tokens[i])
+    assert sorted(by_pack) == list(range(len(by_pack)))
+    for members in by_pack.values():
+        assert sum(members) <= budget or len(members) == 1
