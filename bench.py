@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "group_quantiles",
     "streaming_dedup",
     "heavy_hitters_cms",
+    "vocab_topk",
+    "dedup_best_survivors",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -92,15 +92,43 @@ def dedup_survivors(
     vertices: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Survivor selection over a near-dup pair graph: every vertex with
-    its component and whether it is the kept copy (the component's
-    minimum id — the same deterministic keep-lowest-id rule as
-    ``cleaning.dedup_deterministic``). Output:
-    ``(id, component, is_survivor)``."""
+    its component and whether it is the kept copy. Output:
+    ``(id, component, is_survivor)``.
+
+    Default rule: keep the component's minimum id (the same
+    deterministic keep-lowest-id rule as ``cleaning.dedup_deterministic``).
+    With ``priority_col`` (a numeric column of ``vertices``, e.g.
+    document length or a quality score): keep the HIGHEST-priority
+    member, id ascending on ties — "keep the best copy", the rule real
+    corpus dedup wants. The per-component argmax is ONE hash aggregate
+    via ``max(struct(priority, -id))`` (map-side combine; numeric ids
+    required for the negation tiebreak) — no window, no sort.
+    """
     comp = connected_components(edges, src=src, dst=dst, vertices=vertices)
-    return comp.select(
+    if priority_col is None:
+        return comp.select(
+            "id",
+            "component",
+            (F.col("id") == F.col("component")).alias("is_survivor"),
+        )
+    id_col = vertices.columns[0]
+    verts = vertices.select(
+        F.col(id_col).alias("id"), F.col(priority_col).alias("__prio")
+    )
+    labeled = comp.join(verts, "id")
+    best = labeled.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("__prio"), (-F.col("id")).alias("__negid"))
+        ).alias("b")
+    )
+    best_ids = best.select(
+        "component", (-F.col("b.__negid")).alias("__surv_id")
+    )
+    return labeled.join(best_ids, "component").select(
         "id",
         "component",
-        (F.col("id") == F.col("component")).alias("is_survivor"),
+        (F.col("id") == F.col("__surv_id")).alias("is_survivor"),
     )

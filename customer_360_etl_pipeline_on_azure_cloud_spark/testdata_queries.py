@@ -2298,3 +2298,84 @@ GROUP BY event_type
 
 
 CORE_QUERIES["heavy_hitters_cms"] = (q_heavy_hitters_cms, SQL_HEAVY_HITTERS_CMS)
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: global token frequencies, top-50 with a
+    total order (n DESC, token ASC). explode -> two-level aggregate
+    (partial map-side combine carries one row per (task, token), so the
+    shuffle is vocabulary-sized, not corpus-sized) ->
+    TakeOrderedAndProject. The corpus-prep step before any tokenizer
+    training."""
+    from .operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+SQL_VOCAB_TOPK = """
+SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents)
+GROUP BY t
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+
+CORE_QUERIES["vocab_topk"] = (q_vocab_topk, SQL_VOCAB_TOPK)
+
+
+def q_dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: near-dup components with the
+    LONGEST member kept (priority = n_chars, id-ascending tiebreak) —
+    the "keep the best copy" rule real corpus dedup wants, computed as
+    one hash-aggregate argmax per component (no window). Oracle:
+    recursive-CTE components + ROW_NUMBER over (n_chars DESC, doc_id)."""
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.graph import dedup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, verify_threshold_pct=30
+    ).select("id_a", "id_b")
+    out = dedup_survivors(
+        pairs, docs.select("doc_id", "n_chars"), priority_col="n_chars"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "component", "is_survivor"
+    )
+
+
+SQL_DEDUP_BEST_SURVIVORS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({SQL_DOC_JACCARD_PAIRS}) t
+), e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(v, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.v, e.v FROM reach JOIN e ON reach.r = e.u
+), comp AS (
+  SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+), ranked AS (
+  SELECT c.doc_id, c.component,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rk
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT doc_id, component, (rk = 1) AS is_survivor FROM ranked
+"""
+
+
+CORE_QUERIES["dedup_best_survivors"] = (
+    q_dedup_best_survivors,
+    SQL_DEDUP_BEST_SURVIVORS,
+)

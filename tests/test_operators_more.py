@@ -331,3 +331,19 @@ def test_cms_never_underestimates_even_with_collisions(spark):
         ).collect()
     }
     assert est2 == est
+
+
+def test_dedup_survivors_priority_keeps_best(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        dedup_survivors,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    # priority: 3 is the longest in {1,2,3}; tie in {10,11} -> lower id
+    verts = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 20), (10, 7), (11, 7), (99, 1)], ["id", "len"]
+    )
+    out = dedup_survivors(edges, verts, priority_col="len")
+    keep = sorted(r["id"] for r in out.filter("is_survivor").collect())
+    assert keep == [3, 10, 99]
+    assert out.count() == 6
