@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "heavy_hitters_cms",
     "vocab_topk",
     "dedup_best_survivors",
+    "media_frame_sample",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -2379,3 +2379,39 @@ CORE_QUERIES["dedup_best_survivors"] = (
     q_dedup_best_survivors,
     SQL_DEDUP_BEST_SURVIVORS,
 )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.py
+    sample_frames): each media row expands to its 1-per-second frame
+    timestamps from METADATA ONLY — the blob column is never read
+    (pruning pinned in tests/test_plan_shape.py for the media path).
+    documents are adapted as media rows (duration = n_chars*10 ms), so
+    the expansion is fully deterministic and the oracle replays it with
+    generate_series. Frame counts agree exactly: Spark truncates the
+    double quotient (floor for positives; correctly-rounded division of
+    exact integers can never cross the next whole number) while the
+    oracle uses DuckDB integer division — a plain double->INT cast
+    would NOT work there (DuckDB rounds half-even, Spark truncates)."""
+    from .operators.multimodal import documents_as_media, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_media(docs), every_ms=1000)
+    return frames.select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_ts_ms",
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE = """
+SELECT media_id, frame_idx, frame_idx * 1000 AS frame_ts_ms
+FROM (
+  SELECT doc_id AS media_id,
+         unnest(generate_series(0, (n_chars * 10) // 1000 - 1)) AS frame_idx
+  FROM documents
+  WHERE (n_chars * 10) // 1000 > 0
+)
+"""
+
+
+CORE_QUERIES["media_frame_sample"] = (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE)
