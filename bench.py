@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "vocab_topk",
     "dedup_best_survivors",
     "media_frame_sample",
+    "table_profile",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

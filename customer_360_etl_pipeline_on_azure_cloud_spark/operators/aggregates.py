@@ -177,3 +177,37 @@ def cms_frequencies(
     )
     rows = [(c, int(cms.estimateCount(c))) for c in candidates]
     return df.sparkSession.createDataFrame(rows, [col, "cms_n"])
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Data-quality profile: per column, total rows, nulls, exact
+    distinct count — the ingest-validation summary every ETL run wants
+    before trusting a feed.
+
+    ONE aggregate job for all columns (Spark plans multi-countDistinct
+    via a single Expand + aggregate, not a scan per column); the tiny
+    wide result is unpivoted to (column, n_rows, n_null, n_distinct)
+    rows. At 100 TB swap ``approx=True``-style HLL per column if exact
+    distinct is too heavy (see ``distinct_count``); the one-scan shape
+    is the point.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__n_{c}").alias("n_rows"),
+            F.col(f"__null_{c}").alias("n_null"),
+            F.col(f"__dist_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.column", "p.n_rows", "p.n_null", "p.n_distinct")

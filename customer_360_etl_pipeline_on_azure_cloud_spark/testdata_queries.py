@@ -2415,3 +2415,35 @@ FROM (
 
 
 CORE_QUERIES["media_frame_sample"] = (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest validation (operators/aggregates.py profile_columns):
+    rows/nulls/exact-distinct for three orders columns in ONE aggregate
+    job (multi-countDistinct plans as a single Expand+agg scan, never a
+    scan per column)."""
+    from .operators.aggregates import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_columns(o, ["o_custkey", "o_orderstatus", "o_orderpriority"])
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'o_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+FROM orders
+"""
+
+
+CORE_QUERIES["table_profile"] = (q_table_profile, SQL_TABLE_PROFILE)
