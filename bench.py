@@ -84,6 +84,11 @@ BENCH_QUERIES = [
     "dedup_best_survivors",
     "media_frame_sample",
     "table_profile",
+    "shipping_priority",
+    "returned_item_revenue",
+    "late_ship_priority",
+    "running_revenue",
+    "rolling_event_value",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -1,0 +1,274 @@
+"""Classic warehouse analytics: TPC-H-shaped multi-join aggregations and
+window analytics over the testdata star schema, each with a DuckDB oracle.
+
+These widen the contract surface beyond the reference's own pipeline
+shapes (reference ETL_pipeline.py is a single star-join + pivot flow) to
+the standard analytics a Customer-360 warehouse runs daily: top-N revenue
+ranking across a 3-way fact join, returned-item damage reports, existence
+checks, cumulative and rolling window metrics.
+
+Exactness: money goes through integer cents before SUM (associative ->
+partition-order independent); every ranking carries a unique tiebreak;
+window frames are fully ordered by (ts, unique id). See
+testdata_queries.py module docstring for the full rule set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import money_cents
+from .session import tune
+from .sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark, shuffle_partitions=32)
+    return load_table(spark, sf_dir, name)
+
+
+def _cents_sql(col: str) -> str:
+    return f"CAST(ROUND({col} * 100, 0) AS BIGINT)"
+
+
+#: revenue = extendedprice * (1 - discount), in integer cents.
+def _revenue_cents() -> F.Column:
+    return F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+
+
+_REVENUE_CENTS_SQL = (
+    "CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)"
+)
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    top-10 open orders by revenue.
+
+    Scale notes: both date filters and the segment filter are plain
+    column predicates that reach the parquet scans (pushed); the
+    customer side is reduced to one join column before the join (column
+    pruning); the final top-10 is TakeOrderedAndProject (per-partition
+    top-10 + driver merge), never a global sort of the join output.
+    """
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1998-03-15")
+        .select("l_orderkey", _revenue_cents().alias("rev_c"))
+    )
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        li, orders.o_orderkey == li.l_orderkey
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        (F.sum("rev_c").cast("double") / F.lit(100.0)).alias("revenue")
+    )
+    return (
+        agg.select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT o_orderkey,
+       CAST(SUM({_REVENUE_CENTS_SQL}) AS DOUBLE) / 100.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in a
+    quarter — 4-way join (2 facts, 2 dims), top-20 by damage.
+
+    The nation dim is broadcast (25 rows); the orders/lineitem join is
+    the only shuffle pair; top-20 via TakeOrderedAndProject.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-10-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", _revenue_cents().alias("rev_c"))
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        (F.sum("rev_c").cast("double") / F.lit(100.0)).alias("revenue")
+    )
+    return (
+        agg.select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEM_REVENUE = f"""
+SELECT c_custkey, c_name,
+       CAST(SUM({_REVENUE_CENTS_SQL}) AS DOUBLE) / 100.0 AS revenue,
+       c_acctbal, n_name
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts of orders that have at least one
+    line shipped >60 days after the order date (existential semi-join
+    with an inequality residual on the equi-join).
+
+    The semi-join keeps only the 2-column orders projection; lineitem
+    contributes no columns past the probe, so the build side is
+    (l_orderkey, l_shipdate) only. At 100 TB this plans as a shuffled
+    hash semi-join on orderkey with the date residual evaluated in the
+    join, never a join-then-distinct.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+SQL_LATE_SHIP_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer: running SUM over an ordered
+    per-key window (the standard 'customer lifetime value so far' view).
+
+    One shuffle (partitionBy custkey), one sort inside the window; the
+    running sum is integer cents so the cumulative value is exact at
+    every step. Frame order is (o_orderdate, o_orderkey) — a total
+    order, so the prefix sums are deterministic.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        money_cents("o_totalprice").alias("price_c"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum("price_c").over(w).cast("double") / F.lit(100.0)).alias(
+            "running_total"
+        ),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+SQL_RUNNING_REVENUE = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM({_cents_sql('o_totalprice')}) OVER w AS DOUBLE) / 100.0 AS running_total,
+       ROW_NUMBER() OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rolling_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-event metrics per user: moving sum + moving average of
+    the event value over a ROWS frame (2 PRECEDING .. CURRENT).
+
+    The moving sum is integer cents (exact under any partitioning); the
+    average is reconstructed with one division from the exact sum and
+    the frame count, so both engines evaluate the identical IEEE tree.
+    Frame order (ts, event_id) is total — event_id is unique.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", money_cents("value").alias("value_c")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum("value_c").over(w).cast("double") / F.lit(100.0)).alias("moving_sum"),
+        (
+            F.sum("value_c").over(w).cast("double")
+            / F.lit(100.0)
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("moving_avg"),
+    )
+
+
+SQL_ROLLING_EVENT_VALUE = f"""
+SELECT user_id, event_id,
+       CAST(SUM({_cents_sql('value')}) OVER w AS DOUBLE) / 100.0 AS moving_sum,
+       CAST(SUM({_cents_sql('value')}) OVER w AS DOUBLE) / 100.0
+         / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+ANALYTICS_QUERIES = {
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "returned_item_revenue": (q_returned_item_revenue, SQL_RETURNED_ITEM_REVENUE),
+    "late_ship_priority": (q_late_ship_priority, SQL_LATE_SHIP_PRIORITY),
+    "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
+    "rolling_event_value": (q_rolling_event_value, SQL_ROLLING_EVENT_VALUE),
+}

@@ -2447,3 +2447,10 @@ FROM orders
 
 
 CORE_QUERIES["table_profile"] = (q_table_profile, SQL_TABLE_PROFILE)
+
+
+# --- classic warehouse analytics (TPC-H-shaped joins + window metrics) ------
+
+from .analytics_queries import ANALYTICS_QUERIES  # noqa: E402
+
+CORE_QUERIES.update(ANALYTICS_QUERIES)

@@ -179,3 +179,43 @@ def test_reference_e2e_no_cartesian_broadcast_dims(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_shipping_priority_topk_and_pushdown(spark):
+    # TPC-H Q3 shape: top-10 must plan TakeOrderedAndProject (per-
+    # partition top-k + driver merge), never a global Sort of the join
+    # output; the date filters must reach the parquet scans
+    plan = plan_of(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    li_scan = [s for s in scans if "l_shipdate" in s][0]
+    assert "DataFilters" in li_scan
+    # lineitem projection pruned to the 3 needed columns
+    assert "l_quantity" not in li_scan and "l_tax" not in li_scan
+
+
+def test_returned_item_revenue_broadcasts_nation(spark):
+    plan = plan_of(spark, "returned_item_revenue")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_late_ship_priority_plans_semi_join(spark):
+    # EXISTS must stay a semi-join (LeftSemi), never join+distinct
+    plan = plan_of(spark, "late_ship_priority")
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan and "distinct" not in plan
+
+
+def test_running_revenue_single_window_shuffle(spark):
+    # running sum + row_number share ONE window spec -> one exchange,
+    # one sort, one Window node
+    plan = plan_of(spark, "running_revenue")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_rolling_event_value_single_window_shuffle(spark):
+    plan = plan_of(spark, "rolling_event_value")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
