@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "late_ship_priority",
     "running_revenue",
     "rolling_event_value",
+    "scd2_user_state",
+    "scd2_snapshot",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -272,3 +272,73 @@ ANALYTICS_QUERIES = {
     "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
     "rolling_event_value": (q_rolling_event_value, SQL_ROLLING_EVENT_VALUE),
 }
+
+
+# --- SCD2 history -----------------------------------------------------------
+
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of each user's event_type (operators/scd.py
+    scd2_collapse): consecutive same-type events collapse into one
+    version with [valid_from, valid_to) bounds — the gaps-and-islands
+    construction in pure window algebra, one shuffle on the entity key.
+    """
+    from .operators.scd import scd2_collapse
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return scd2_collapse(
+        ev, ["user_id"], ["event_type"], ts_col="ts", tiebreak_col="event_id"
+    )
+
+
+SQL_SCD2_USER_STATE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+              WHEN event_type IS DISTINCT FROM LAG(event_type) OVER w THEN 1
+              ELSE 0 END AS start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+versioned AS (
+  SELECT *, CAST(SUM(start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+  FROM ordered
+),
+per_version AS (
+  SELECT user_id, version, MIN(ts) AS valid_from, MIN(event_type) AS event_type
+  FROM versioned GROUP BY user_id, version
+)
+SELECT user_id, event_type, version, valid_from,
+       LEAD(valid_from) OVER wv AS valid_to,
+       (LEAD(valid_from) OVER wv IS NULL) AS is_current
+FROM per_version
+WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+"""
+
+
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction from the SCD2 history: the version
+    of each user live at 2024-01-15 (scd2_point_in_time — a plain
+    interval-containment filter, no join)."""
+    from .operators.scd import scd2_collapse, scd2_point_in_time
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    hist = scd2_collapse(
+        ev, ["user_id"], ["event_type"], ts_col="ts", tiebreak_col="event_id"
+    )
+    snap = scd2_point_in_time(hist, F.lit("2024-01-15").cast("timestamp"))
+    return snap.select("user_id", "event_type", "version", "valid_from")
+
+
+SQL_SCD2_SNAPSHOT = f"""
+WITH hist AS ({SQL_SCD2_USER_STATE})
+SELECT user_id, event_type, version, valid_from
+FROM hist
+WHERE valid_from <= TIMESTAMP '2024-01-15'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15')
+"""
+
+
+ANALYTICS_QUERIES["scd2_user_state"] = (q_scd2_user_state, SQL_SCD2_USER_STATE)
+ANALYTICS_QUERIES["scd2_snapshot"] = (q_scd2_snapshot, SQL_SCD2_SNAPSHOT)

@@ -347,3 +347,58 @@ def test_dedup_survivors_priority_keeps_best(spark):
     keep = sorted(r["id"] for r in out.filter("is_survivor").collect())
     assert keep == [3, 10, 99]
     assert out.count() == 6
+
+
+class TestScd2:
+    def test_scd2_intervals_partition_timeline(self, spark):
+        # versions per key must tile the key's lifetime: valid_to of
+        # version k == valid_from of k+1, exactly one open interval per
+        # key, and version numbering is dense from 1
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.scd import (
+            scd2_collapse,
+        )
+
+        rows = [
+            # user 1: A A B A  -> 3 versions (A, B, A)
+            (1, "A", 10, 100), (1, "A", 20, 101), (1, "B", 30, 102),
+            (1, "A", 40, 103),
+            # user 2: NULL NULL X -> 2 versions (NULL run collapses)
+            (2, None, 10, 200), (2, None, 20, 201), (2, "X", 30, 202),
+        ]
+        df = spark.createDataFrame(rows, ["k", "attr", "ts", "id"])
+        out = scd2_collapse(df, ["k"], ["attr"], "ts", "id").collect()
+        by_key: dict = {}
+        for r in out:
+            by_key.setdefault(r["k"], []).append(r)
+        assert len(by_key[1]) == 3 and len(by_key[2]) == 2
+        for k, rows_k in by_key.items():
+            rows_k.sort(key=lambda r: r["version"])
+            assert [r["version"] for r in rows_k] == list(
+                range(1, len(rows_k) + 1)
+            )
+            for a, b in zip(rows_k, rows_k[1:]):
+                assert a["valid_to"] == b["valid_from"]
+            assert rows_k[-1]["valid_to"] is None
+            assert [r["is_current"] for r in rows_k] == [False] * (
+                len(rows_k) - 1
+            ) + [True]
+        # island values survive the collapse
+        u1 = [r["attr"] for r in sorted(by_key[1], key=lambda r: r["version"])]
+        assert u1 == ["A", "B", "A"]
+        u2 = [r["attr"] for r in sorted(by_key[2], key=lambda r: r["version"])]
+        assert u2 == [None, "X"]
+
+    def test_scd2_point_in_time_is_exact_state(self, spark):
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.scd import (
+            scd2_collapse,
+            scd2_point_in_time,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [(1, "A", 10, 0), (1, "B", 30, 1), (2, "C", 50, 2)]
+        df = spark.createDataFrame(rows, ["k", "attr", "ts", "id"])
+        hist = scd2_collapse(df, ["k"], ["attr"], "ts", "id")
+        snap = scd2_point_in_time(hist, F.lit(20)).collect()
+        assert {(r["k"], r["attr"]) for r in snap} == {(1, "A")}
+        snap2 = scd2_point_in_time(hist, F.lit(60)).collect()
+        assert {(r["k"], r["attr"]) for r in snap2} == {(1, "B"), (2, "C")}

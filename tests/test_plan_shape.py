@@ -219,3 +219,10 @@ def test_rolling_event_value_single_window_shuffle(spark):
     plan = plan_of(spark, "rolling_event_value")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_scd2_single_key_shuffle(spark):
+    # the whole gaps-and-islands construction must reuse ONE exchange
+    # on the entity key (lag/run-sum windows + per-version agg + lead)
+    plan = plan_of(spark, "scd2_user_state")
+    assert plan.count("Exchange hashpartitioning") == 1
