@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "rolling_event_value",
     "scd2_user_state",
     "scd2_snapshot",
+    "incremental_pricing",
+    "skew_salted_segments",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

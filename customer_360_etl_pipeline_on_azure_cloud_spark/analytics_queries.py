@@ -342,3 +342,104 @@ WHERE valid_from <= TIMESTAMP '2024-01-15'
 
 ANALYTICS_QUERIES["scd2_user_state"] = (q_scd2_user_state, SQL_SCD2_USER_STATE)
 ANALYTICS_QUERIES["scd2_snapshot"] = (q_scd2_snapshot, SQL_SCD2_SNAPSHOT)
+
+
+# --- incremental aggregation + skew-safe join -------------------------------
+
+
+def q_incremental_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained rollup (operators/incremental.py): lineitem
+    arrives as two batches (orderkey parity stands in for two daily
+    loads); each batch collapses to its algebraic state table and the
+    states merge WITHOUT touching raw rows again. The merged state is
+    bit-identical to a from-scratch aggregate — integer-cents sums and
+    min/max merge associatively — which is exactly what the oracle
+    checks (its SQL is the from-scratch computation)."""
+    from .operators.incremental import finalize, merge_partials, partial_aggregate
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_shipdate",
+        _revenue_cents().alias("rev_c"),
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = {
+        "rev_cents": ("sum", "rev_c"),
+        "n_items": ("count", "rev_c"),
+        "first_ship": ("min", "l_shipdate"),
+        "last_ship": ("max", "l_shipdate"),
+    }
+    batch_even = li.filter(F.col("l_orderkey") % 2 == 0)
+    batch_odd = li.filter(F.col("l_orderkey") % 2 == 1)
+    state = merge_partials(
+        [
+            partial_aggregate(batch_even, keys, measures),
+            partial_aggregate(batch_odd, keys, measures),
+        ],
+        keys,
+        measures,
+    )
+    done = finalize(state, {"avg_rev": ("rev_cents", "n_items")})
+    return done.select(
+        *keys,
+        (F.col("rev_cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        "n_items",
+        "first_ship",
+        "last_ship",
+        (F.col("avg_rev") / F.lit(100.0)).alias("avg_revenue"),
+    )
+
+
+SQL_INCREMENTAL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM({_REVENUE_CENTS_SQL}) AS DOUBLE) / 100.0 AS revenue,
+       COUNT(*) AS n_items,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship,
+       CAST(SUM({_REVENUE_CENTS_SQL}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         / 100.0 AS avg_revenue
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_skew_salted_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim join through the driver contract
+    (operators/skew.py salted_join): events join customer on user key
+    with salt=8 — each (possibly hot) user key scatters across 8
+    sub-keys; the dim side replicates 8x. The aggregate result is
+    provably identical to the unsalted join, which is what the oracle
+    computes."""
+    from .operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", money_cents("value").alias("value_c")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = salted_join(ev, cust, on="user_id", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("value_c").cast("double") / F.lit(100.0)).alias("total_value"),
+    )
+
+
+SQL_SKEW_SALTED_SEGMENTS = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM({_cents_sql('value')}) AS DOUBLE) / 100.0 AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+ANALYTICS_QUERIES["incremental_pricing"] = (
+    q_incremental_pricing,
+    SQL_INCREMENTAL_PRICING,
+)
+ANALYTICS_QUERIES["skew_salted_segments"] = (
+    q_skew_salted_segments,
+    SQL_SKEW_SALTED_SEGMENTS,
+)

@@ -402,3 +402,51 @@ class TestScd2:
         assert {(r["k"], r["attr"]) for r in snap} == {(1, "A")}
         snap2 = scd2_point_in_time(hist, F.lit(60)).collect()
         assert {(r["k"], r["attr"]) for r in snap2} == {(1, "B"), (2, "C")}
+
+
+class TestIncremental:
+    def test_merge_order_invariant_and_equals_direct(self, spark):
+        # folding states in any order == direct aggregate over the union
+        from pyspark.sql import functions as F
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.incremental import (
+            finalize,
+            merge_partials,
+            partial_aggregate,
+        )
+
+        rows = [(i % 3, i, float(i)) for i in range(100)]
+        df = spark.createDataFrame(rows, ["k", "n", "x"])
+        measures = {
+            "s": ("sum", "n"),
+            "c": ("count", "n"),
+            "lo": ("min", "x"),
+            "hi": ("max", "x"),
+        }
+        batches = [df.filter(F.col("n") % 4 == i) for i in range(4)]
+        states = [partial_aggregate(b, ["k"], measures) for b in batches]
+        direct = {
+            r["k"]: (r["s"], r["c"], r["lo"], r["hi"])
+            for r in partial_aggregate(df, ["k"], measures).collect()
+        }
+        for order in ([0, 1, 2, 3], [3, 1, 0, 2]):
+            merged = merge_partials([states[i] for i in order], ["k"], measures)
+            got = {
+                r["k"]: (r["s"], r["c"], r["lo"], r["hi"])
+                for r in merged.collect()
+            }
+            assert got == direct
+        fin = finalize(
+            merge_partials(states, ["k"], measures), {"avg": ("s", "c")}
+        ).collect()
+        for r in fin:
+            assert r["avg"] == direct[r["k"]][0] / direct[r["k"]][1]
+
+    def test_non_algebraic_measure_rejected(self, spark):
+        import pytest as _pytest
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.incremental import (
+            partial_aggregate,
+        )
+
+        df = spark.createDataFrame([(1, 2.0)], ["k", "x"])
+        with _pytest.raises(ValueError, match="algebraic"):
+            partial_aggregate(df, ["k"], {"a": ("avg", "x")})

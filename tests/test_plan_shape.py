@@ -226,3 +226,21 @@ def test_scd2_single_key_shuffle(spark):
     # on the entity key (lag/run-sum windows + per-version agg + lead)
     plan = plan_of(spark, "scd2_user_state")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_skew_salted_segments_salts_the_join(spark):
+    # the contract query must actually run the salted construction:
+    # deterministic xxhash64 salt on the fact side, no cartesian
+    plan = plan_of(spark, "skew_salted_segments")
+    assert "xxhash64" in plan
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_merge_no_raw_reshuffle(spark):
+    # the state merge aggregates state rows only: exactly one final
+    # aggregate over the unioned states, with map-side partial agg
+    # (two HashAggregate levels per batch + merge level)
+    plan = plan_of(spark, "incremental_pricing")
+    assert "Union" in plan
+    assert "HashAggregate" in plan
