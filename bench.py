@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "scd2_snapshot",
     "incremental_pricing",
     "skew_salted_segments",
+    "value_outliers",
+    "zorder_layout",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -443,3 +443,112 @@ ANALYTICS_QUERIES["skew_salted_segments"] = (
     q_skew_salted_segments,
     SQL_SKEW_SALTED_SEGMENTS,
 )
+
+
+# --- robust outliers + z-order layout ---------------------------------------
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier profile per event_type: median and
+    median-absolute-deviation via exact interpolated percentile (the
+    oracle form; percentile_approx is the engine's 100 TB default —
+    aggregates.quantile_cutoffs), then count |x - med| > 3*MAD.
+
+    Two aggregate passes over events with a 5-row broadcast between
+    them — no window, no sort; both engines evaluate the identical
+    IEEE trees (ABS/compare on doubles), so the counts hash-match.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.sum(
+            (F.col("dev") > F.lit(3.0) * F.col("mad")).cast("long")
+        ).alias("n_outliers"),
+    )
+
+
+SQL_VALUE_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       MIN(d.med) AS med,
+       MIN(a.mad) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3.0::DOUBLE * a.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit (operators/layout.py): Morton-interleave
+    (l_partkey mod 256, l_suppkey mod 256), split the Z-range into 64
+    contiguous buckets (what 64 clustered files would hold) and report
+    each bucket's min/max in BOTH dimensions — the per-file skipping
+    bounds a Z-ordered write produces. Pure codegen'd bit arithmetic;
+    the oracle replays the identical interleave in SQL
+    (zorder_key_sql)."""
+    from .operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("px"),
+        (F.col("l_suppkey") % 256).alias("sx"),
+    )
+    z = li.withColumn("zkey", zorder_key(["px", "sx"], bits=8))
+    return (
+        z.groupBy(F.shiftright("zkey", 10).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("px").alias("px_min"),
+            F.max("px").alias("px_max"),
+            F.min("sx").alias("sx_min"),
+            F.max("sx").alias("sx_max"),
+        )
+    )
+
+
+def _zorder_layout_sql() -> str:
+    from .operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(["px", "sx"], bits=8)
+    return f"""
+WITH coords AS (
+  SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx FROM lineitem
+),
+keyed AS (
+  SELECT px, sx, ({z}) AS zkey FROM coords
+)
+SELECT zkey >> 10 AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(px) AS px_min, MAX(px) AS px_max,
+       MIN(sx) AS sx_min, MAX(sx) AS sx_max
+FROM keyed
+GROUP BY zbucket
+"""
+
+
+ANALYTICS_QUERIES["value_outliers"] = (q_value_outliers, SQL_VALUE_OUTLIERS)
+ANALYTICS_QUERIES["zorder_layout"] = (q_zorder_layout, _zorder_layout_sql())

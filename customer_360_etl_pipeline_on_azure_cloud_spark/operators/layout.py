@@ -1,0 +1,77 @@
+"""Data-layout optimization: Z-order (Morton) clustering keys.
+
+Multi-dimensional min/max file skipping is the highest-leverage scan
+optimization after partition pruning: sorting 100 TB of parquet by a
+Z-order key over (colA, colB) makes each file's min/max range tight in
+BOTH dimensions, so a reader filtering on either column (or both) skips
+most files — a linear sort on one column only skips for that column.
+
+``zorder_key`` builds the Morton interleave as a pure JVM expression
+tree (shift/and/or — whole-stage-codegen'd, no UDF); ``cluster_by_zorder``
+range-partitions + sorts by it, which is exactly the write-side layout
+Delta/Iceberg OPTIMIZE ZORDER produces.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: Iterable[Column | str], bits: int = 8) -> Column:
+    """Morton-interleave the low ``bits`` bits of each column into one
+    BIGINT key. Columns must already be non-negative integers scaled to
+    ``[0, 2^bits)`` (callers bucketize/normalize first — rank-based
+    normalization keeps skewed columns uniform).
+
+    The expression unrolls to ``bits * n_cols`` shift/mask/or terms —
+    constant-folded and codegen'd by Catalyst; at 8 bits x 2 cols the
+    whole key is ~32 JVM ops per row, no shuffle, no Python.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cs)
+    if n == 0:
+        raise ValueError("zorder_key: need at least one column")
+    if bits * n > 63:
+        raise ValueError(f"zorder_key: {bits} bits x {n} cols overflows BIGINT")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return out
+
+
+def zorder_key_sql(cols: Iterable[str], bits: int = 8) -> str:
+    """The identical interleave as ANSI SQL (oracle twin / pushdown into
+    engines that lack a native zorder). Kept in lockstep with
+    :func:`zorder_key`."""
+    cs = list(cols)
+    n = len(cs)
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            terms.append(f"((({c} >> {i}) & 1) << {i * n + j})")
+    return " | ".join(terms)
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: Iterable[Column | str],
+    bits: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Layout rewrite before a write: range-partition on the Z-key (so
+    files hold contiguous Z-ranges -> tight per-file min/max on every
+    interleaved dimension) and sort within partitions. Downstream:
+    ``.write.parquet(...)`` — parquet row-group stats then give readers
+    multi-column skipping for free."""
+    key = zorder_key(cols, bits).alias("__zkey")
+    out = df.withColumn("__zkey", key)
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, "__zkey")
+    else:
+        out = out.repartitionByRange("__zkey")
+    return out.sortWithinPartitions("__zkey").drop("__zkey")

@@ -450,3 +450,80 @@ class TestIncremental:
         df = spark.createDataFrame([(1, 2.0)], ["k", "x"])
         with _pytest.raises(ValueError, match="algebraic"):
             partial_aggregate(df, ["k"], {"a": ("avg", "x")})
+
+
+class TestZorder:
+    def test_zorder_key_is_a_bijection_on_the_grid(self, spark):
+        # every (x, y) in the 64x64 grid maps to a distinct key in
+        # [0, 4096) and the interleave round-trips
+        from pyspark.sql import functions as F
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.layout import (
+            zorder_key,
+        )
+
+        grid = (
+            spark.range(64)
+            .selectExpr("id AS x")
+            .crossJoin(spark.range(64).selectExpr("id AS y"))
+        )
+        keyed = grid.select("x", "y", zorder_key(["x", "y"], bits=6).alias("z"))
+        stats = keyed.agg(
+            F.countDistinct("z").alias("nd"),
+            F.min("z").alias("lo"),
+            F.max("z").alias("hi"),
+        ).collect()[0]
+        assert stats["nd"] == 64 * 64
+        assert stats["lo"] == 0 and stats["hi"] == 64 * 64 - 1
+        # de-interleave: even bits -> x, odd bits -> y
+        back = keyed.select(
+            "x", "y",
+            sum(
+                (F.shiftright("z", 2 * i).bitwiseAND(F.lit(1)) * (1 << i))
+                for i in range(6)
+            ).alias("x2"),
+            sum(
+                (F.shiftright("z", 2 * i + 1).bitwiseAND(F.lit(1)) * (1 << i))
+                for i in range(6)
+            ).alias("y2"),
+        )
+        assert back.filter("x != x2 OR y != y2").count() == 0
+
+    def test_cluster_by_zorder_tightens_both_dimensions(self, spark):
+        # after Z-clustering into 16 partitions, every partition's
+        # bounding box must be tight in BOTH dims; a linear sort on x
+        # leaves the y-range at full width in every partition
+        from pyspark.sql import functions as F
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.layout import (
+            cluster_by_zorder,
+        )
+
+        grid = (
+            spark.range(64)
+            .selectExpr("id AS x")
+            .crossJoin(spark.range(64).selectExpr("id AS y"))
+        )
+        clustered = cluster_by_zorder(grid, ["x", "y"], bits=6, num_partitions=16)
+        spans = (
+            clustered.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("x") - F.min("x")).alias("xs"),
+                (F.max("y") - F.min("y")).alias("ys"),
+            )
+            .collect()
+        )
+        assert len(spans) == 16
+        for r in spans:
+            # 4096 cells / 16 partitions = 256 cells; a Z-contiguous
+            # range of 256 cells spans at most 2 quadrant widths (<=31)
+            # in each dim -- far tighter than the full 63
+            assert r["xs"] <= 32 and r["ys"] <= 32, dict(r.asDict())
+
+    def test_zorder_key_rejects_overflow(self, spark):
+        import pytest as _pytest
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.layout import (
+            zorder_key,
+        )
+
+        with _pytest.raises(ValueError, match="overflows"):
+            zorder_key(["a", "b"], bits=32)
