@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "skew_salted_segments",
     "value_outliers",
     "zorder_layout",
+    "session_error_overlap",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -552,3 +552,83 @@ GROUP BY zbucket
 
 ANALYTICS_QUERIES["value_outliers"] = (q_value_outliers, SQL_VALUE_OUTLIERS)
 ANALYTICS_QUERIES["zorder_layout"] = (q_zorder_layout, _zorder_layout_sql())
+
+
+# --- keyed interval-overlap join --------------------------------------------
+
+
+def q_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval-overlap join (operators/joins.py
+    interval_overlap_join): which user sessions overlap a ±15-minute
+    window around one of that user's error events. Both interval sets
+    derive from the events fact (sessions via sessionize, windows via
+    interval arithmetic), the join explodes each interval to its hourly
+    buckets and equi-joins on (user_id, bucket) — one co-partitioned
+    shuffle, each overlapping pair emitted exactly once via the
+    first-shared-bucket rule, never a cartesian. Interval bounds are
+    integer epoch-micros, so the residual overlap predicate is exact.
+    """
+    from .operators.joins import interval_overlap_join
+    from .operators.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, ["user_id"], "ts", gap_seconds=1800,
+                   order_tiebreak=["event_id"])
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_start_us"),
+            F.max(F.unix_micros("ts")).alias("s_end_us"),
+        )
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("event_id").alias("error_id"),
+        (F.unix_micros("ts") - 15 * 60 * 1_000_000).alias("w_start_us"),
+        (F.unix_micros("ts") + 15 * 60 * 1_000_000).alias("w_end_us"),
+    )
+    pairs = interval_overlap_join(
+        sess,
+        err.withColumnRenamed("e_user_id", "user_id"),
+        "s_start_us", "s_end_us", "w_start_us", "w_end_us",
+        keys=["user_id"],
+        bucket=3600.0 * 1_000_000,
+    )
+    return pairs.select("user_id", "session_id", "error_id")
+
+
+SQL_SESSION_ERROR_OVERLAP = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), b AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS boundary
+  FROM g
+), s AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM b
+), sess AS (
+  SELECT user_id, session_id,
+         MIN(epoch_us(ts)) AS s_start_us, MAX(epoch_us(ts)) AS s_end_us
+  FROM s GROUP BY user_id, session_id
+), err AS (
+  SELECT user_id, event_id AS error_id,
+         epoch_us(ts) - 15 * 60 * 1000000 AS w_start_us,
+         epoch_us(ts) + 15 * 60 * 1000000 AS w_end_us
+  FROM events WHERE event_type = 'error'
+)
+SELECT sess.user_id, sess.session_id, err.error_id
+FROM sess JOIN err ON sess.user_id = err.user_id
+ AND sess.s_start_us <= err.w_end_us
+ AND err.w_start_us <= sess.s_end_us
+"""
+
+
+ANALYTICS_QUERIES["session_error_overlap"] = (
+    q_session_error_overlap,
+    SQL_SESSION_ERROR_OVERLAP,
+)

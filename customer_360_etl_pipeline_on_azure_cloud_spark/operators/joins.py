@@ -189,3 +189,67 @@ def banded_range_join(
         )
         .drop("__band")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    keys: Iterable[str] = (),
+    bucket: float = 3600.0,
+) -> DataFrame:
+    """Interval-overlap join (``l_start <= r_end AND r_start <= l_end``,
+    closed intervals) between two large tables of intervals, as a hash
+    EQUI-join on time buckets — the interval-interval member of the
+    range-join family (point-in-interval: banded_range_join; ordered
+    nearest-before: asof_join).
+
+    Both sides explode each interval to the buckets it covers
+    (``floor(start/bucket) .. floor(end/bucket)``); candidates meet on
+    (keys..., bucket). A pair overlapping several shared buckets would
+    be emitted once per bucket, so the join keeps only the FIRST shared
+    bucket — ``bucket_id == greatest(floor(l_start/bucket),
+    floor(r_start/bucket))`` — which every overlapping pair satisfies in
+    exactly one bucket: no distinct pass, no duplicate rows. The exact
+    overlap predicate is re-applied as a residual filter.
+
+    ``bucket`` is in the units of the interval columns (pass epoch
+    seconds + bucket=3600 for hourly banding); choose it near the
+    typical interval length so the per-row expansion stays ~2. One
+    co-partitioned shuffle on (keys, bucket); inner semantics only.
+    """
+    keys = list(keys)
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_start) / bucket).cast("long"),
+                F.floor(F.col(l_end) / bucket).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_start) / bucket).cast("long"),
+                F.floor(F.col(r_end) / bucket).cast("long"),
+            )
+        ),
+    )
+    first_shared = F.greatest(
+        F.floor(F.col(l_start) / bucket).cast("long"),
+        F.floor(F.col(r_start) / bucket).cast("long"),
+    )
+    return (
+        lb.join(rb, [*keys, "__bucket"])
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("__bucket") == first_shared)
+        )
+        .drop("__bucket")
+    )

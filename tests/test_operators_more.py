@@ -527,3 +527,72 @@ class TestZorder:
 
         with _pytest.raises(ValueError, match="overflows"):
             zorder_key(["a", "b"], bits=32)
+
+
+class TestIntervalOverlapJoin:
+    def test_pairs_exact_no_duplicates_across_buckets(self, spark):
+        # long intervals share MANY buckets — each overlapping pair must
+        # still come out exactly once (first-shared-bucket rule)
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "a", 0.0, 500.0), (1, "b", 600.0, 650.0), (2, "c", 0.0, 50.0)],
+            ["k", "lid", "ls", "le"],
+        )
+        right = spark.createDataFrame(
+            [(1, "x", 400.0, 700.0), (1, "y", 510.0, 590.0), (2, "z", 60.0, 70.0)],
+            ["k", "rid", "rs", "re"],
+        )
+        out = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", keys=["k"], bucket=10.0
+        )
+        pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+        # a-x overlap [400,500] across ~10 shared buckets -> once;
+        # b-x overlap at [600,650]; y overlaps neither (gap 500..510? a
+        # ends at 500, y starts 510); z starts after c ends -> no pair
+        assert pairs == [("a", "x"), ("b", "x")]
+
+    def test_touching_endpoints_are_closed_interval_overlaps(self, spark):
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        left = spark.createDataFrame([(1, "a", 0.0, 100.0)], ["k", "lid", "ls", "le"])
+        right = spark.createDataFrame([(1, "x", 100.0, 200.0)], ["k", "rid", "rs", "re"])
+        out = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", keys=["k"], bucket=30.0
+        )
+        assert [(r["lid"], r["rid"]) for r in out.collect()] == [("a", "x")]
+
+    def test_matches_cross_join_reference(self, spark):
+        # randomized-but-deterministic fixture vs the quadratic reference
+        from pyspark.sql import functions as F
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        base = spark.range(80).select(
+            (F.col("id") % 4).alias("k"),
+            F.col("id").alias("lid"),
+            (F.pmod(F.xxhash64("id"), F.lit(1000)) + 1000).cast("double").alias("ls"),
+        ).withColumn("le", F.col("ls") + F.pmod(F.xxhash64("lid", F.lit(1)), F.lit(200)).cast("double"))
+        other = spark.range(60).select(
+            (F.col("id") % 4).alias("k"),
+            F.col("id").alias("rid"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)) + 1000).cast("double").alias("rs"),
+        ).withColumn("re", F.col("rs") + F.pmod(F.xxhash64("rid", F.lit(3)), F.lit(200)).cast("double"))
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                base, other, "ls", "le", "rs", "re", keys=["k"], bucket=50.0
+            ).collect()
+        )
+        want = sorted(
+            (r["lid"], r["rid"])
+            for r in base.join(other, "k")
+            .filter((F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")))
+            .collect()
+        )
+        assert got == want and len(got) > 0

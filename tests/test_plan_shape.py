@@ -244,3 +244,12 @@ def test_incremental_merge_no_raw_reshuffle(spark):
     plan = plan_of(spark, "incremental_pricing")
     assert "Union" in plan
     assert "HashAggregate" in plan
+
+
+def test_session_error_overlap_no_cartesian(spark):
+    # the interval-overlap join must be a hash equi-join on
+    # (user_id, bucket) — never BNLJ/cartesian
+    plan = plan_of(spark, "session_error_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__bucket" in plan
