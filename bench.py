@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "value_outliers",
     "zorder_layout",
     "session_error_overlap",
+    "streaming_attribution",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

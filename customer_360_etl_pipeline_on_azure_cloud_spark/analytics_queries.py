@@ -632,3 +632,87 @@ ANALYTICS_QUERIES["session_error_overlap"] = (
     q_session_error_overlap,
     SQL_SESSION_ERROR_OVERLAP,
 )
+
+
+# --- stream-stream attribution join -----------------------------------------
+
+
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join through the contract
+    (streaming/incremental.py stream_stream_interval_join): click events
+    join purchase events of the same user landing within 30 minutes —
+    the canonical attribution query. Both sides are availableNow file
+    streams; with static input the emitted pair set equals the batch
+    join bit-for-bit, which is what the oracle computes.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .streaming.incremental import run_incremental, stream_stream_interval_join
+
+    tune(spark, shuffle_partitions=32)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+
+    def _stream() -> DataFrame:
+        s = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        if isinstance(s.schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+    )
+    joined = stream_stream_interval_join(
+        clicks.withColumnRenamed("user_id", "key"),
+        purchases.withColumnRenamed("p_user_id", "key"),
+        key="key",
+        l_ts="click_ts",
+        r_ts="purchase_ts",
+        max_delay="30 minutes",
+    )
+    out = joined.select(
+        F.col("key").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="c360_q_attr_")
+    name = f"stream_attr_{os.path.basename(ckpt).split('_')[-1]}"
+    run_incremental(out, os.path.join(ckpt, "ckpt"), name, mode="append")
+    return spark.table(name)
+
+
+SQL_STREAMING_ATTRIBUTION = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(c.ts) AS click_ts_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+ANALYTICS_QUERIES["streaming_attribution"] = (
+    q_streaming_attribution,
+    SQL_STREAMING_ATTRIBUTION,
+)

@@ -93,3 +93,38 @@ def run_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_ts: str,
+    r_ts: str,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows match left rows
+    with the same ``key`` whose timestamp falls in
+    ``[l_ts, l_ts + max_delay]`` — the attribution join (click ->
+    purchase within the window) that batch as-of/range joins express
+    offline.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on BOTH streams, so Spark can evict matched-out state: left rows
+    older than ``watermark + max_delay`` past the right watermark can
+    never match again and are dropped — bounded state at 100 TB/day
+    rates. Under ``availableNow`` over static files the whole input
+    arrives before the terminal batch, so the emitted set equals the
+    batch join exactly (oracle-checkable).
+    """
+    lw = left.withWatermark(l_ts, watermark)
+    rw = right.withWatermark(r_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[r_ts] >= lw[l_ts])
+        & (rw[r_ts] <= lw[l_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    # both sides keep their key attribute after a condition join; drop
+    # the right one so downstream selects are unambiguous
+    return lw.join(rw, cond, "inner").drop(rw[key])

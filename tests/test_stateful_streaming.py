@@ -86,3 +86,41 @@ def test_stateful_sessionize_matches_batch(spark):
         assert ("u3", _ts(5), _ts(15), 2) in got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_stream_join_equals_batch_join(spark):
+    # availableNow stream-stream interval join over a static file must
+    # emit exactly the batch join's pair set
+    from pyspark.sql import functions as F
+    from conftest import SF_SMALL
+    from customer_360_etl_pipeline_on_azure_cloud_spark.testdata_queries import (
+        CORE_QUERIES,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    fn, _ = CORE_QUERIES["streaming_attribution"]
+    got = {tuple(r) for r in fn(spark, SF_SMALL).collect()}
+
+    ev = load_table(spark, SF_SMALL, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        tuple(r)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select("user_id", "click_id", "purchase_id",
+                F.unix_micros("cts").alias("click_ts_us"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
