@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "zorder_layout",
     "session_error_overlap",
     "streaming_attribution",
+    "priority_grouping_sets",
+    "value_histogram",
+    "segment_event_chisq",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

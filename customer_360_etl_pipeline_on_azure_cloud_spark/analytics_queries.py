@@ -716,3 +716,138 @@ ANALYTICS_QUERIES["streaming_attribution"] = (
     q_streaming_attribution,
     SQL_STREAMING_ATTRIBUTION,
 )
+
+
+# --- grouping sets, histogram, contingency ----------------------------------
+
+
+def q_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS with grouping_id: totals by
+    (status, priority), by priority alone, and grand total in ONE pass
+    (Spark plans a single Expand + hash aggregate — at scale this beats
+    three jobs + union by reading the fact once)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(money_cents("o_totalprice")).cast("double") / F.lit(100.0)).alias(
+                "total"
+            ),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+SQL_PRIORITY_GROUPING_SETS = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM({_cents_sql('o_totalprice')}) AS DOUBLE) / 100.0 AS total,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins over [0, 500)) of event values per
+    event_type — one hash aggregate over a computed bin column. The bin
+    uses explicit FLOOR arithmetic (identical IEEE tree on both
+    engines) rather than width_bucket, whose internal rounding is
+    implementation-defined."""
+    ev = _t(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / F.lit(25.0)).cast("long")
+    return (
+        ev.withColumn("bin", bin_col)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", F.col("bin").cast("double") * F.lit(25.0))
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT event_type, CAST(FLOOR(value / 25.0::DOUBLE) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(CAST(FLOOR(value / 25.0::DOUBLE) AS BIGINT) AS DOUBLE)
+         * 25.0::DOUBLE AS bin_lo
+FROM events
+GROUP BY 1, 2, 4
+"""
+
+
+def q_segment_event_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency profile of market segment x event type:
+    observed counts, independence-expected counts and per-cell chi-square
+    contributions. Counts aggregate exactly (integers); the expected /
+    contribution doubles are derived per-cell with identical expression
+    trees on both engines, and no doubles are ever re-aggregated (the
+    float-sum partition-order trap). Row/column/grand totals come from
+    window sums over the 25-cell table — no extra scan."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    cells = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    w_row = Window.partitionBy("c_mktsegment")
+    w_col = Window.partitionBy("event_type")
+    w_all = Window.partitionBy()
+    out = (
+        cells.withColumn("row_tot", F.sum("obs").over(w_row))
+        .withColumn("col_tot", F.sum("obs").over(w_col))
+        .withColumn("grand_tot", F.sum("obs").over(w_all))
+    )
+    exp = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand_tot").cast("double")
+    )
+    diff = F.col("obs").cast("double") - F.col("expected")
+    return (
+        out.withColumn("expected", exp)
+        .withColumn("chisq", diff * diff / F.col("expected"))
+        .select("c_mktsegment", "event_type", "obs", "expected", "chisq")
+    )
+
+
+SQL_SEGMENT_EVENT_CHISQ = """
+WITH cells AS (
+  SELECT c_mktsegment, event_type, COUNT(*) AS obs
+  FROM events JOIN customer ON user_id = c_custkey
+  GROUP BY c_mktsegment, event_type
+), tot AS (
+  SELECT c_mktsegment, event_type, obs,
+         SUM(obs) OVER (PARTITION BY c_mktsegment) AS row_tot,
+         SUM(obs) OVER (PARTITION BY event_type) AS col_tot,
+         SUM(obs) OVER () AS grand_tot
+  FROM cells
+)
+SELECT c_mktsegment, event_type, obs,
+       CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+         / CAST(grand_tot AS DOUBLE) AS expected,
+       (CAST(obs AS DOUBLE) - (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+         / CAST(grand_tot AS DOUBLE)))
+       * (CAST(obs AS DOUBLE) - (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+         / CAST(grand_tot AS DOUBLE)))
+       / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+         / CAST(grand_tot AS DOUBLE)) AS chisq
+FROM tot
+"""
+
+
+ANALYTICS_QUERIES["priority_grouping_sets"] = (
+    q_priority_grouping_sets,
+    SQL_PRIORITY_GROUPING_SETS,
+)
+ANALYTICS_QUERIES["value_histogram"] = (q_value_histogram, SQL_VALUE_HISTOGRAM)
+ANALYTICS_QUERIES["segment_event_chisq"] = (
+    q_segment_event_chisq,
+    SQL_SEGMENT_EVENT_CHISQ,
+)
