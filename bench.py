@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     "priority_grouping_sets",
     "value_histogram",
     "segment_event_chisq",
+    "cheapest_supplier_per_part",
+    "embedding_norms",
+    "top3_parts_per_supplier",
+    "order_value_quartiles",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

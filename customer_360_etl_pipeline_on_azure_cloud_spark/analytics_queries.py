@@ -851,3 +851,166 @@ ANALYTICS_QUERIES["segment_event_chisq"] = (
     q_segment_event_chisq,
     SQL_SEGMENT_EVENT_CHISQ,
 )
+
+
+# --- argmin join, HOF vector stats, top-k>1, NTILE --------------------------
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min subquery): for each part sold at
+    its minimum extended price, which supplier sells it at that price.
+    Decorrelated the Spark-first way: per-part min as ONE partial-agg'd
+    aggregate, broadcast back against the fact — never a per-row
+    subquery. Ties on the min price are resolved by keeping every
+    (part, supplier) at the min (set semantics, dedup'd), exactly what
+    the oracle's correlated predicate does."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", money_cents("l_extendedprice").alias("price_c")
+    )
+    mins = li.groupBy("l_partkey").agg(F.min("price_c").alias("min_price_c"))
+    at_min = (
+        li.join(F.broadcast(mins), "l_partkey")
+        .filter(F.col("price_c") == F.col("min_price_c"))
+        .select("l_partkey", "l_suppkey", "min_price_c")
+        .distinct()
+    )
+    return at_min.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("min_price_c").cast("double") / F.lit(100.0)).alias("min_price"),
+    )
+
+
+SQL_CHEAPEST_SUPPLIER_PER_PART = f"""
+WITH priced AS (
+  SELECT l_partkey, l_suppkey, {_cents_sql('l_extendedprice')} AS price_c
+  FROM lineitem
+)
+SELECT DISTINCT l_partkey, l_suppkey,
+       CAST(price_c AS DOUBLE) / 100.0 AS min_price
+FROM priced p
+WHERE price_c = (SELECT MIN(price_c) FROM priced m
+                 WHERE m.l_partkey = p.l_partkey)
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function vector statistics: per-embedding dimension,
+    L2 norm and max |component| via zip_with/aggregate/transform — all
+    JVM-side, no UDF, narrow map. The norm uses the same sequential
+    fold as the ANN operators, so DuckDB's list_dot_product twin is
+    bit-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.sqrt(_dot_local(v, v)).alias("l2_norm"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("max_abs"),
+    )
+
+
+def _dot_local(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm,
+       list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS max_abs
+FROM embeddings
+"""
+
+
+def q_top3_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-k per group with k>1 (operators/windows.py top_k_per_group):
+    each supplier's 3 highest-revenue lineitems under a total order
+    (revenue desc, orderkey, linenumber). One shuffle + per-partition
+    sort; rank exposed."""
+    from .operators.windows import top_k_per_group
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        _revenue_cents().alias("rev_c"),
+    )
+    out = top_k_per_group(
+        li,
+        ["l_suppkey"],
+        [F.col("rev_c").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=3,
+        rank_col="rk",
+    )
+    return out.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        (F.col("rev_c").cast("double") / F.lit(100.0)).alias("revenue"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+SQL_TOP3_PARTS_PER_SUPPLIER = f"""
+WITH ranked AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         {_REVENUE_CENTS_SQL} AS rev_c,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+             ORDER BY {_REVENUE_CENTS_SQL} DESC, l_orderkey, l_linenumber) AS rk
+  FROM lineitem
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue, rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+def q_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth bucketing via NTILE(4) under a total order
+    (totalprice cents, orderkey tiebreak): per-quartile row counts and
+    exact min/max bounds — the distribution summary an equi-depth
+    histogram build produces.
+
+    SCALE NOTE: an unpartitioned window is a single-partition sort —
+    this exact-tiling form is the ORACLE/small-data path. At 100 TB use
+    aggregates.quantile_cutoffs (approx percentile cutoffs, one
+    mergeable-sketch aggregate) + bucketize: same buckets up to sketch
+    error, no global sort."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", money_cents("o_totalprice").alias("price_c")
+    )
+    w = Window.orderBy("price_c", "o_orderkey")
+    tiled = o.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    return tiled.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.min("price_c").cast("double") / F.lit(100.0)).alias("lo"),
+        (F.max("price_c").cast("double") / F.lit(100.0)).alias("hi"),
+    )
+
+
+SQL_ORDER_VALUE_QUARTILES = f"""
+WITH tiled AS (
+  SELECT {_cents_sql('o_totalprice')} AS price_c,
+         CAST(NTILE(4) OVER (ORDER BY {_cents_sql('o_totalprice')}, o_orderkey)
+              AS BIGINT) AS quartile
+  FROM orders
+)
+SELECT quartile, COUNT(*) AS n,
+       CAST(MIN(price_c) AS DOUBLE) / 100.0 AS lo,
+       CAST(MAX(price_c) AS DOUBLE) / 100.0 AS hi
+FROM tiled GROUP BY quartile
+"""
+
+
+ANALYTICS_QUERIES["cheapest_supplier_per_part"] = (
+    q_cheapest_supplier_per_part,
+    SQL_CHEAPEST_SUPPLIER_PER_PART,
+)
+ANALYTICS_QUERIES["embedding_norms"] = (q_embedding_norms, SQL_EMBEDDING_NORMS)
+ANALYTICS_QUERIES["top3_parts_per_supplier"] = (
+    q_top3_parts_per_supplier,
+    SQL_TOP3_PARTS_PER_SUPPLIER,
+)
+ANALYTICS_QUERIES["order_value_quartiles"] = (
+    q_order_value_quartiles,
+    SQL_ORDER_VALUE_QUARTILES,
+)

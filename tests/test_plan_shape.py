@@ -253,3 +253,19 @@ def test_session_error_overlap_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "__bucket" in plan
+
+
+def test_cheapest_supplier_min_join_no_subquery_loop(spark):
+    # the decorrelated argmin: one aggregate + one broadcast join back,
+    # never a nested-loop/cartesian correlated evaluation
+    plan = plan_of(spark, "cheapest_supplier_per_part")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_embedding_norms_no_shuffle_no_python(spark):
+    # HOF vector stats are a pure narrow map: no Exchange, no Python
+    plan = plan_of(spark, "embedding_norms")
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "FlatMapGroupsInPandas" not in plan
