@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "embedding_norms",
     "top3_parts_per_supplier",
     "order_value_quartiles",
+    "orders_upsert",
+    "orders_change_feed",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

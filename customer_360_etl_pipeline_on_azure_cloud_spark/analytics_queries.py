@@ -1014,3 +1014,119 @@ ANALYTICS_QUERIES["order_value_quartiles"] = (
     q_order_value_quartiles,
     SQL_ORDER_VALUE_QUARTILES,
 )
+
+
+# --- MERGE upsert + snapshot diff (CDC) -------------------------------------
+
+
+def _orders_update_batch(o: DataFrame) -> DataFrame:
+    """Deterministic synthetic update batch: every 7th order gets +10%
+    price and URGENT priority; every 13th NEW key (beyond the max) is an
+    insert. Pure expressions over the orders scan — replayable in SQL."""
+    upd = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn(
+            "o_totalprice",
+            (money_cents("o_totalprice") * 110).cast("double") / F.lit(10000.0),
+        )
+        .withColumn("o_orderpriority", F.lit("1-URGENT"))
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+    )
+    return upd.unionByName(ins)
+
+
+_ORDERS_UPDATE_SQL = """
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 110 AS DOUBLE)
+           / 10000.0 AS o_totalprice,
+         o_orderdate, '1-URGENT' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+def q_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through the contract (operators/upsert.py
+    merge_upsert): a synthetic update batch (price bumps + new keys)
+    merged into orders with whole-row update semantics — LeftAnti on
+    the key + append, one join, no window. The summary aggregate proves
+    update rows replaced (not duplicated) and inserts landed."""
+    from .operators.upsert import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    merged = merge_upsert(o, _orders_update_batch(o), keys=["o_orderkey"])
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(money_cents("o_totalprice")).cast("double") / F.lit(100.0)).alias(
+            "total"
+        ),
+    )
+
+
+SQL_ORDERS_UPSERT = f"""
+WITH updates AS ({_ORDERS_UPDATE_SQL}),
+merged AS (
+  SELECT * FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM({_cents_sql('o_totalprice')}) AS DOUBLE) / 100.0 AS total
+FROM merged GROUP BY o_orderpriority
+"""
+
+
+def q_orders_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data feed (operators/upsert.py
+    snapshot_diff): old orders vs post-merge orders — one full-outer
+    join on the key, null-safe column comparison, unchanged keys
+    dropped. Emits exactly the update batch's effect: 'update' rows for
+    the price bumps, 'insert' rows for the new keys."""
+    from .operators.upsert import merge_upsert, snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    new = merge_upsert(o, _orders_update_batch(o), keys=["o_orderkey"])
+    diff = snapshot_diff(
+        o, new, keys=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderpriority"],
+    )
+    return diff.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "change_type"
+    )
+
+
+SQL_ORDERS_CHANGE_FEED = f"""
+WITH updates AS ({_ORDERS_UPDATE_SQL}),
+merged AS (
+  SELECT * FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice,
+       COALESCE(n.o_orderpriority, o.o_orderpriority) AS o_orderpriority,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN n.o_totalprice IS DISTINCT FROM o.o_totalprice
+              OR n.o_orderpriority IS DISTINCT FROM o.o_orderpriority
+            THEN 'update' END AS change_type
+FROM orders o FULL OUTER JOIN merged n ON o.o_orderkey = n.o_orderkey
+WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+       OR n.o_orderpriority IS DISTINCT FROM o.o_orderpriority)
+"""
+
+
+ANALYTICS_QUERIES["orders_upsert"] = (q_orders_upsert, SQL_ORDERS_UPSERT)
+ANALYTICS_QUERIES["orders_change_feed"] = (
+    q_orders_change_feed,
+    SQL_ORDERS_CHANGE_FEED,
+)

@@ -596,3 +596,61 @@ class TestIntervalOverlapJoin:
             .collect()
         )
         assert got == want and len(got) > 0
+
+
+class TestUpsertDiff:
+    def test_merge_upsert_replaces_and_inserts(self, spark):
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.upsert import (
+            merge_upsert,
+        )
+
+        target = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+        )
+        updates = spark.createDataFrame([(2, "B"), (9, "Z")], ["k", "v"])
+        got = sorted(tuple(r) for r in merge_upsert(target, updates, ["k"]).collect())
+        assert got == [(1, "a"), (2, "B"), (3, "c"), (9, "Z")]
+
+    def test_snapshot_diff_classifies_all_change_types(self, spark):
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.upsert import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "d")], ["k", "v"]
+        )
+        new = spark.createDataFrame(
+            [(1, "a"), (2, "B"), (3, None), (5, "e")], ["k", "v"]
+        )
+        got = {
+            (r["k"], r["v"], r["change_type"])
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        }
+        # 1 unchanged, 3 NULL==NULL unchanged (null-safe compare),
+        # 2 updated, 4 deleted (old value kept), 5 inserted
+        assert got == {
+            (2, "B", "update"),
+            (4, "d", "delete"),
+            (5, "e", "insert"),
+        }
+
+    def test_upsert_then_diff_roundtrip(self, spark):
+        # diff(old, merge_upsert(old, updates)) recovers exactly the
+        # effective updates (idempotent rows drop out)
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.upsert import (
+            merge_upsert,
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "x"]
+        )
+        updates = spark.createDataFrame(
+            [(2, 99.0), (3, 30.0), (7, 70.0)], ["k", "x"]
+        )
+        new = merge_upsert(old, updates, ["k"])
+        got = {
+            (r["k"], r["x"], r["change_type"])
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        }
+        assert got == {(2, 99.0, "update"), (7, 70.0, "insert")}
