@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "order_value_quartiles",
     "orders_upsert",
     "orders_change_feed",
+    "funnel_stages",
+    "cohort_retention",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -1130,3 +1130,113 @@ ANALYTICS_QUERIES["orders_change_feed"] = (
     q_orders_change_feed,
     SQL_ORDERS_CHANGE_FEED,
 )
+
+
+# --- funnel + cohort retention ----------------------------------------------
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (click -> view -> purchase): per user, the first
+    click, the first view AFTER that click, the first purchase AFTER
+    that view; funnel_stage = how deep the user got. Three aggregate
+    passes with per-user scalar joins between them (each a partial-agg'd
+    shuffle on user_id — the stages reuse one partitioning); timestamps
+    compare as exact integer micros."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    t1 = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("us").alias("t1")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(t1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    out = (
+        users.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return out.select(
+        "user_id", stage.cast("long").alias("funnel_stage"), "t1", "t2", "t3"
+    )
+
+
+SQL_FUNNEL_STAGES = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), t1 AS (
+  SELECT user_id, MIN(us) AS t1 FROM ev WHERE event_type = 'click'
+  GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(us) AS t2 FROM ev e JOIN t1 USING (user_id)
+  WHERE event_type = 'view' AND us > t1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(us) AS t3 FROM ev e JOIN t2 USING (user_id)
+  WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage,
+       t1, t2, t3
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    distinct active users per (cohort_day, day_offset). Two aggregates
+    sharing the user_id partitioning (first-day scalar broadcast back),
+    integer day arithmetic only."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(epoch_us(ts) / 86400000000.0::DOUBLE) AS BIGINT) AS day
+  FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM ev JOIN first USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
+ANALYTICS_QUERIES["funnel_stages"] = (q_funnel_stages, SQL_FUNNEL_STAGES)
+ANALYTICS_QUERIES["cohort_retention"] = (q_cohort_retention, SQL_COHORT_RETENTION)
