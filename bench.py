@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "orders_change_feed",
     "funnel_stages",
     "cohort_retention",
+    "weighted_doc_sample",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -1240,3 +1240,36 @@ GROUP BY cohort_day, day_offset
 
 ANALYTICS_QUERIES["funnel_stages"] = (q_funnel_stages, SQL_FUNNEL_STAGES)
 ANALYTICS_QUERIES["cohort_retention"] = (q_cohort_retention, SQL_COHORT_RETENTION)
+
+
+# --- weighted deterministic sampling ----------------------------------------
+
+
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (operators/sampling.py
+    weighted_sample): keep probability min(1, 0.5 * n_chars/500) — long
+    documents survive at a higher rate. The md5 gate compares integers
+    (hex prefix -> integer vs per-row floored threshold), so the oracle
+    replays the exact selection; no randomness, no layout dependence,
+    no shuffle."""
+    from .operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    w = F.col("n_chars").cast("double") / F.lit(500.0)
+    return weighted_sample(docs, "doc_id", w, base_rate=0.5)
+
+
+SQL_WEIGHTED_DOC_SAMPLE = """
+SELECT doc_id, n_chars, source
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+    < CAST(FLOOR(LEAST(1.0::DOUBLE,
+                       0.5::DOUBLE * (CAST(n_chars AS DOUBLE) / 500.0::DOUBLE))
+                 * 4294967296.0::DOUBLE) AS BIGINT)
+"""
+
+
+ANALYTICS_QUERIES["weighted_doc_sample"] = (
+    q_weighted_doc_sample,
+    SQL_WEIGHTED_DOC_SAMPLE,
+)

@@ -81,3 +81,30 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(rate_threshold(rate, nhex))
         ).otherwise(thresh)
     return df.filter(gate < thresh)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    base_rate: float,
+    salt: str = "",
+    nhex: int = _NHEX,
+) -> DataFrame:
+    """Weight-proportional hash-gated sampling: each row is kept with
+    probability ``min(1, base_rate * weight)`` — quality-weighted corpus
+    mixing (keep high-quality documents at a higher rate) without any
+    randomness.
+
+    The gate compares the INTEGER value of the md5 prefix against a
+    per-row integer threshold ``floor(min(1, base_rate*weight) *
+    16^nhex)`` — integer comparison, so the DuckDB twin replays it
+    exactly; the float product is computed with the identical expression
+    tree on both engines before the single floor. Same key, same weight
+    -> same fate on any layout; still monotone in ``base_rate``.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    p = F.least(F.lit(1.0), F.lit(float(base_rate)) * w.cast("double"))
+    thresh = F.floor(p * F.lit(float(16**nhex))).cast("long")
+    gate_int = F.conv(_gate(F.col(key_col), salt, nhex), 16, 10).cast("long")
+    return df.filter(gate_int < thresh)

@@ -654,3 +654,38 @@ class TestUpsertDiff:
             for r in snapshot_diff(old, new, ["k"]).collect()
         }
         assert got == {(2, 99.0, "update"), (7, 70.0, "insert")}
+
+
+class TestWeightedSample:
+    def test_rate_monotone_and_weight_proportional(self, spark):
+        from pyspark.sql import functions as F
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        df = spark.range(4000).select(
+            F.col("id").alias("k"),
+            # two weight classes: 0.2 and 1.0
+            F.when(F.col("id") % 2 == 0, F.lit(0.2)).otherwise(F.lit(1.0)).alias("w"),
+        )
+        small = weighted_sample(df, "k", "w", base_rate=0.3)
+        big = weighted_sample(df, "k", "w", base_rate=0.6)
+        s_keys = {r["k"] for r in small.collect()}
+        b_keys = {r["k"] for r in big.collect()}
+        # monotone: raising base_rate only adds rows
+        assert s_keys <= b_keys
+        # weight-proportional keep rates (within sampling tolerance)
+        hi = small.filter("w = 1.0").count() / 2000
+        lo = small.filter("w = 0.2").count() / 2000
+        assert abs(hi - 0.3) < 0.05 and abs(lo - 0.06) < 0.03
+        # deterministic: re-running yields the identical set
+        assert {r["k"] for r in weighted_sample(df, "k", "w", 0.3).collect()} == s_keys
+
+    def test_weight_above_one_caps_at_certainty(self, spark):
+        from pyspark.sql import functions as F
+        from customer_360_etl_pipeline_on_azure_cloud_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        df = spark.range(500).select(F.col("id").alias("k"), F.lit(50.0).alias("w"))
+        assert weighted_sample(df, "k", "w", base_rate=0.5).count() == 500
