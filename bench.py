@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "funnel_stages",
     "cohort_retention",
     "weighted_doc_sample",
+    "referential_integrity",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -1273,3 +1273,64 @@ ANALYTICS_QUERIES["weighted_doc_sample"] = (
     q_weighted_doc_sample,
     SQL_WEIGHTED_DOC_SAMPLE,
 )
+
+
+# --- referential-integrity audit --------------------------------------------
+
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest validation: orphan counts across the star schema's FK
+    edges (lineitem->orders, lineitem->part, lineitem->supplier,
+    orders->customer) — each edge one LeftAnti join against a
+    key-projected dim, counted. Anti joins build only the key column;
+    the four audits are independent scans unioned into one 4-row
+    report (at 100 TB run them in one job — Spark schedules the
+    branches concurrently)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = [
+        ("lineitem->orders",
+         li.select(F.col("l_orderkey").alias("k")),
+         o.select(F.col("o_orderkey").alias("k"))),
+        ("lineitem->part",
+         li.select(F.col("l_partkey").alias("k")),
+         _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))),
+        ("lineitem->supplier",
+         li.select(F.col("l_suppkey").alias("k")),
+         _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))),
+        ("orders->customer",
+         o.select(F.col("o_custkey").alias("k")),
+         _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))),
+    ]
+    reports = [
+        child.join(parent, "k", "left_anti").agg(
+            F.lit(edge).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_orphans"),
+        )
+        for edge, child, parent in edges
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+SQL_REFERENTIAL_INTEGRITY = """
+SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS n_orphans
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem->part', COUNT(*)
+FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'lineitem->supplier', COUNT(*)
+FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+UNION ALL
+SELECT 'orders->customer', COUNT(*)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+ANALYTICS_QUERIES["referential_integrity"] = (
+    q_referential_integrity,
+    SQL_REFERENTIAL_INTEGRITY,
+)
