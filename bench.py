@@ -110,6 +110,11 @@ BENCH_QUERIES = [
     "cohort_retention",
     "weighted_doc_sample",
     "referential_integrity",
+    "dataset_split",
+    "pii_redaction",
+    "doc_repetition",
+    "contamination_check",
+    "numeric_correlation",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

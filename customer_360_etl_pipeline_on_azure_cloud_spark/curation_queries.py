@@ -1,0 +1,374 @@
+"""Training-data curation queries: dataset splits, PII redaction,
+repetition scoring, benchmark contamination, numeric correlation.
+
+These are the corpus-governance operations a 100 TB pretraining pipeline
+runs between raw ingest and tokenization — each expressed as narrow maps
+and hash aggregations (never all-pairs, never driver loops), each with a
+full rows+schema+hash DuckDB oracle.
+
+Exactness rules follow testdata_queries.py: integer comparisons for all
+thresholds, md5 (engine-portable) for hash gates and digests, identical
+IEEE expression trees when a double must cross engines, and regex
+restricted to the Java∩RE2 common syntax so both engines interpret the
+same pattern string identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import word_shingles
+from .operators.sampling import split_assign, split_band_sql
+from .operators.text import PII_ORDER, PII_PATTERNS, pii_counts, redact_pii
+from .operators.util import finalize, spread
+from .session import tune
+from .sources.tables import load_table
+
+CURATION_QUERIES: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark, shuffle_partitions=32)
+    return load_table(spark, sf_dir, name)
+
+
+# --- deterministic train/val/test split -------------------------------------
+
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-banded train/val/test assignment + per-(split, lang) corpus
+    accounting (doc and token totals) — the report a curation run emits
+    before materializing splits.
+
+    Scale notes: the assignment is a narrow map (pure function of
+    doc_id; provably disjoint+exhaustive bands, see
+    operators/sampling.py:split_assign), so the only shuffle is the
+    final small aggregation. At 100 TB the same plan holds: scan →
+    map → partial agg → 1 small exchange.
+    """
+    d = split_assign(_t(spark, sf_dir, "documents"), "doc_id", SPLIT_FRACTIONS)
+    return d.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")).cast("long")).alias(
+            "total_tokens"
+        ),
+    )
+
+
+SQL_DATASET_SPLIT = f"""
+SELECT {split_band_sql("doc_id", SPLIT_FRACTIONS)} AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+CURATION_QUERIES["dataset_split"] = (q_dataset_split, SQL_DATASET_SPLIT)
+
+
+# --- PII redaction audit ----------------------------------------------------
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-redact audit over the corpus. The synthetic corpus is
+    PII-clean, so the query PLANTS deterministic PII (an email, a phone,
+    an IP derived from doc_id) before redacting — both engines build the
+    identical planted text, so the oracle verifies the redaction rules
+    themselves, not a vacuous no-op. Output: per-doc hit counts per PII
+    kind + md5 of the redacted text (proves the replacement bytes, not
+    just the counts).
+
+    Scale notes: regexp_count/regexp_replace chains are JVM codegen
+    narrow maps — this runs at scan speed with zero shuffles (the
+    output is per-document, no aggregation).
+    """
+    d = spread(_t(spark, sf_dir, "documents"))
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.col("doc_id").cast("string"),
+        F.lit(" at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return d.select(
+        "doc_id",
+        *pii_counts(planted),
+        F.md5(redact_pii(planted)).alias("redacted_md5"),
+    )
+
+
+_PII_PLANT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com or +1-555-' || CAST(doc_id AS VARCHAR) || "
+    "' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
+def _pii_redact_sql(inner: str) -> str:
+    out = inner
+    for kind in PII_ORDER:
+        pattern, token = PII_PATTERNS[kind]
+        out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out
+
+
+SQL_PII_REDACTION = f"""
+WITH planted AS (SELECT doc_id, {_PII_PLANT_SQL} AS p FROM documents)
+SELECT doc_id,
+       {", ".join(
+           f"CAST(len(regexp_extract_all(p, '{PII_PATTERNS[k][0]}')) AS BIGINT)"
+           f" AS n_{k}"
+           for k in PII_ORDER
+       )},
+       md5({_pii_redact_sql("p")}) AS redacted_md5
+FROM planted
+"""
+
+CURATION_QUERIES["pii_redaction"] = (q_pii_redaction, SQL_PII_REDACTION)
+
+
+# --- repetition scoring (Gopher-style quality rule) -------------------------
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-bigram fraction — the classic "repetitive
+    document" quality gate: a doc whose word-bigram stream is >=20%
+    duplicates is flagged. Integer-only comparison keeps the flag
+    engine-exact.
+
+    The bigram array is built inside a let-binding lambda
+    (``transform(array(split(..)), t -> ...)``) so CollapseProject
+    cannot inline the tokenization into every element of the inner
+    lambda — without the binding, Catalyst re-evaluates split() per
+    bigram (the interpreted-HOF trap documented in operators/dedup.py).
+    Narrow map + no shuffle; at 100 TB this is scan-bound.
+    """
+    d = spread(_t(spark, sf_dir, "documents"))
+    grams = F.element_at(
+        F.expr(
+            "transform(array(split(trim(text), ' ')), t -> "
+            "CASE WHEN size(t) >= 2 THEN "
+            "  transform(sequence(2, size(t)), "
+            "            i -> concat(element_at(t, i-1), ' ', element_at(t, i))) "
+            "ELSE cast(array() as array<string>) END)"
+        ),
+        1,
+    )
+    g = d.select("doc_id", grams.alias("g"))
+    n = F.size("g").cast("long")
+    nd = F.size(F.array_distinct("g")).cast("long")
+    return g.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        nd.alias("n_distinct"),
+        (
+            (n > 0) & ((n - nd) * 100 >= n * 20)
+        ).alias("is_repetitive"),
+    )
+
+
+SQL_DOC_REPETITION = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+gr AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS s
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+nd AS (SELECT doc_id, COUNT(DISTINCT s) AS n_distinct FROM gr GROUP BY doc_id)
+SELECT toks.doc_id,
+       CAST(CASE WHEN len(t) >= 2 THEN len(t)-1 ELSE 0 END AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(nd.n_distinct, 0) AS BIGINT) AS n_distinct,
+       (CASE WHEN len(t) >= 2 THEN len(t)-1 ELSE 0 END > 0
+        AND (CASE WHEN len(t) >= 2 THEN len(t)-1 ELSE 0 END
+             - COALESCE(nd.n_distinct, 0)) * 100
+            >= CASE WHEN len(t) >= 2 THEN len(t)-1 ELSE 0 END * 20)
+         AS is_repetitive
+FROM toks LEFT JOIN nd ON toks.doc_id = nd.doc_id
+"""
+
+CURATION_QUERIES["doc_repetition"] = (q_doc_repetition, SQL_DOC_REPETITION)
+
+
+# --- benchmark contamination check ------------------------------------------
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan: which corpus documents share >=50%
+    of their distinct word-3-grams with a benchmark set (here: every
+    97th document stands in for the held-out benchmark). The real-world
+    decontamination pass before training on scraped data.
+
+    Scale notes: benchmark n-gram vocabularies are small (eval sets are
+    MBs, not TBs) → broadcast them; the corpus side is one explode + one
+    hash aggregation — no self-join, no all-pairs. The exploded shingle
+    table is persisted once (three consumers) and released via
+    finalize(); at 100 TB the broadcast stays constant-size while the
+    corpus side scales linearly.
+    """
+    d = spread(_t(spark, sf_dir, "documents"))
+    return contamination_report(
+        d, bench_filter=F.col("doc_id") % 97 == 0, threshold_pct=50
+    )
+
+
+def contamination_report(
+    df: DataFrame,
+    bench_filter: Column,
+    threshold_pct: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Shared construction for the contamination scan (lazy form
+    inspectable by plan tests via ``materialize=False``; the default
+    eagerly finalizes so the persisted shingle table is released)."""
+    sh = df.select(
+        id_col, F.explode(word_shingles(text_col, n)).alias("s")
+    ).persist()
+    bench = F.broadcast(sh.filter(bench_filter).select("s").distinct())
+    corp = sh.filter(~bench_filter)
+    own = corp.groupBy(id_col).agg(F.count(F.lit(1)).alias("own_grams"))
+    hits = (
+        corp.join(bench, "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("bench_hits"))
+    )
+    out = (
+        own.join(hits, id_col, "left")
+        .na.fill(0, ["bench_hits"])
+        .select(
+            id_col,
+            "own_grams",
+            "bench_hits",
+            (
+                F.col("bench_hits") * 100 >= F.col("own_grams") * threshold_pct
+            ).alias("contaminated"),
+        )
+    )
+    if not materialize:
+        return out
+    return finalize(out, sh)
+
+
+SQL_CONTAMINATION_CHECK = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+        FROM toks WHERE len(t) >= 3)
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+own AS (SELECT doc_id, COUNT(*) AS own_grams FROM corp GROUP BY doc_id),
+hits AS (SELECT corp.doc_id, COUNT(*) AS bench_hits
+         FROM corp JOIN bench USING (s) GROUP BY corp.doc_id)
+SELECT own.doc_id, own.own_grams,
+       CAST(COALESCE(hits.bench_hits, 0) AS BIGINT) AS bench_hits,
+       COALESCE(hits.bench_hits, 0) * 100 >= own.own_grams * 50 AS contaminated
+FROM own LEFT JOIN hits ON own.doc_id = hits.doc_id
+"""
+
+CURATION_QUERIES["contamination_check"] = (
+    q_contamination_check,
+    SQL_CONTAMINATION_CHECK,
+)
+
+
+# --- numeric correlation matrix ---------------------------------------------
+
+#: (label, pair) entries for the lineitem correlation report.
+_CORR_PAIRS = [
+    ("qty_price", "q", "p"),
+    ("qty_discount", "q", "d"),
+    ("price_discount", "p", "d"),
+]
+
+
+def q_numeric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric columns
+    (quantity, price-dollars, discount-bps) computed from INTEGER
+    moment sums — one aggregation pass, then the closed-form r in
+    doubles with the identical expression tree on both engines, so the
+    result is bit-exact across engines (double sums would be
+    partition-order-dependent; integer sums are associative).
+
+    Scale notes: single scan → partial aggregation → 1-row result;
+    products are summed as decimal(38,0) so the moments cannot overflow
+    at any corpus size. The 3-row unpivot happens on the 1-row agg.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity"), 0).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice"), 0).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in ("q", "p", "d"):
+        aggs.append(F.sum(c).alias(f"s{c}"))
+    for a, b in (("q", "q"), ("p", "p"), ("d", "d"), ("q", "p"), ("q", "d"), ("p", "d")):
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(f"s{a}{b}")
+        )
+    s = li.agg(*aggs)
+
+    def dbl(name: str) -> Column:
+        return F.col(name).cast("double")
+
+    def corr(a: str, b: str) -> Column:
+        return (dbl("n") * dbl(f"s{a}{b}") - dbl(f"s{a}") * dbl(f"s{b}")) / (
+            F.sqrt(dbl("n") * dbl(f"s{a}{a}") - dbl(f"s{a}") * dbl(f"s{a}"))
+            * F.sqrt(dbl("n") * dbl(f"s{b}{b}") - dbl(f"s{b}") * dbl(f"s{b}"))
+        )
+
+    return s.select(
+        *[corr(a, b).alias(label) for label, a, b in _CORR_PAIRS]
+    ).selectExpr(
+        "stack(3, "
+        + ", ".join(f"'{label}', {label}" for label, _, _ in _CORR_PAIRS)
+        + ") AS (pair, corr)"
+    )
+
+
+def _corr_sql(a: str, b: str) -> str:
+    def dbl(name: str) -> str:
+        return f"CAST({name} AS DOUBLE)"
+
+    return (
+        f"({dbl('n')} * {dbl('s'+a+b)} - {dbl('s'+a)} * {dbl('s'+b)}) / "
+        f"(sqrt({dbl('n')} * {dbl('s'+a+a)} - {dbl('s'+a)} * {dbl('s'+a)}) * "
+        f"sqrt({dbl('n')} * {dbl('s'+b+b)} - {dbl('s'+b)} * {dbl('s'+b)}))"
+    )
+
+
+SQL_NUMERIC_CORRELATION = f"""
+WITH c AS (
+  SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS p,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS d
+  FROM lineitem
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
+         SUM(q*q) AS sqq, SUM(q*p) AS sqp, SUM(q*d) AS sqd,
+         SUM(p*p) AS spp, SUM(p*d) AS spd, SUM(d*d) AS sdd
+  FROM c
+)
+SELECT 'qty_price' AS pair, {_corr_sql("q", "p")} AS corr FROM s
+UNION ALL
+SELECT 'qty_discount', {_corr_sql("q", "d")} FROM s
+UNION ALL
+SELECT 'price_discount', {_corr_sql("p", "d")} FROM s
+"""
+
+CURATION_QUERIES["numeric_correlation"] = (
+    q_numeric_correlation,
+    SQL_NUMERIC_CORRELATION,
+)

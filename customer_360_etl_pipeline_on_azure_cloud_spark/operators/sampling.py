@@ -83,6 +83,52 @@ def stratified_sample(
     return df.filter(gate < thresh)
 
 
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    nhex: int = _NHEX,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: partition the md5-prefix
+    space into contiguous bands, one per split label, sized by
+    ``fractions`` (must sum to ~1; the last label absorbs rounding).
+    Adds a ``split`` column — a pure function of the key, so the same
+    document lands in the same split on every cluster layout, across
+    re-runs, and across any table keyed by the same id (features,
+    embeddings, labels stay split-consistent). Bands (not per-split
+    salts) make the splits PROVABLY disjoint and exhaustive.
+
+    Narrow map — no shuffle; a later partitioned write by ``split`` is
+    the only exchange a split materialization needs.
+    """
+    gate = _gate(F.col(key_col), salt, nhex)
+    items = list(fractions.items())
+    expr: Column = F.lit(items[-1][0])  # last band absorbs the remainder
+    cum = 0.0
+    bounds: list[tuple[str, str]] = []
+    for label, frac in items[:-1]:
+        cum += frac
+        bounds.append((label, rate_threshold(cum, nhex)))
+    for label, upper in reversed(bounds):
+        expr = F.when(gate < upper, F.lit(label)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_band_sql(
+    key_sql: str, fractions: dict[str, float], nhex: int = _NHEX
+) -> str:
+    """The DuckDB CASE expression replaying split_assign's bands — kept
+    next to the operator so the two band constructions can't drift."""
+    items = list(fractions.items())
+    gate = f"substring(md5(CAST({key_sql} AS VARCHAR)), 1, {nhex})"
+    cases, cum = [], 0.0
+    for label, frac in items[:-1]:
+        cum += frac
+        cases.append(f"WHEN {gate} < '{rate_threshold(cum, nhex)}' THEN '{label}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{items[-1][0]}' END"
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,

@@ -215,3 +215,45 @@ def text_profile(
         quality_class(t).alias("quality"),
         fingerprint(t).alias("fp"),
     )
+
+
+# --- PII detection / redaction ----------------------------------------------
+
+#: Patterns restricted to the syntax Java regex (Spark) and RE2 (DuckDB,
+#: Go, Rust regex crate) interpret IDENTICALLY — character classes,
+#: bounded repetition, \b word boundaries. No backreferences, no
+#: lookaround (RE2 has neither), so the same pattern string is portable
+#: to any engine a redaction audit might replay on.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d{1,3}-\d{3}-\d+", "<PHONE>"),
+}
+
+#: Application order matters: emails first (their local parts may embed
+#: digits/dots an IP pattern could nibble), then IPs, then phones.
+PII_ORDER = ("email", "ip", "phone")
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its placeholder token. A chain of
+    regexp_replace calls — all JVM-side, codegen-friendly, no shuffle;
+    at 100 TB this runs at scan speed alongside the other narrow maps."""
+    out = F.col(text) if isinstance(text, str) else text
+    for kind in PII_ORDER:
+        pattern, token = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """One count column per PII kind (pre-redaction hit counts) for
+    audit reports; counts run on the raw text so they are independent
+    of redaction order."""
+    t = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(t, F.lit(PII_PATTERNS[kind][0])).cast("long").alias(
+            f"n_{kind}"
+        )
+        for kind in PII_ORDER
+    ]

@@ -2454,3 +2454,10 @@ CORE_QUERIES["table_profile"] = (q_table_profile, SQL_TABLE_PROFILE)
 from .analytics_queries import ANALYTICS_QUERIES  # noqa: E402
 
 CORE_QUERIES.update(ANALYTICS_QUERIES)
+
+
+# --- training-data curation (splits, PII, repetition, contamination) --------
+
+from .curation_queries import CURATION_QUERIES  # noqa: E402
+
+CORE_QUERIES.update(CURATION_QUERIES)

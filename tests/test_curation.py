@@ -1,0 +1,94 @@
+"""Unit gates for the curation operators: split disjointness/stability,
+PII redaction on planted fixtures, repetition flagging, contamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.sampling import (
+    deterministic_sample,
+    split_assign,
+)
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+    pii_counts,
+    redact_pii,
+)
+
+
+def test_split_assign_disjoint_exhaustive_stable(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(df, "k", fr)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # exhaustive: every row got exactly one label
+    assert sum(counts.values()) == 5000
+    # roughly proportional (md5 is uniform; 5000 keys, generous bounds)
+    assert 3700 <= counts["train"] <= 4300
+    assert 300 <= counts["val"] <= 700
+    assert 300 <= counts["test"] <= 700
+    # stable across partitionings
+    a = {r["k"]: r["split"] for r in out.collect()}
+    b = {r["k"]: r["split"]
+         for r in split_assign(df.repartition(13), "k", fr).collect()}
+    assert a == b
+
+
+def test_split_train_band_is_superset_of_sample(spark):
+    # the train band [0, 0.8) equals the deterministic_sample(rate=0.8) set
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    train = {
+        r["k"]
+        for r in split_assign(df, "k", {"train": 0.8, "rest": 0.2})
+        .filter(F.col("split") == "train")
+        .collect()
+    }
+    sampled = {r["k"] for r in deterministic_sample(df, "k", 0.8).collect()}
+    assert train == sampled
+
+
+def test_redact_pii_planted(spark):
+    rows = [
+        (1, "mail me at alice.smith+x@corp.example.org please"),
+        (2, "server 192.168.100.7 rebooted, backup 10.0.0.254 ok"),
+        (3, "call +1-555-0199 or +44-202-7946000"),
+        (4, "clean text with no personal data at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        r["id"]: (r["red"], r["n_email"], r["n_ip"], r["n_phone"])
+        for r in df.select(
+            "id", redact_pii("t").alias("red"), *pii_counts("t")
+        ).collect()
+    }
+    assert got[1] == ("mail me at <EMAIL> please", 1, 0, 0)
+    assert got[2] == ("server <IP> rebooted, backup <IP> ok", 0, 2, 0)
+    assert got[3] == ("call <PHONE> or <PHONE>", 0, 0, 2)
+    assert got[4] == ("clean text with no personal data at all", 0, 0, 0)
+
+
+def test_doc_repetition_flags_planted_doc(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.curation_queries import (
+        q_doc_repetition,
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam spam spam", "en", "s", 30),
+                (2, "one two three four five six seven", "en", "s", 33),
+                (3, "solo", "en", "s", 4),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["doc_id"]: r.asDict() for r in q_doc_repetition(spark, td).collect()}
+    # doc 1: 5 bigrams, 1 distinct -> 80% duplicates -> flagged
+    assert out[1]["n_bigrams"] == 5 and out[1]["n_distinct"] == 1
+    assert out[1]["is_repetitive"] is True
+    # doc 2: all bigrams unique -> clean
+    assert out[2]["is_repetitive"] is False
+    # doc 3: single token -> zero bigrams, never flagged
+    assert out[3]["n_bigrams"] == 0 and out[3]["is_repetitive"] is False

@@ -269,3 +269,43 @@ def test_embedding_norms_no_shuffle_no_python(spark):
     plan = plan_of(spark, "embedding_norms")
     assert "Exchange" not in plan
     assert "Python" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_pii_redaction_is_shuffle_free_scan(spark):
+    # redaction must run at scan speed: no hash-partitioned shuffle, no
+    # join, no aggregate (the only allowed Exchange is spread()'s
+    # RoundRobin small-input fan-out, a no-op on real inputs)
+    plan = plan_of(spark, "pii_redaction")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan and "Aggregate" not in plan
+    # regex chain stays JVM-side (no Python evaluation nodes)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "regexp_replace" in plan
+
+
+def test_dataset_split_single_aggregation(spark):
+    # hash-band assignment is a narrow map: exactly one shuffle (the
+    # final group-by), nothing for the split assignment itself
+    plan = plan_of(spark, "dataset_split")
+    assert plan.count("Exchange") <= 2  # partial->final agg + AQE read
+    assert "Join" not in plan
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    # finalize() hides the executed plan behind a checkpoint scan, so pin
+    # the lazy form of the shared construction instead
+    from pyspark.sql import functions as F
+    from customer_360_etl_pipeline_on_azure_cloud_spark.curation_queries import (
+        contamination_report,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+    spark.catalog.clearCache()
+    d = load_table(spark, SF_SMALL, "documents")
+    out = contamination_report(
+        d, bench_filter=F.col("doc_id") % 97 == 0, materialize=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
