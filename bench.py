@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "doc_repetition",
     "contamination_check",
     "numeric_correlation",
+    "doc_chunking",
+    "lang_quota_sample",
+    "source_mixture_plan",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

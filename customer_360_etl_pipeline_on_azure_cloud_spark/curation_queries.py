@@ -372,3 +372,209 @@ CURATION_QUERIES["numeric_correlation"] = (
     q_numeric_correlation,
     SQL_NUMERIC_CORRELATION,
 )
+
+
+# --- fixed-size token chunking with stride ----------------------------------
+
+_CHUNK, _STRIDE = 32, 24
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice every document into 32-token chunks with stride 24 (8-token
+    overlap) — the standard context-window chunking step before
+    tokenization/embedding. One generator per document (explode of the
+    chunk-start sequence), then pure array slicing: the tokenization is
+    computed once per input row in the projection below the Generate
+    (pipelined in codegen, NOT re-evaluated per chunk), and the output
+    is (doc, chunk ordinal, start, length, text).
+
+    Scale notes: narrow map + generate — zero shuffles, output rows ~
+    tokens/stride per doc. At 100 TB this is the shape you want: chunk
+    locality follows document locality, no repartition needed before a
+    partitioned write.
+    """
+    d = spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("t")
+    )
+    e = d.select(
+        "doc_id",
+        "t",
+        F.explode(F.expr(f"sequence(1, size(t), {_STRIDE})")).alias("start"),
+    )
+    return e.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {_STRIDE} AS BIGINT)").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_pos"),
+        F.expr(
+            f"slice(t, start, least({_CHUNK}, size(t) - start + 1))"
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "start_pos",
+        F.size("c").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("c")).alias("chunk_text"),
+    )
+
+
+SQL_DOC_CHUNKING = f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+starts AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), {_STRIDE})) AS i
+  FROM toks
+)
+SELECT doc_id,
+       CAST((i - 1) // {_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(i AS BIGINT) AS start_pos,
+       CAST(len(t[i:least(i + {_CHUNK} - 1, len(t))]) AS BIGINT) AS n_tokens,
+       array_to_string(t[i:least(i + {_CHUNK} - 1, len(t))], ' ') AS chunk_text
+FROM starts
+"""
+
+CURATION_QUERIES["doc_chunking"] = (q_doc_chunking, SQL_DOC_CHUNKING)
+
+
+# --- per-stratum quota sampling ---------------------------------------------
+
+_QUOTA = 40
+
+
+def q_lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-language selection: rank documents inside each
+    language by md5(doc_id) (a deterministic stand-in for random order)
+    and keep the first 40 — quota sampling where rates must be EXACT
+    counts, not expected values. The (hash, doc_id) order is total, so
+    the pick set is unique and layout-independent.
+
+    Scale notes: one hash-partitioned window per language. When a
+    stratum dominates (skewed lang distribution at 100 TB), switch to
+    the two-phase top-k in operators/windows.py:top_k_per_group — same
+    semantics, per-partition pre-top-k before the shuffle caps the
+    window input at partitions*quota rows.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    w = Window.partitionBy("lang").orderBy(gate.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= _QUOTA)
+    )
+
+
+SQL_LANG_QUOTA_SAMPLE = f"""
+SELECT doc_id, lang, pick_rank
+FROM (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         ) AS BIGINT) AS pick_rank
+  FROM documents
+)
+WHERE pick_rank <= {_QUOTA}
+"""
+
+CURATION_QUERIES["lang_quota_sample"] = (
+    q_lang_quota_sample,
+    SQL_LANG_QUOTA_SAMPLE,
+)
+
+
+# --- source-mixture planning (token-budget sampling rates) ------------------
+
+_PER_SOURCE_TOKEN_TARGET = 600.0
+
+
+def q_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: compute per-source keep-rates that hit a token
+    budget (600 tokens per source here), apply them with the integer
+    md5 gate, and report planned vs achieved per source. This is the
+    mixture-weighting pass every pretraining corpus build runs: rates
+    derive from aggregate token counts, selection stays a deterministic
+    pure function of doc_id.
+
+    Scale notes: the per-source plan is aggregate-sized (one row per
+    source) → broadcast back onto the corpus; the corpus is scanned
+    twice (count pass + gate pass) which at 100 TB is the honest cost
+    of budget-exact rates — cache only the tiny plan, never the corpus.
+    The thresholds are integers in the output, so the oracle replays
+    the selection bit-for-bit.
+    """
+    from .operators.sampling import gate_int
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("ntok"),
+    )
+    totals = docs.groupBy("source").agg(
+        F.sum("ntok").alias("tokens_total"),
+        F.count(F.lit(1)).alias("n_docs_total"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(_PER_SOURCE_TOKEN_TARGET) / F.col("tokens_total").cast("double"),
+    )
+    plan = totals.withColumn(
+        "thr", F.floor(rate * F.lit(4294967296.0)).cast("long")
+    )
+    kept = (
+        docs.join(F.broadcast(plan.select("source", "thr")), "source")
+        .filter(gate_int(F.col("doc_id")) < F.col("thr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("ntok").alias("tokens_kept"),
+        )
+    )
+    return (
+        plan.join(kept, "source", "left")
+        .na.fill(0, ["n_docs_kept", "tokens_kept"])
+        .select(
+            "source",
+            "n_docs_total",
+            "tokens_total",
+            "thr",
+            "n_docs_kept",
+            "tokens_kept",
+        )
+    )
+
+
+SQL_SOURCE_MIXTURE_PLAN = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ntok
+  FROM documents
+),
+tot AS (
+  SELECT source, SUM(ntok) AS tokens_total, COUNT(*) AS n_docs_total
+  FROM docs GROUP BY source
+),
+plan AS (
+  SELECT source, n_docs_total, CAST(tokens_total AS BIGINT) AS tokens_total,
+         CAST(FLOOR(LEAST(1.0::DOUBLE,
+                          {_PER_SOURCE_TOKEN_TARGET}::DOUBLE
+                            / CAST(tokens_total AS DOUBLE))
+                    * 4294967296.0::DOUBLE) AS BIGINT) AS thr
+  FROM tot
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_docs_kept, SUM(d.ntok) AS tokens_kept
+  FROM docs d JOIN plan p USING (source)
+  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) < p.thr
+  GROUP BY d.source
+)
+SELECT p.source, p.n_docs_total, p.tokens_total, p.thr,
+       CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+FROM plan p LEFT JOIN kept k USING (source)
+"""
+
+CURATION_QUERIES["source_mixture_plan"] = (
+    q_source_mixture_plan,
+    SQL_SOURCE_MIXTURE_PLAN,
+)

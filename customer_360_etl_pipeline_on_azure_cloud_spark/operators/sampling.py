@@ -83,6 +83,13 @@ def stratified_sample(
     return df.filter(gate < thresh)
 
 
+def gate_int(key: Column, salt: str = "", nhex: int = _NHEX) -> Column:
+    """The md5 gate as a bigint in [0, 16^nhex) — for operators that
+    compare against a COMPUTED per-row/per-group threshold (weighted or
+    planned sampling) instead of a constant hex literal."""
+    return F.conv(_gate(key, salt, nhex), 16, 10).cast("long")
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,
