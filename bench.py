@@ -118,6 +118,10 @@ BENCH_QUERIES = [
     "doc_chunking",
     "lang_quota_sample",
     "source_mixture_plan",
+    "nation_revenue_share",
+    "daily_value_gapfill",
+    "tfidf_keywords",
+    "sliding_active_users",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -1334,3 +1334,178 @@ ANALYTICS_QUERIES["referential_integrity"] = (
     q_referential_integrity,
     SQL_REFERENTIAL_INTEGRITY,
 )
+
+
+# --- ratio-to-report window (share of total) --------------------------------
+
+
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its region's revenue — the ratio-to-report
+    window every BI layer ships. Revenue aggregates as integer cents
+    (associative, layout-independent); the share divides the two exact
+    integers in doubles with the identical expression tree on both
+    engines.
+
+    Scale notes: the heavy work is one partial-aggregated groupBy on the
+    fact table; the window runs over the 25-row nation aggregate —
+    window cost is independent of fact size.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", _revenue_cents().alias("c"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("c").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "revenue_cents",
+        (
+            F.col("revenue_cents").cast("double")
+            / F.sum("revenue_cents").over(w).cast("double")
+        ).alias("region_share"),
+    )
+
+
+SQL_NATION_REVENUE_SHARE = f"""
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name, SUM({_REVENUE_CENTS_SQL}) AS revenue_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name, CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(revenue_cents AS DOUBLE)
+         / CAST(SUM(revenue_cents) OVER (PARTITION BY r_name) AS DOUBLE)
+         AS region_share
+FROM per_nation
+"""
+
+
+ANALYTICS_QUERIES["nation_revenue_share"] = (
+    q_nation_revenue_share,
+    SQL_NATION_REVENUE_SHARE,
+)
+
+
+# --- calendar gap-fill with LOCF --------------------------------------------
+
+
+def q_daily_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize the per-type daily value series onto a complete
+    calendar: build the (day x event_type) scaffold from the observed
+    date bounds, left-join the actual daily sums, and carry the last
+    observation forward (leading gaps fill 0). The standard time-series
+    densification before charting/forecasting.
+
+    Scale notes: the scaffold is dimension-sized (days x types — KBs
+    even for a decade) and broadcast; the fact side is one partial
+    aggregation. The LOCF window runs on the scaffold-sized result,
+    never on raw events, so its cost is independent of fact volume.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("c").alias("cents"))
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    scaffold = days.crossJoin(types)
+    filled = scaffold.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "day",
+        F.coalesce(F.last("cents", ignorenulls=True).over(w), F.lit(0)).alias(
+            "filled_cents"
+        ),
+    )
+
+
+SQL_DAILY_VALUE_GAPFILL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+days AS (
+  SELECT CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))
+              AS DATE) AS day
+  FROM daily
+),
+scaffold AS (SELECT t.event_type, d.day
+             FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN days d)
+SELECT s.event_type, s.day,
+       CAST(COALESCE(last_value(daily.cents IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+         AS filled_cents
+FROM scaffold s
+LEFT JOIN daily ON s.event_type = daily.event_type AND s.day = daily.day
+"""
+
+
+ANALYTICS_QUERIES["daily_value_gapfill"] = (
+    q_daily_value_gapfill,
+    SQL_DAILY_VALUE_GAPFILL,
+)
+
+
+# --- sliding-window distinct users ------------------------------------------
+
+
+def q_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per 6-hour window sliding every 2 hours —
+    the overlapping-window engagement metric, via Spark's native
+    ``window()`` generator (each event expands into window/slide = 3
+    instances; epoch-aligned, so the oracle regenerates the instances
+    with integer epoch arithmetic).
+
+    Scale notes: the expansion factor is window/slide (bounded, here
+    3x); exact countDistinct is the two-shuffle plan — beyond ~10^9
+    events switch to approx_count_distinct (HLL, one shuffle, mergeable)
+    exactly as in supplier_distinct_parts(approx=True).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            F.col("n_users"),
+        )
+    )
+
+
+SQL_SLIDING_ACTIVE_USERS = """
+WITH inst AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(ts) % CAST(7200000000 AS BIGINT))
+           - k.k * CAST(7200000000 AS BIGINT) AS win_start_us
+  FROM events, (SELECT unnest([0, 1, 2]) AS k) k
+)
+SELECT win_start_us, COUNT(DISTINCT user_id) AS n_users
+FROM inst GROUP BY 1
+"""
+
+
+ANALYTICS_QUERIES["sliding_active_users"] = (
+    q_sliding_active_users,
+    SQL_SLIDING_ACTIVE_USERS,
+)

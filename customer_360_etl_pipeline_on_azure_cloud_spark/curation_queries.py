@@ -578,3 +578,57 @@ CURATION_QUERIES["source_mixture_plan"] = (
     q_source_mixture_plan,
     SQL_SOURCE_MIXTURE_PLAN,
 )
+
+
+# --- distinctive-keyword extraction (integer-exact tf-idf ranking) ----------
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document, ranked by (tf DESC, df ASC,
+    term ASC) — the tf-idf ordering without the float idf: for a fixed
+    document, log(N/df) is monotone decreasing in df, so ranking by
+    (tf desc, df asc) reproduces tf*idf's order wherever tf ties break
+    by rarity, and the all-integer sort key keeps the pick set
+    engine-exact (float tf-idf scores tie-break unpredictably).
+
+    Scale notes: term frequencies partial-aggregate; the document
+    frequency table is vocabulary-sized -> broadcast back; top-3 is a
+    bounded window per doc. Never materializes a doc x vocab matrix.
+    """
+    from pyspark.sql import Window
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+SQL_TFIDF_KEYWORDS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, term, tf, df, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC
+         ) AS BIGINT) AS rank
+  FROM tf JOIN df ON tf.term = df.term
+)
+WHERE rank <= 3
+"""
+
+CURATION_QUERIES["tfidf_keywords"] = (q_tfidf_keywords, SQL_TFIDF_KEYWORDS)
