@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "daily_value_gapfill",
     "tfidf_keywords",
     "sliding_active_users",
+    "group_quantiles_approx",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

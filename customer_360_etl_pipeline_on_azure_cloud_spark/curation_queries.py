@@ -632,3 +632,41 @@ WHERE rank <= 3
 """
 
 CURATION_QUERIES["tfidf_keywords"] = (q_tfidf_keywords, SQL_TFIDF_KEYWORDS)
+
+
+# --- approx-quantile accuracy statement (scale-default verification) --------
+
+
+def q_group_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The library's SCALE default for quantiles is percentile_approx
+    (KLL-style mergeable sketch, one shuffle, bounded memory — the exact
+    form materializes the column per group). This query restates that
+    default as a driver-checkable accuracy statement: per return-flag
+    group, the approx median must land within the exact [p45, p55]
+    value band (accuracy=10000 guarantees rank error <= n/10000, orders
+    of magnitude tighter than the band). Violating groups are emitted;
+    the oracle asserts the violation set is EMPTY — same pattern as the
+    simhash completeness check.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_p50"),
+        F.percentile("l_quantity", F.lit(0.45)).alias("lo"),
+        F.percentile("l_quantity", F.lit(0.55)).alias("hi"),
+    )
+    return g.filter(
+        (F.col("approx_p50") < F.col("lo")) | (F.col("approx_p50") > F.col("hi"))
+    ).select("l_returnflag", "approx_p50", "lo", "hi")
+
+
+SQL_GROUP_QUANTILES_APPROX = """
+SELECT l_returnflag,
+       CAST(NULL AS DOUBLE) AS approx_p50,
+       CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi
+FROM lineitem WHERE FALSE
+"""
+
+CURATION_QUERIES["group_quantiles_approx"] = (
+    q_group_quantiles_approx,
+    SQL_GROUP_QUANTILES_APPROX,
+)
