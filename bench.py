@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "tfidf_keywords",
     "sliding_active_users",
     "group_quantiles_approx",
+    "cumulative_unique_users",
+    "event_transitions",
+    "shard_balance",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

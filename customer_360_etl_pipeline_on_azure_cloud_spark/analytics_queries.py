@@ -1509,3 +1509,134 @@ ANALYTICS_QUERIES["sliding_active_users"] = (
     q_sliding_active_users,
     SQL_SLIDING_ACTIVE_USERS,
 )
+
+
+# --- cumulative distinct users (growth curve) -------------------------------
+
+
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of distinct users ever seen, per day — the growth
+    curve. A naive running-distinct needs per-row distinct state; the
+    scalable identity is: distinct-so-far(d) = count of users whose
+    FIRST event day <= d. One first-seen aggregation (partial-agg
+    friendly), one day-level count, one cumulative window over the tiny
+    day axis.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+SQL_CUMULATIVE_UNIQUE_USERS = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT first_day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day
+)
+SELECT first_day AS day, new_users,
+       SUM(new_users) OVER (ORDER BY first_day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+FROM per_day
+"""
+
+
+ANALYTICS_QUERIES["cumulative_unique_users"] = (
+    q_cumulative_unique_users,
+    SQL_CUMULATIVE_UNIQUE_USERS,
+)
+
+
+# --- event-transition matrix (path analysis) --------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over per-user event sequences: for each
+    consecutive (prev event, next event) pair in a user's timeline,
+    how often does it occur corpus-wide? One LAG window per user (the
+    same single partitioning sessionization uses), then a partial-agg
+    count — the path-analysis primitive behind funnels and next-action
+    models. The (ts, event_id) order is total, so sequences are
+    deterministic.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+ANALYTICS_QUERIES["event_transitions"] = (
+    q_event_transitions,
+    SQL_EVENT_TRANSITIONS,
+)
+
+
+# --- export shard balance audit ---------------------------------------------
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export sharding: assign every document to one of 16
+    shards by md5 hash (the deterministic global shuffle a training-data
+    export runs before writing), and report per-shard doc/token totals —
+    the balance audit that catches hot shards before a 1000-writer job.
+    The gate is the same engine-portable md5 integer used across the
+    sampling family, so shard membership is reproducible anywhere.
+    """
+    from .operators.sampling import gate_int
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("ntok"),
+    )
+    return (
+        d.withColumn("shard", gate_int(F.col("doc_id")) % 16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+        )
+    )
+
+
+SQL_SHARD_BALANCE = """
+SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 16 AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+ANALYTICS_QUERIES["shard_balance"] = (q_shard_balance, SQL_SHARD_BALANCE)
