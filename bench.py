@@ -171,19 +171,31 @@ def main() -> None:
     budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     bench_t0 = time.perf_counter()
     passes_done = 0
     for p in range(n_passes):
         if p > 0 and time.perf_counter() - bench_t0 > budget_sec:
             break
         for name in BENCH_QUERIES:
+            if name in errors:
+                continue  # failed on an earlier pass; don't retry
             fn, _sql = CORE_QUERIES[name]
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            out = fn(spark, sf_dir).collect()
+            # Per-query isolation: one broken query must never zero the
+            # whole round's perf signal (r3 lesson — an AnalysisException
+            # on query 29 killed the entire bench run).
+            try:
+                out = fn(spark, sf_dir).collect()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                timings.pop(name, None)
+                rows.pop(name, None)
+                continue
             dt = round(time.perf_counter() - t0, 3)
-            timings[name] = dt if p == 0 else min(timings[name], dt)
-            if p == 0:
+            timings[name] = min(timings.get(name, dt), dt)
+            if name not in rows:
                 rows[name] = len(out)
         passes_done = p + 1
 
@@ -196,6 +208,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "rows": rows,
+                "errors": errors,
                 "sf": sf,
                 "cpus": cpus,
                 "passes": passes_done,

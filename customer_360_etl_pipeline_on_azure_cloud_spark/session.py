@@ -25,6 +25,11 @@ RUNTIME_CONF: dict[str, str] = {
     # Parquet TIMESTAMP(NANOS) is not a Spark-native type; read it as
     # long nanoseconds (sources.tables converts back to timestamp).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark 4.1 infers tz-less parquet timestamps as TIMESTAMP_NTZ, which
+    # unix_micros()/withWatermark() reject; keep scans (including streaming
+    # schema inference) on plain TIMESTAMP. sources.tables.load_table also
+    # casts defensively in case the driver owns a session without this conf.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Arrow transfer for the few Pandas-UDF operators (SimHash, media).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

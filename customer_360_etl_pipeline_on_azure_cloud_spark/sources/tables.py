@@ -20,10 +20,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     long nanoseconds and is converted here to a microsecond timestamp
     (same truncation DuckDB applies when casting ns -> its us-precision
     timestamps, so both engines see identical instants).
+
+    Spark 4.1 additionally infers tz-less parquet timestamps (physical
+    ``timestamp[us]`` without ``isAdjustedToUTC``) as TIMESTAMP_NTZ, a
+    type ``unix_micros`` / ``withWatermark`` reject.  With the session
+    timezone pinned to UTC (session.RUNTIME_CONF) the NTZ->TIMESTAMP cast
+    is instant-preserving, so every downstream query sees one canonical
+    event-time type regardless of which Spark default produced the scan.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Canonicalize an event-time column to TIMESTAMP (tz-aware).
+
+    Single choke-point for time-type drift: any frame whose event-time
+    column arrived as TIMESTAMP_NTZ (Spark 4.1 parquet inference) or long
+    nanos is normalized here, so query bodies can assume ``TimestampType``.
+    Lossless under the engine's pinned-UTC session timezone.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

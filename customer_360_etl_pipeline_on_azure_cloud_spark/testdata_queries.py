@@ -2176,10 +2176,13 @@ def q_returnflag_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RETURNFLAG_UNPIVOT = f"""
 UNPIVOT (
+  -- CAST each branch to BIGINT: DuckDB SUM(BIGINT) is HUGEINT (INT128),
+  -- which value-hashes differently from Spark's BIGINT even when every
+  -- value is identical (verified r3: row sets equal, hash mismatched).
   SELECT l_suppkey,
-    COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN {_cents_sql("l_extendedprice")} END), 0) AS "A",
-    COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN {_cents_sql("l_extendedprice")} END), 0) AS "N",
-    COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN {_cents_sql("l_extendedprice")} END), 0) AS "R"
+    CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN {_cents_sql("l_extendedprice")} END), 0) AS BIGINT) AS "A",
+    CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN {_cents_sql("l_extendedprice")} END), 0) AS BIGINT) AS "N",
+    CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN {_cents_sql("l_extendedprice")} END), 0) AS BIGINT) AS "R"
   FROM lineitem GROUP BY l_suppkey
 ) ON "A", "N", "R" INTO NAME returnflag VALUE total_cents
 """
