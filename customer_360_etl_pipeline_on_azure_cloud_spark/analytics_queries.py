@@ -648,8 +648,6 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from pyspark.sql import types as T
-
     from .streaming.incremental import run_incremental, stream_stream_interval_join
 
     tune(spark, shuffle_partitions=32)
@@ -663,9 +661,9 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .load(sf_dir)
         )
-        if isinstance(s.schema["ts"].dataType, T.LongType):
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return s
+        from .sources.tables import event_ts
+
+        return event_ts(s)
 
     clicks = (
         _stream()

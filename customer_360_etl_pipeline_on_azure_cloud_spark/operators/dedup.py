@@ -74,20 +74,53 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold_pct: int = 30,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard >= threshold_pct/100,
     computed EXACTLY via a shared-shingle self-join.
 
     Integer-only math (inter*100 >= uni*threshold_pct) keeps results
     engine-exact. Output: (id_a, id_b, inter, uni) with id_a < id_b.
+
+    ``max_df`` is the scale knob: a shingle appearing in d documents
+    contributes d*(d-1)/2 rows to the self-join output, so one ubiquitous
+    shingle ("terms of service") turns the join quadratic in the hottest
+    key at corpus scale. With ``max_df`` set, shingles whose document
+    frequency exceeds it are dropped BEFORE the join (the standard
+    stop-shingle filter from web-dedup pipelines) and the Jaccard is
+    computed over the remaining, discriminative shingle space — a
+    documented semantic narrowing, deterministic and consistent on both
+    sides of the ratio. Default None preserves the exact definition (and
+    is what the DuckDB oracle checks).
     """
-    from .util import finalize, spread
+    from .util import finalize
+
+    out, sh_all = _jaccard_pairs_plan(df, id_col, text_col, n, threshold_pct, max_df)
+    return finalize(out, sh_all)
+
+
+def _jaccard_pairs_plan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold_pct: int,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Un-finalized (plan, persisted-shingle-table) pair for jaccard_pairs.
+
+    Split out so plan-shape tests can pin the physical strategy (the
+    broadcast anti-join stop-shingle stage) before finalize()'s
+    localCheckpoint replaces the lineage with a block scan. Callers other
+    than tests should use ``jaccard_pairs``, which releases the persist.
+    """
+    from .util import spread
 
     # persist: the exploded shingle table feeds three consumers (sizes +
     # both sides of the self-join); unpersisted, the shingle construction
-    # would be evaluated three times. finalize() below materializes the
-    # (small) pair set and releases these blocks before returning.
-    sh = (
+    # would be evaluated three times. finalize() in the caller materializes
+    # the (small) pair set and releases these blocks before returning.
+    sh_all = (
         spread(df)
         .select(
             F.col(id_col).alias("id"),
@@ -95,6 +128,19 @@ def jaccard_pairs(
         )
         .persist()
     )
+    sh = sh_all
+    if max_df is not None:
+        # word_shingles is array_distinct per doc, so count(*) per shingle
+        # IS document frequency. The hot list (df > max_df) is tiny by
+        # construction — broadcast it into a left-anti join so the filter
+        # costs one extra agg + a map-side probe, no second shuffle of sh.
+        hot = (
+            sh_all.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        sh = sh_all.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -110,7 +156,7 @@ def jaccard_pairs(
         .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
         .filter(F.col("inter") * 100 >= F.col("uni") * threshold_pct)
     )
-    return finalize(out.select("id_a", "id_b", "inter", "uni"), sh)
+    return out.select("id_a", "id_b", "inter", "uni"), sh_all
 
 
 # --- MinHash + LSH ----------------------------------------------------------

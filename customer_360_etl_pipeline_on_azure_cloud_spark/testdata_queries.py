@@ -1441,10 +1441,9 @@ def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    from pyspark.sql import types as T
+    from .sources.tables import event_ts
 
-    if isinstance(stream.schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = event_ts(stream)
     agg = windowed_counts(stream, window="6 hours", watermark="1 hour")
     ckpt = tempfile.mkdtemp(prefix="c360_q_stream_")
     # unique sink name: memory-sink query names are session-global and a
@@ -1930,10 +1929,9 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    from pyspark.sql import types as T
+    from .sources.tables import event_ts
 
-    if isinstance(stream.schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = event_ts(stream)
     sessions = stateful_sessionize(
         stream, key_col="user_id", ts_col="ts",
         gap_seconds=6 * 3600, watermark="1 hour",
@@ -2247,10 +2245,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    from pyspark.sql import types as T
+    from .sources.tables import event_ts
 
-    if isinstance(stream.schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = event_ts(stream)
     deduped = (
         stream.select("user_id", "event_type", "ts")
         .withWatermark("ts", "35 days")

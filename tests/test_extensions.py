@@ -130,3 +130,65 @@ def test_ann_ivf_recall_vs_bruteforce(emb):
         ).collect()
     }
     assert approx == again
+
+
+# --- hot-shingle cap (stop-shingle filter) ----------------------------------
+
+
+def test_jaccard_max_df_generous_cap_is_exact(docs):
+    """A cap above every observed document frequency must not change the
+    pair set — the stop-shingle filter only narrows semantics when it
+    actually drops shingles."""
+    exact = {
+        tuple(r) for r in jaccard_pairs(docs, n=3, threshold_pct=30).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in jaccard_pairs(
+            docs, n=3, threshold_pct=30, max_df=10**9
+        ).collect()
+    }
+    assert capped == exact
+
+
+def test_jaccard_max_df_drops_ubiquitous_shingle(spark):
+    """With a boilerplate shingle shared by every doc, the capped variant
+    must (a) not pair docs whose only overlap is the boilerplate and
+    (b) still pair genuine near-duplicates."""
+    boiler = "terms of service apply here"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"one two three four five six {boiler}"),
+        (3, f"alpha beta gamma delta epsilon eta {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, n=3, threshold_pct=20).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(
+            docs, n=3, threshold_pct=20, max_df=2
+        ).collect()
+    }
+    assert (1, 2) in uncapped  # boilerplate alone clears 20% uncapped
+    assert (1, 2) not in capped  # ...but is stop-filtered under the cap
+    assert (1, 3) in capped  # genuine near-dups survive the cap
+
+
+def test_jaccard_max_df_plan_has_broadcast_anti_join(docs):
+    """Pin the scale shape: the stop-shingle filter must be a BROADCAST
+    left-anti join (map-side probe), not a shuffled join of the full
+    shingle table against the hot list. Uses the un-finalized plan
+    builder because finalize()'s localCheckpoint hides the lineage."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        _jaccard_pairs_plan,
+    )
+
+    out, sh_all = _jaccard_pairs_plan(docs, "doc_id", "text", 3, 30, 10**9)
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        sh_all.unpersist()
+    assert "LeftAnti" in plan and "Broadcast" in plan
