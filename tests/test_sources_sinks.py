@@ -176,3 +176,68 @@ def test_jdbc_partitioned_read_embedded_derby(spark):
         filtered._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters" in plan and "GreaterThan" in plan
+
+
+# --- event-time type normalization (Spark 4.1 NTZ drift regression) ---------
+
+
+def test_event_ts_normalizes_every_arrival_type(spark):
+    """events.ts must reach queries as TIMESTAMP regardless of which
+    parquet-reader default produced the scan: legacy long-nanos,
+    TIMESTAMP_NTZ (Spark 4.1 inference for tz-less files), or already
+    TIMESTAMP. All three must yield identical instants (session tz is
+    pinned UTC, so the NTZ cast is lossless). Regression for the round-3
+    environment drift that broke 12 queries."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        event_ts,
+        load_table,
+    )
+    from conftest import SF_SMALL
+
+    path = os.path.join(SF_SMALL, "events.parquet")
+
+    def instants(df):
+        df = df.select(F.unix_micros("ts").alias("us")).orderBy("us")
+        return [r["us"] for r in df.limit(50).collect()]
+
+    baseline = instants(load_table(spark, SF_SMALL, "events"))
+    assert baseline, "events table should not be empty"
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.legacy.parquet.nanosAsLong",
+            "spark.sql.parquet.inferTimestampNTZ.enabled",
+        )
+    }
+    try:
+        # arrival type 1: long nanoseconds (legacy conf on)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        if isinstance(raw.schema["ts"].dataType, T.LongType):
+            fixed = event_ts(raw)
+            assert isinstance(fixed.schema["ts"].dataType, T.TimestampType)
+            assert instants(fixed) == baseline
+
+        # arrival type 2: TIMESTAMP_NTZ (Spark 4.1 inference on)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        raw = spark.read.parquet(path)
+        if isinstance(raw.schema["ts"].dataType, T.TimestampNTZType):
+            fixed = event_ts(raw)
+            assert isinstance(fixed.schema["ts"].dataType, T.TimestampType)
+            assert instants(fixed) == baseline
+
+        # arrival type 3: plain TIMESTAMP (NTZ inference off) — no-op path
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        raw = spark.read.parquet(path)
+        if isinstance(raw.schema["ts"].dataType, T.TimestampType):
+            assert event_ts(raw) is raw or instants(event_ts(raw)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
