@@ -211,6 +211,7 @@ def main() -> None:
                 "errors": errors,
                 "sf": sf,
                 "cpus": cpus,
+                "spark_version": spark.version,
                 "passes": passes_done,
                 "redefined_since_r0": REDEFINED_SINCE_R0,
                 "conf": {
