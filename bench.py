@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "cumulative_unique_users",
     "event_transitions",
     "shard_balance",
+    "incremental_corpus_dedup",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -181,36 +181,28 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
+def _signature_table(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_n: int = 3,
-    verify_threshold_pct: int | None = 30,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via banded MinHash-LSH, optionally
-    verified with exact signature-level Jaccard.
+    """Persisted, eagerly-materialized (id, sig) signature table.
 
-    Banding: the signature splits into ``bands`` rows of
-    ``num_hashes/bands`` hashes; docs colliding on any band's hash are
-    candidates. Shuffle is an equi-join on (band, hash) — linear in
-    corpus size times bands, never all-pairs.
+    Materialize the shingle array FIRST, behind a persist barrier.
+    Without it, CollapseProject inlines the whole shingle construction
+    (split/concat/array_distinct) into EVERY seed lambda of the
+    signature — 32x re-evaluation per row, on both sides of the
+    candidate self-join (measured 300s vs 8s at sf0.1). The persist is
+    an optimizer barrier at plan time, so signatures read stored
+    shingles. The signature table is then materialized EAGERLY so the
+    (bigger) shingle blocks can be released at once — peak memory is
+    one table, not two. Caller owns the returned persist (finalize() or
+    unpersist()).
     """
-    from .util import finalize, spread
+    from .util import spread
 
-    rows_per_band = num_hashes // bands
-    assert rows_per_band * bands == num_hashes
-    # Materialize the shingle array FIRST, behind a persist barrier.
-    # Without it, CollapseProject inlines the whole shingle construction
-    # (split/concat/array_distinct) into EVERY seed lambda of the
-    # signature — 32x re-evaluation per row, on both sides of the
-    # candidate self-join (measured 300s vs 8s at sf0.1). The persist is
-    # an optimizer barrier at plan time, so signatures read stored
-    # shingles. The signature table is then materialized EAGERLY so the
-    # (bigger) shingle blocks can be released at once — peak memory is
-    # one table, not two; finalize() releases the signatures in turn.
     shingled = (
         spread(df)
         .select(
@@ -234,10 +226,16 @@ def minhash_lsh_pairs(
     )
     sig.count()
     shingled.unpersist()
+    return sig
 
-    # Band rows carry only (id, band, bhash) — never drag the 32-long
-    # signature arrays through the candidate shuffle.
-    band_rows = sig.select(
+
+def _band_rows(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a signature table into (id, band, bhash) rows.
+
+    Band rows carry only (id, band, bhash) — never drag the num_hashes-
+    long signature arrays through the candidate shuffle.
+    """
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -253,6 +251,31 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bhash")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    verify_threshold_pct: int | None = 30,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, optionally
+    verified with exact signature-level Jaccard.
+
+    Banding: the signature splits into ``bands`` rows of
+    ``num_hashes/bands`` hashes; docs colliding on any band's hash are
+    candidates. Shuffle is an equi-join on (band, hash) — linear in
+    corpus size times bands, never all-pairs.
+    """
+    from .util import finalize
+
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    sig = _signature_table(df, id_col, text_col, num_hashes, shingle_n)
+    band_rows = _band_rows(sig, bands, rows_per_band)
 
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
@@ -283,6 +306,117 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "sig_agree"),
         sig,
     )
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Materialized (id, sig) MinHash index for a corpus.
+
+    The incremental-dedup building block: compute once over the standing
+    corpus, persist it (in production: write to parquet, bucketed by id,
+    alongside a band-rows table bucketed by (band, bhash) for join
+    pruning), then dedup each incoming batch against it with
+    ``minhash_lsh_join`` — the corpus TEXT is never re-read and never
+    re-shingled. The returned frame is eagerly materialized with its
+    intermediates released; it holds num_hashes longs per doc (~256 B at
+    the default 32), so a 10^11-doc corpus index is ~25 TB — large but
+    scan-only, vs re-shingling 100 TB of text per batch.
+    """
+    from .util import finalize
+
+    sig = _signature_table(df, id_col, text_col, num_hashes, shingle_n)
+    return finalize(sig.select("id", "sig"), sig)
+
+
+def minhash_lsh_join(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    verify_threshold_pct: int = 30,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Near-duplicates of a NEW document batch against an existing corpus
+    ``minhash_index`` — the daily-ingest dedup shape.
+
+    Output: (new_id, corpus_id, sig_agree), one row per cross near-dup.
+    New-batch-internal duplicates are deliberately out of scope (run
+    ``minhash_lsh_pairs`` on the batch first).
+
+    Scale shape: the new batch's band rows are BROADCAST by default (a
+    daily batch is orders of magnitude smaller than the corpus), so the
+    candidate probe is a map-side hash join over one scan of the corpus
+    band rows — the 100 TB corpus is never shuffled. Verification
+    re-attaches signatures only for the (small) candidate set. Set
+    ``broadcast_new=False`` for backfill-sized batches; the join then
+    falls back to a shuffled equi-join on (band, bhash), still never
+    all-pairs.
+    """
+    from .util import finalize
+
+    out, new_sig = _minhash_lsh_join_plan(
+        new_df, index, id_col, text_col, num_hashes, bands, shingle_n,
+        verify_threshold_pct, broadcast_new,
+    )
+    return finalize(out, new_sig)
+
+
+def _minhash_lsh_join_plan(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    verify_threshold_pct: int,
+    broadcast_new: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Un-finalized (plan, persisted-new-signature) pair for
+    minhash_lsh_join — split out so plan-shape tests can pin the
+    broadcast candidate probe before finalize() hides the lineage."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    new_sig = _signature_table(new_df, id_col, text_col, num_hashes, shingle_n)
+
+    nb = _band_rows(new_sig, bands, rows_per_band)
+    if broadcast_new:
+        nb = F.broadcast(nb)
+    cb = _band_rows(index, bands, rows_per_band)
+    n, c = nb.alias("n"), cb.alias("c")
+    cand = (
+        n.join(
+            c,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bhash") == F.col("c.bhash")),
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sn = new_sig.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_n"))
+    sc = index.select(F.col("id").alias("corpus_id"), F.col("sig").alias("sig_c"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_n"), F.col("sig_c"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    out = (
+        cand.join(sn, "new_id")
+        .join(sc, "corpus_id")
+        .withColumn("sig_agree", agree)
+        .filter(F.col("sig_agree") * 100 >= F.lit(num_hashes * verify_threshold_pct))
+        .select("new_id", "corpus_id", "sig_agree")
+    )
+    return out, new_sig
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -766,6 +766,8 @@ CORE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 from .operators.dedup import (  # noqa: E402
     dedup_exact,
     jaccard_pairs,
+    minhash_index,
+    minhash_lsh_join,
     minhash_lsh_pairs,
     simhash_near_pairs,
     simhash_table,
@@ -2461,6 +2463,56 @@ CORE_QUERIES.update(ANALYTICS_QUERIES)
 from .curation_queries import CURATION_QUERIES  # noqa: E402
 
 CORE_QUERIES.update(CURATION_QUERIES)
+
+
+def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the daily-ingest shape: dedup a NEW
+    batch of documents (doc_id % 5 == 0) against the standing corpus
+    (the rest) via a precomputed MinHash index, without re-reading or
+    re-shingling the corpus text. The new batch's band rows are
+    broadcast, so the corpus is scanned once and never shuffled
+    (operators/dedup.py minhash_index / minhash_lsh_join).
+
+    Oracle: same coincidence argument as minhash_near_dup — on this
+    corpus the signature-verified LSH pairs equal the exact 3-gram
+    Jaccard >= 30% pairs, restricted here to pairs crossing the
+    new/corpus split; tests/test_extensions.py pins the coincidence so a
+    corpus change fails pytest before it fails the driver."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = minhash_index(corpus)
+    return minhash_lsh_join(
+        new, idx, num_hashes=32, bands=8, verify_threshold_pct=30
+    ).select("new_id", "corpus_id")
+
+
+SQL_INCREMENTAL_CORPUS_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+        FROM toks WHERE len(t) >= 3)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id
+FROM pairs
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = corpus_id
+WHERE inter * 100 >= (sa.nsh + sb.nsh - inter) * 30
+"""
+
+
+CORE_QUERIES["incremental_corpus_dedup"] = (
+    q_incremental_corpus_dedup,
+    SQL_INCREMENTAL_CORPUS_DEDUP,
+)
 
 
 # --- canonical registry order ----------------------------------------------

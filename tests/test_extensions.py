@@ -192,3 +192,58 @@ def test_jaccard_max_df_plan_has_broadcast_anti_join(docs):
     finally:
         sh_all.unpersist()
     assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+# --- incremental corpus dedup (minhash_index + minhash_lsh_join) ------------
+
+
+def test_incremental_dedup_matches_cross_split_exact_jaccard(docs):
+    """The coincidence the driver oracle relies on: verified LSH pairs of
+    (new batch vs corpus index) equal the exact 3-gram Jaccard >= 30%
+    pairs restricted to the split boundary."""
+    from pyspark.sql import functions as F
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_join,
+    )
+
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lsh_join(new, minhash_index(corpus)).collect()
+    }
+    assert got, "split should cross planted near-dup pairs"
+    exact_cross = {
+        (a, b) if a % 5 == 0 else (b, a)
+        for a, b in (
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs(docs, n=3, threshold_pct=30).collect()
+        )
+        if (a % 5 == 0) != (b % 5 == 0)
+    }
+    assert got == exact_cross
+
+
+def test_incremental_dedup_candidate_probe_is_broadcast(docs):
+    """Pin the scale shape: the new batch's band rows must be BROADCAST
+    into the candidate probe so the corpus index is scanned once and
+    never shuffled."""
+    from pyspark.sql import functions as F
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        _minhash_lsh_join_plan,
+        minhash_index,
+    )
+
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = minhash_index(docs.filter(F.col("doc_id") % 5 != 0))
+    out, new_sig = _minhash_lsh_join_plan(
+        new, idx, "doc_id", "text", 32, 8, 3, 30, True
+    )
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        new_sig.unpersist()
+    assert "BroadcastHashJoin" in plan
