@@ -6,6 +6,15 @@ from .aggregates import (
     two_pass_segment,
 )
 from .cleaning import dedup_deterministic, drop_sentinels
+from .dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_index,
+    minhash_lsh_join,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+    simhash_table,
+)
 from .graph import connected_components, dedup_survivors
 from .joins import banded_range_join, lookup, positional_zip
 from .sets import union_by_name_all
@@ -19,6 +28,13 @@ __all__ = [
     "two_pass_segment",
     "dedup_deterministic",
     "drop_sentinels",
+    "dedup_exact",
+    "jaccard_pairs",
+    "minhash_index",
+    "minhash_lsh_join",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "simhash_table",
     "lookup",
     "connected_components",
     "dedup_survivors",
