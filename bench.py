@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "shard_balance",
     "incremental_corpus_dedup",
+    "hybrid_search_rrf",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

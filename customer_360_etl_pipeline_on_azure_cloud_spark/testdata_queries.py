@@ -2515,6 +2515,101 @@ CORE_QUERIES["incremental_corpus_dedup"] = (
 )
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 (terms 'spark hash join')
+    fused with exact cosine top-20 for query vector 0 by reciprocal-rank
+    fusion (k=60) — the standard lexical+vector retrieval shape for
+    training-data curation and RAG corpus construction.
+
+    Exactness: both component rankings are deterministic integer ranks
+    (rational-idf BM25, tie-broken cosine); the RRF score
+    1/(60+rank) sums two IEEE doubles computed from small integers, so
+    Spark and DuckDB order identically; the OUTPUT carries only BIGINT
+    ranks (-1 for absent), never floats. The fusion windows run over
+    <= 40 pre-reduced rows (both inputs are already top-20), so the
+    unpartitioned row_numbers are driver-trivial at any corpus size —
+    the heavy lifting stays in bm25_topk's TakeOrderedAndProject and
+    the broadcast-query cosine scan."""
+    from .operators.similarity import cosine_topk_bruteforce
+    from .operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    lex = bm25_topk(docs, terms=["spark", "hash", "join"], k=20)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+    vec = cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rk").alias("vec_rank"))
+
+    fused = lex.join(vec, "doc_id", "full_outer")
+    rrf = F.when(
+        F.col("lex_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(60) + F.col("lex_rank")),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("vec_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(60) + F.col("vec_rank")),
+    ).otherwise(F.lit(0.0))
+    wf = Window.orderBy(F.col("__rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("__rrf", rrf)
+        .withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(-1)).cast("long").alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(-1)).cast("long").alias("vec_rank"),
+            "fused_rank",
+        )
+    )
+
+
+SQL_HYBRID_SEARCH_RRF = f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM ({SQL_BM25_SEARCH}) bm
+), vec AS (
+  SELECT neighbor_id AS doc_id, CAST(rk AS BIGINT) AS vec_rank FROM (
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qe,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+      FROM embeddings WHERE vec_id = 0
+    ), n AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ne,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+      FROM embeddings WHERE vec_id <> 0
+    ), s AS (
+      SELECT neighbor_id, list_dot_product(qe, ne) / (qn * nn) AS cos FROM n, q
+    )
+    SELECT neighbor_id, ROW_NUMBER() OVER (ORDER BY cos DESC, neighbor_id) AS rk
+    FROM s QUALIFY rk <= 20
+  )
+), fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         COALESCE(l.lex_rank, -1) AS lex_rank,
+         COALESCE(v.vec_rank, -1) AS vec_rank,
+         (CASE WHEN l.lex_rank IS NULL THEN 0.0::DOUBLE
+               ELSE 1.0::DOUBLE / (60 + l.lex_rank) END
+        + CASE WHEN v.vec_rank IS NULL THEN 0.0::DOUBLE
+               ELSE 1.0::DOUBLE / (60 + v.vec_rank) END) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10
+"""
+
+
+CORE_QUERIES["hybrid_search_rrf"] = (q_hybrid_search_rrf, SQL_HYBRID_SEARCH_RRF)
+
+
 # --- canonical registry order ----------------------------------------------
 #
 # The external driver's correctness gate checks the FIRST 50 registered
