@@ -118,6 +118,13 @@ def test_csv_and_parquet_sink_roundtrip(spark, daily_layout):
     back = spark.read.parquet(f"{out}/pq")
     assert back.count() == 2
 
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sinks import write_orc
+
+    write_orc(df, f"{out}/orc", partition_by=["k"])
+    assert os.path.isdir(f"{out}/orc/k=a")  # same Hive-partitioned layout
+    back = spark.read.orc(f"{out}/orc")
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [("a", 1), ("b", 2)]
+
 
 def test_partition_pruning_on_hive_layout(spark, daily_layout):
     """The engine's preferred 100TB layout: date-partitioned parquet ->
