@@ -62,17 +62,22 @@ def salted_join(
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_by: str,
+    bucket_by: str | list[str],
     num_buckets: int = 32,
-    sort_by: str | None = None,
+    sort_by: str | list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Persist as a Hive-bucketed (and optionally sorted) managed table.
     Both sides of a recurring join bucketed identically on the join key
-    -> Spark plans SortMergeJoin with no Exchange on either side."""
-    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_by)
+    -> Spark plans SortMergeJoin with no Exchange on either side.
+
+    ``bucket_by``/``sort_by`` accept a column list for composite join
+    keys (e.g. the MinHash band-rows table bucketed on (band, bhash))."""
+    bcols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bcols)
     if sort_by:
-        writer = writer.sortBy(sort_by)
+        scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*scols)
     writer.saveAsTable(table)
 
 

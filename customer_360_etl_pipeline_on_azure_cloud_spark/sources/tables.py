@@ -3,12 +3,32 @@
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import TESTDATA_TABLES
+
+
+def _ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC before an NTZ->TIMESTAMP cast.
+
+    The cast interprets NTZ wall-clock values in the *session* timezone,
+    so it is instant-preserving only under UTC.  A driver-owned session
+    that skipped ``session.RUNTIME_CONF`` could carry a host timezone and
+    silently shift every event instant (ADVICE r4) — enforce it here at
+    the choke-point rather than trusting callers.
+    """
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        warnings.warn(
+            f"session timezone was {tz!r}; pinning to UTC so the "
+            "TIMESTAMP_NTZ->TIMESTAMP event-time cast is instant-preserving",
+            stacklevel=3,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -34,6 +54,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, T.TimestampNTZType):
+            _ensure_utc(spark)
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
@@ -50,6 +71,7 @@ def event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if isinstance(dt, T.LongType):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if isinstance(dt, T.TimestampNTZType):
+        _ensure_utc(df.sparkSession)
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

@@ -2488,6 +2488,12 @@ def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_INCREMENTAL_CORPUS_DEDUP = """
+-- CORPUS-COUPLED oracle, not a general equivalence (ADVICE r4): this
+-- computes the EXACT cross-split 3-gram Jaccard >= 30% pairs, which on
+-- this specific test corpus coincide with the Spark side's
+-- signature-verified LSH candidates. Any corpus regeneration, hash-seed,
+-- or band-count change can legitimately diverge; the pinned coincidence
+-- test in tests/test_extensions.py must fail first and be re-verified.
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -2511,6 +2517,34 @@ WHERE inter * 100 >= (sa.nsh + sb.nsh - inter) * 30
 
 CORE_QUERIES["incremental_corpus_dedup"] = (
     q_incremental_corpus_dedup,
+    SQL_INCREMENTAL_CORPUS_DEDUP,
+)
+
+
+def q_incremental_corpus_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup as incremental_corpus_dedup, but probing the PERSISTED
+    on-disk index form (operators/dedup.py write_minhash_index /
+    read_minhash_index): the corpus signature table bucketed by id and
+    the pre-exploded band-rows table bucketed by (band, bhash). The
+    batch probe reads corpus band rows straight from their buckets —
+    zero Exchange on the corpus side, no re-shingling, no band-hash
+    recompute per batch (VERDICT r4 item 1; plan pinned in
+    tests/test_extensions.py). Results must be identical to the
+    in-memory form, so both queries share one oracle."""
+    from .operators.dedup import read_minhash_index, write_minhash_index
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    write_minhash_index(corpus, "mh_corpus_idx", num_hashes=32, bands=8)
+    idx = read_minhash_index(spark, "mh_corpus_idx")
+    return minhash_lsh_join(new, idx, verify_threshold_pct=30).select(
+        "new_id", "corpus_id"
+    )
+
+
+CORE_QUERIES["incremental_corpus_dedup_indexed"] = (
+    q_incremental_corpus_dedup_indexed,
     SQL_INCREMENTAL_CORPUS_DEDUP,
 )
 
