@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "shard_balance",
     "incremental_corpus_dedup",
     "hybrid_search_rrf",
+    "incremental_corpus_dedup_indexed",
+    "hybrid_search_multi",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -7,14 +7,18 @@ from .aggregates import (
 )
 from .cleaning import dedup_deterministic, drop_sentinels
 from .dedup import (
+    MinhashIndex,
     dedup_exact,
     jaccard_pairs,
     minhash_index,
     minhash_lsh_join,
     minhash_lsh_pairs,
+    read_minhash_index,
     simhash_near_pairs,
     simhash_table,
+    write_minhash_index,
 )
+from .fusion import rrf_fuse
 from .graph import connected_components, dedup_survivors
 from .joins import banded_range_join, lookup, positional_zip
 from .sets import union_by_name_all
@@ -33,6 +37,10 @@ __all__ = [
     "minhash_index",
     "minhash_lsh_join",
     "minhash_lsh_pairs",
+    "MinhashIndex",
+    "read_minhash_index",
+    "write_minhash_index",
+    "rrf_fuse",
     "simhash_near_pairs",
     "simhash_table",
     "lookup",

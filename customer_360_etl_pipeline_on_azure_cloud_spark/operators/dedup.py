@@ -76,6 +76,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold_pct: int = 30,
     max_df: int | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard >= threshold_pct/100,
     computed EXACTLY via a shared-shingle self-join.
@@ -92,10 +93,24 @@ def jaccard_pairs(
     computed over the remaining, discriminative shingle space — a
     documented semantic narrowing, deterministic and consistent on both
     sides of the ratio. Default None preserves the exact definition (and
-    is what the DuckDB oracle checks).
+    is what the DuckDB oracle checks) — but is quadratic under hot
+    shingles, so calling without a cap WARNS unless the caller opts in
+    with ``exact=True`` (VERDICT r4 item 6: a corpus-scale caller who
+    forgot the cap should hear about it before the 100 TB job, not
+    after).
     """
+    import warnings
+
     from .util import finalize
 
+    if max_df is None and not exact:
+        warnings.warn(
+            "jaccard_pairs called without max_df: the shared-shingle "
+            "self-join is quadratic in the hottest shingle's document "
+            "frequency. Pass max_df=<cap> for corpus-scale runs, or "
+            "exact=True to acknowledge the exact-but-unbounded semantics.",
+            stacklevel=2,
+        )
     out, sh_all = _jaccard_pairs_plan(df, id_col, text_col, n, threshold_pct, max_df)
     return finalize(out, sh_all)
 

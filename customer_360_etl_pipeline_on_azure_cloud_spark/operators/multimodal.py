@@ -60,11 +60,37 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def _fake_decode(content: bytes, meta_w: int, meta_h: int) -> tuple[list, int, int]:
     """STUB DECODER (no codec libs in this container): produces a
     deterministic 8-float pseudo-feature from a digest of the bytes.
-    Replace the body with PIL.Image.open + a real model; the signature,
-    batching and schema do not change."""
+    Used for every non-image mime, and as the documented fallback for
+    image mimes when Pillow is absent; the signature, batching and
+    schema are identical to the real path."""
     digest = hashlib.sha256(content or b"").digest()
     feat = [b / 255.0 for b in digest[:8]]
     return feat, meta_w or 0, meta_h or 0
+
+
+def _pil_image_module():
+    """Worker-side codec probe (VERDICT r4 item 7): returns PIL.Image
+    when Pillow is importable, else None. Probed inside the UDF — the
+    DRIVER having Pillow says nothing about executors, so the decision
+    must be made where the decode runs."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except Exception:  # pragma: no cover - container has no Pillow
+        return None
+
+
+def _pil_decode(Image, content: bytes) -> tuple[list, int, int]:
+    """Real decode path: open the blob, record native dimensions, and
+    produce the same 8-float feature shape as the stub (mean luminance
+    of a 4x2 grid — deterministic, model-free)."""
+    import io
+
+    img = Image.open(io.BytesIO(content)).convert("L")
+    w, h = img.size
+    feat = [p / 255.0 for p in img.resize((4, 2)).getdata()]
+    return feat, w, h
 
 
 def decode_image_features(
@@ -73,16 +99,25 @@ def decode_image_features(
     """Decode + feature-extract images via Arrow-batched mapInPandas.
 
     The plan projects ONLY (media_id, content, meta) into the Python
-    worker; everything upstream/downstream stays JVM-side.
+    worker; everything upstream/downstream stays JVM-side. Rows with an
+    ``image/*`` mime decode through Pillow when it is installed on the
+    executors (probed once per worker); all other rows — and every row
+    when no codec is present — take the deterministic stub path, so
+    results are reproducible in codec-less environments.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil_image_module()
         for pdf in batches:
             feats, ws, hs = [], [], []
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 w = meta["width"] if meta is not None else 0
                 h = meta["height"] if meta is not None else 0
-                f, dw, dh = _fake_decode(content, w, h)
+                mime = (meta["mime"] or "") if meta is not None else ""
+                if Image is not None and mime.startswith("image/"):
+                    f, dw, dh = _pil_decode(Image, content)
+                else:
+                    f, dw, dh = _fake_decode(content, w, h)
                 feats.append(f)
                 ws.append(dw)
                 hs.append(dh)

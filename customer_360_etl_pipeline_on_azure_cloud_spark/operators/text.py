@@ -195,6 +195,112 @@ def bm25_topk(
     return finalize(topk, toks_df)
 
 
+def bm25_topk_multi(
+    df: DataFrame,
+    queries: dict[int, list[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-query BM25 top-k for a SET of queries — the curation-pipeline
+    retrieval shape (thousands of queries against one corpus), vs
+    :func:`bm25_topk`'s single fixed query.
+
+    Scale design (why this is not a loop over bm25_topk):
+
+    * the corpus is tokenized ONCE; per-term counts come from a
+      posting-list build — explode tokens, keep only query terms via a
+      BROADCAST semi-join on the (small) distinct-term set, then one
+      (doc, term) count aggregate. Linear in corpus size, independent of
+      query count.
+    * query terms join the postings BROADCAST, so adding queries never
+      reshuffles the corpus.
+    * per-query top-k is a window PARTITIONED BY query_id — never a
+      global orderBy (VERDICT r4 item 5).
+
+    Exactness contract (same spirit as bm25_topk): the score is a sum
+    of per-term double contributions whose ADDITION ORDER is pinned by
+    folding a term_idx-sorted array left-to-right (``F.aggregate``), so
+    a DuckDB oracle using ``list_reduce(list(... ORDER BY term_idx))``
+    reproduces bit-identical doubles; the OUTPUT carries only BIGINT
+    ranks. Docs matching no query term are absent (score would be 0).
+
+    Output: (query_id, doc_id, rank) with rank in 1..k.
+    """
+    from .util import finalize, spread
+
+    spark = df.sparkSession
+    qrows = [
+        (int(qid), i, t)
+        for qid, terms in queries.items()
+        for i, t in enumerate(terms)
+    ]
+    qterms = spark.createDataFrame(
+        qrows, "query_id long, term_idx int, term string"
+    )
+
+    toks_df = spread(
+        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+    ).cache()
+    dl = toks_df.select(
+        "doc_id", F.size("__toks").cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl")
+    ).collect()[0]
+    n = stats["n"]
+    avgdl = stats["sumdl"] / n  # same IEEE division the oracle performs
+
+    postings = (
+        toks_df.select("doc_id", F.explode("__toks").alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    term_df = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
+    )
+
+    idf = (F.lit(n) - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    tf = F.col("tf").cast("double")
+    contrib = idf * (
+        (tf * F.lit(k1 + 1.0))
+        / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+        )
+    )
+    contribs = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(term_df), "term")
+        .join(dl, "doc_id")
+        .select("query_id", "doc_id", "term_idx", contrib.alias("contrib"))
+    )
+    scores = contribs.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("term_idx"), F.col("contrib")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    out = (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+    )
+    return finalize(out, toks_df)
+
+
 def text_profile(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -35,7 +35,31 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
-def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+#: Opt-in streaming state-store config (VERDICT r4 item 4): RocksDB keeps
+#: streaming state off-heap and on local disk instead of the default
+#: HDFS-backed in-memory provider — the standard choice for large or
+#: long-lived state (stream-stream joins, sessionization) where state no
+#: longer fits executor heap. Runtime-settable; pass
+#: ``use_rocksdb_state=True`` to :func:`tune`/:func:`get_spark`, or set
+#: the conf on an existing session before starting the stream.
+ROCKSDB_STATE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    # changelog checkpointing ships per-batch deltas instead of full
+    # SST snapshots — the recommended pairing for RocksDB state.
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
+def tune(
+    spark: SparkSession,
+    shuffle_partitions: int | None = None,
+    use_rocksdb_state: bool = False,
+) -> SparkSession:
     """Apply runtime tuning to an existing session (idempotent).
 
     Used by every ``queries()`` entry because the driver owns the session:
@@ -43,6 +67,9 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
     """
     for k, v in RUNTIME_CONF.items():
         spark.conf.set(k, v)
+    if use_rocksdb_state:
+        for k, v in ROCKSDB_STATE_CONF.items():
+            spark.conf.set(k, v)
     if shuffle_partitions is not None:
         # At small SF the default 200 partitions means 200 near-empty
         # tasks per shuffle; AQE coalesces them but scheduling overhead
@@ -57,6 +84,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    use_rocksdb_state: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults."""
     builder = SparkSession.builder.appName(app_name)
@@ -65,7 +93,7 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    return tune(spark, shuffle_partitions)
+    return tune(spark, shuffle_partitions, use_rocksdb_state=use_rocksdb_state)
 
 
 def configure_azure_blob(spark: SparkSession, account: str, key: str) -> None:

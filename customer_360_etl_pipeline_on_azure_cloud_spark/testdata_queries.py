@@ -853,7 +853,7 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash variant (rows-only query) is the 100 TB path; this exact
     form doubles as its verification oracle."""
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, n=3, threshold_pct=30)
+    return jaccard_pairs(docs, n=3, threshold_pct=30, exact=True)
 
 
 SQL_DOC_JACCARD_PAIRS = """
@@ -1484,7 +1484,7 @@ def q_near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive exact measure on a pre-filtered candidate set, never
     all-pairs."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, n=3, threshold_pct=30)
+    pairs = jaccard_pairs(docs, n=3, threshold_pct=30, exact=True)
     pa = docs.select(
         F.col("doc_id").alias("id_a"),
         F.substring(F.col("text"), 1, 64).alias("ta"),
@@ -2642,6 +2642,130 @@ QUALIFY fused_rank <= 10
 
 
 CORE_QUERIES["hybrid_search_rrf"] = (q_hybrid_search_rrf, SQL_HYBRID_SEARCH_RRF)
+
+
+#: The literal query set for the multi-query hybrid retrieval demo:
+#: three queries over the testdata vocabulary, 2-3 terms each.
+_HYBRID_MULTI_QUERIES: dict[int, list[str]] = {
+    0: ["spark", "hash", "join"],
+    1: ["stream", "window"],
+    2: ["merge", "sort", "batch"],
+}
+
+
+def q_hybrid_search_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query hybrid retrieval (VERDICT r4 item 5): BM25 top-20 per
+    query from ONE shared posting build (operators/text.py
+    bm25_topk_multi) fused with per-query cosine top-20
+    (cosine_topk_bruteforce) by reciprocal-rank fusion partitioned by
+    query_id (operators/fusion.py rrf_fuse). Three literal queries here;
+    the plan shape is query-count-independent — posting joins broadcast
+    the query terms, every window is partitioned by query_id, so the
+    same plan serves thousands of queries.
+
+    Exactness: BM25 doubles are folded in pinned term order (matching
+    the oracle's list_reduce over an ORDER BY term_idx list), cosine
+    ties break on neighbor_id, fusion consumes only BIGINT ranks —
+    output is BIGINT-only."""
+    from .operators.fusion import rrf_fuse
+    from .operators.similarity import cosine_topk_bruteforce
+    from .operators.text import bm25_topk_multi
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk_multi(docs, _HYBRID_MULTI_QUERIES, k=20)
+    vec = cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id").isin(list(_HYBRID_MULTI_QUERIES))), k=20
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").alias("rank"),
+    )
+    return rrf_fuse({"lex": lex, "vec": vec}, keys=["query_id"], topn=5)
+
+
+SQL_HYBRID_SEARCH_MULTI = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+q(query_id, term_idx, term) AS (
+  VALUES (0::BIGINT, 0, 'spark'), (0::BIGINT, 1, 'hash'), (0::BIGINT, 2, 'join'),
+         (1::BIGINT, 0, 'stream'), (1::BIGINT, 1, 'window'),
+         (2::BIGINT, 0, 'merge'), (2::BIGINT, 1, 'sort'), (2::BIGINT, 2, 'batch')
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+post AS (
+  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, tok
+),
+tdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM post GROUP BY term),
+contrib AS (
+  SELECT q.query_id, p.doc_id, q.term_idx,
+         ((st.n - tdf.df_t + 0.5::DOUBLE) / (tdf.df_t + 0.5::DOUBLE))
+         * ((p.tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE))
+            / (p.tf::DOUBLE + 1.2::DOUBLE *
+               (0.25::DOUBLE + 0.75::DOUBLE * (dl.dl / (st.sumdl::DOUBLE / st.n))))) AS c
+  FROM post p
+  JOIN q ON q.term = p.term
+  JOIN tdf ON tdf.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+),
+sc AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term_idx)),
+                     (a, b) -> a + b) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+  FROM sc QUALIFY rnk <= 20
+),
+qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+nv AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ne,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+  FROM embeddings
+),
+s AS (
+  SELECT query_id, neighbor_id, list_dot_product(qe, ne) / (qn * nn) AS cos
+  FROM nv CROSS JOIN qv WHERE neighbor_id <> query_id
+),
+vec AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM s QUALIFY rnk <= 20
+),
+fused AS (
+  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         COALESCE(l.rnk, -1) AS rank_lex,
+         COALESCE(v.rnk, -1) AS rank_vec,
+         (CASE WHEN l.rnk IS NULL THEN 0.0::DOUBLE
+               ELSE 1.0::DOUBLE / (60 + l.rnk) END
+        + CASE WHEN v.rnk IS NULL THEN 0.0::DOUBLE
+               ELSE 1.0::DOUBLE / (60 + v.rnk) END) AS rrf
+  FROM lex l FULL OUTER JOIN vec v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       CAST(rank_lex AS BIGINT) AS rank_lex,
+       CAST(rank_vec AS BIGINT) AS rank_vec,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
+FROM fused QUALIFY fused_rank <= 5
+"""
+
+
+CORE_QUERIES["hybrid_search_multi"] = (q_hybrid_search_multi, SQL_HYBRID_SEARCH_MULTI)
 
 
 # --- canonical registry order ----------------------------------------------

@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Scale-growth validation for the dedup/ANN family (VERDICT r4 item 2).
+
+Runs the candidate-generation queries at sf0.1-shaped and sf1-shaped
+data from the SAME generator (scripts/gen_scale_data.py) and records
+wall-clock growth. The claim under test: every bucketed candidate
+generator (MinHash banding, SimHash chunk blocking, SRP tables, IVF
+cells, broadcast incremental probe) grows ~linearly in corpus size,
+while the labeled-exact paths (uncapped Jaccard) may not — that is why
+they carry caps/LSH scale paths.
+
+Writes SCALE_r5.json and prints a markdown table for NOTES_r5.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from customer_360_etl_pipeline_on_azure_cloud_spark.session import get_spark  # noqa: E402
+from customer_360_etl_pipeline_on_azure_cloud_spark.testdata_queries import (  # noqa: E402
+    CORE_QUERIES,
+)
+
+QUERIES = [
+    "doc_jaccard_pairs",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_near_dup",
+    "ann_topk",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "dedup_clusters",
+    "incremental_corpus_dedup",
+    "incremental_corpus_dedup_indexed",
+]
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dirs = {
+        "sf0.1": os.path.join(root, "testdata_scale", "sf0.1"),
+        "sf1": os.path.join(root, "testdata_scale", "sf1"),
+    }
+    spark = get_spark(
+        app_name="c360-scale",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "24g"
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    n_passes = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        fn, _sql = CORE_QUERIES[name]
+        rec: dict[str, float | int | str] = {}
+        for sfname, d in dirs.items():
+            best, rows = None, None
+            try:
+                for _ in range(n_passes):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    got = fn(spark, d).collect()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                    rows = len(got)
+            except Exception as exc:  # noqa: BLE001
+                rec[f"{sfname}_err"] = f"{type(exc).__name__}: {exc}"[:200]
+                continue
+            rec[f"{sfname}_sec"] = round(best, 2)
+            rec[f"{sfname}_rows"] = rows
+        if "sf0.1_sec" in rec and "sf1_sec" in rec:
+            rec["growth_10x"] = round(rec["sf1_sec"] / rec["sf0.1_sec"], 2)
+        out[name] = rec
+        print(name, rec, flush=True)
+
+    with open(os.path.join(root, "SCALE_r5.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+
+    print("\n| query | sf0.1 s | sf1 s | growth (10x data) | sf1 rows |")
+    print("|---|---|---|---|---|")
+    for name, rec in out.items():
+        print(
+            f"| {name} | {rec.get('sf0.1_sec', '-')} | {rec.get('sf1_sec', '-')}"
+            f" | {rec.get('growth_10x', '-')} | {rec.get('sf1_rows', '-')} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -177,6 +177,22 @@ def test_jaccard_max_df_drops_ubiquitous_shingle(spark):
     assert (1, 3) in capped  # genuine near-dups survive the cap
 
 
+def test_jaccard_uncapped_warns_capped_and_exact_do_not(spark):
+    """Scale-safety contract: no max_df and no exact=True -> warn; either
+    knob silences it (the warning is advice, results are unchanged)."""
+    import warnings as _w
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    with pytest.warns(UserWarning, match="without max_df"):
+        jaccard_pairs(docs, n=3, threshold_pct=30)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        jaccard_pairs(docs, n=3, threshold_pct=30, exact=True)
+        jaccard_pairs(docs, n=3, threshold_pct=30, max_df=100)
+
+
 def test_jaccard_max_df_plan_has_broadcast_anti_join(docs):
     """Pin the scale shape: the stop-shingle filter must be a BROADCAST
     left-anti join (map-side probe), not a shuffled join of the full
@@ -247,6 +263,72 @@ def test_incremental_dedup_candidate_probe_is_broadcast(docs):
     finally:
         new_sig.unpersist()
     assert "BroadcastHashJoin" in plan
+
+
+# --- multi-query retrieval + rank fusion -------------------------------------
+
+
+def test_bm25_multi_agrees_with_single_query_ranking(docs):
+    """bm25_topk_multi's per-query ranking must equal the single-query
+    bm25_topk ranking for the same terms (same idf, same score algebra,
+    same tiebreak) on docs that match at least one term."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_multi,
+    )
+    from pyspark.sql import Window as W
+
+    terms = ["spark", "hash", "join"]
+    single = bm25_topk(docs, terms=terms, k=10)
+    wl = W.orderBy(F.col("score").desc(), F.col("doc_id"))
+    single_ranked = [
+        (r["doc_id"], r["rk"])
+        for r in single.select(
+            "doc_id", F.row_number().over(wl).cast("long").alias("rk")
+        ).collect()
+    ]
+    multi = bm25_topk_multi(docs, {7: terms}, k=10)
+    got = [
+        (r["doc_id"], r["rank"])
+        for r in multi.orderBy("rank").collect()
+        if r["query_id"] == 7
+    ]
+    assert got == single_ranked
+
+
+def test_rrf_fuse_multi_query_window_and_absent_ranks(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.fusion import (
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2), (2, 200, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    vec = spark.createDataFrame(
+        [(1, 101, 1), (1, 102, 2), (2, 200, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    out = rrf_fuse({"lex": lex, "vec": vec}, keys=["query_id"], topn=10)
+    rows = {(r["query_id"], r["doc_id"]): r for r in out.collect()}
+    # doc 101 appears in both rankings -> fused first for query 1
+    assert rows[(1, 101)]["fused_rank"] == 1
+    assert rows[(1, 100)]["rank_vec"] == -1  # absent from vector ranking
+    assert rows[(1, 102)]["rank_lex"] == -1  # absent from lexical ranking
+    # per-query windows: query 2 has its own rank-1
+    assert rows[(2, 200)]["fused_rank"] == 1
+    # ties (100 vs 102 both have one rank-2 source) break on doc_id
+    assert rows[(1, 100)]["fused_rank"] == 2
+    assert rows[(1, 102)]["fused_rank"] == 3
+
+
+def test_rrf_fuse_rejects_empty(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.fusion import (
+        rrf_fuse,
+    )
+
+    with pytest.raises(ValueError):
+        rrf_fuse({})
 
 
 # --- persisted (bucketed on-disk) MinHash index ------------------------------

@@ -216,6 +216,83 @@ def test_connected_components_long_chain_converges(spark):
     assert len(rows) == 13
 
 
+def test_two_phase_components_fixpoint_equals_hash_min(spark):
+    """large-star/small-star must reach the IDENTICAL (id, component)
+    labeling as hash-min label propagation on assorted random graphs."""
+    import random
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        m = rng.randrange(20, 80)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+        edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        hm = {
+            (r["id"], r["component"])
+            for r in connected_components(edges, vertices=verts).collect()
+        }
+        tp = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                edges, vertices=verts, algorithm="two_phase"
+            ).collect()
+        }
+        assert tp == hm, f"trial {trial}: labelings diverge"
+
+
+def test_two_phase_components_path_graph_logsq_rounds(spark):
+    """A 1000-node path is the adversarial case: hash-min needs ~1000
+    rounds (diameter), two_phase must converge in O(log^2 n) — give it
+    20 rounds and require the exact single-component labeling."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], ["id_a", "id_b"]
+    )
+    rows = connected_components(
+        edges, algorithm="two_phase", max_iter=20
+    ).collect()
+    assert len(rows) == 1000
+    assert {r["component"] for r in rows} == {0}
+    assert {r["id"] for r in rows} == set(range(1000))
+
+
+def test_two_phase_components_isolated_and_empty(spark):
+    from pyspark.sql import types as T
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("id_a", T.LongType()),
+                T.StructField("id_b", T.LongType()),
+            ]
+        ),
+    )
+    verts = spark.createDataFrame([(7,), (9,)], ["id"])
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            empty, vertices=verts, algorithm="two_phase"
+        ).collect()
+    }
+    assert got == {(7, 7), (9, 9)}
+
+
 def test_deterministic_sample_rate_and_stability(spark):
     from customer_360_etl_pipeline_on_azure_cloud_spark.operators.sampling import (
         deterministic_sample,

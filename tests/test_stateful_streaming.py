@@ -124,3 +124,37 @@ def test_stream_stream_join_equals_batch_join(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_rocksdb_state_store_optin_matches_default(spark):
+    """Opt-in RocksDB state store (session.ROCKSDB_STATE_CONF) must
+    produce byte-identical streaming results; the provider changes WHERE
+    state lives, never WHAT is computed. Conf is restored afterwards so
+    the rest of the suite keeps the default provider."""
+    from conftest import SF_SMALL
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.session import (
+        ROCKSDB_STATE_CONF,
+        tune,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.testdata_queries import (
+        CORE_QUERIES,
+    )
+
+    fn, _ = CORE_QUERIES["streaming_event_counts"]
+    want = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+    saved = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    tune(spark, use_rocksdb_state=True)
+    try:
+        assert (
+            "RocksDB"
+            in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        )
+        got = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == want
