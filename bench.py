@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",
     "incremental_corpus_dedup_indexed",
     "hybrid_search_multi",
+    "dedup_clusters_twophase",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -182,6 +182,7 @@ def dedup_survivors(
     src: str = "id_a",
     dst: str = "id_b",
     priority_col: str | None = None,
+    algorithm: str = "hash_min",
 ) -> DataFrame:
     """Survivor selection over a near-dup pair graph: every vertex with
     its component and whether it is the kept copy. Output:
@@ -196,7 +197,9 @@ def dedup_survivors(
     via ``max(struct(priority, -id))`` (map-side combine; numeric ids
     required for the negation tiebreak) — no window, no sort.
     """
-    comp = connected_components(edges, src=src, dst=dst, vertices=vertices)
+    comp = connected_components(
+        edges, src=src, dst=dst, vertices=vertices, algorithm=algorithm
+    )
     if priority_col is None:
         return comp.select(
             "id",

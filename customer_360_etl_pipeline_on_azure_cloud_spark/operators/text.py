@@ -214,7 +214,10 @@ def bm25_topk_multi(
       posting-list build — explode tokens, keep only query terms via a
       BROADCAST semi-join on the (small) distinct-term set, then one
       (doc, term) count aggregate. Linear in corpus size, independent of
-      query count.
+      query count. The doc length rides along the exploded rows (an
+      8-byte column in an already-narrow stage), so scoring needs NO
+      separate corpus-wide (doc_id, dl) shuffle join — the posting
+      aggregate is the only corpus-scale shuffle in the whole plan.
     * query terms join the postings BROADCAST, so adding queries never
       reshuffles the corpus.
     * per-query top-k is a window PARTITIONED BY query_id — never a
@@ -254,10 +257,17 @@ def bm25_topk_multi(
     avgdl = stats["sumdl"] / n  # same IEEE division the oracle performs
 
     postings = (
-        toks_df.select("doc_id", F.explode("__toks").alias("term"))
+        toks_df.select(
+            "doc_id",
+            F.size("__toks").cast("long").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
     )
     term_df = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df_t")
@@ -276,7 +286,6 @@ def bm25_topk_multi(
     contribs = (
         postings.join(F.broadcast(qterms), "term")
         .join(F.broadcast(term_df), "term")
-        .join(dl, "doc_id")
         .select("query_id", "doc_id", "term_idx", contrib.alias("contrib"))
     )
     scores = contribs.groupBy("query_id", "doc_id").agg(

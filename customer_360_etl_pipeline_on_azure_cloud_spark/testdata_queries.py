@@ -2026,6 +2026,35 @@ FROM reach GROUP BY v
 CORE_QUERIES["dedup_clusters"] = (q_dedup_clusters, SQL_DEDUP_CLUSTERS)
 
 
+def q_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup cascade as dedup_clusters, but closing the pair graph
+    with the large-star/small-star algorithm
+    (operators/graph.py connected_components(algorithm="two_phase"),
+    Kiveris et al. 2014) — O(log^2 n) rounds on ANY component shape,
+    including the adversarial long-chain clusters (a doc edited daily)
+    that cost hash-min diameter rounds. Identical labeling by
+    construction, so both queries share one oracle; the fixpoint
+    equality is additionally pinned on random + path graphs in
+    tests/test_operators_more.py."""
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.graph import dedup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, verify_threshold_pct=30
+    ).select("id_a", "id_b")
+    out = dedup_survivors(pairs, docs.select("doc_id"), algorithm="two_phase")
+    return out.select(
+        F.col("id").alias("doc_id"), "component", "is_survivor"
+    )
+
+
+CORE_QUERIES["dedup_clusters_twophase"] = (
+    q_dedup_clusters_twophase,
+    SQL_DEDUP_CLUSTERS,
+)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language corpus rebalancing
     (operators/sampling.py): keep-rate by stratum via md5 hash-gating —
