@@ -2565,7 +2565,12 @@ def q_incremental_corpus_dedup_indexed(spark: SparkSession, sf_dir: str) -> Data
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    write_minhash_index(corpus, "mh_corpus_idx", num_hashes=32, bands=8)
+    # num_buckets sizes to the corpus: 8 at bench SF (32 buckets paid 2x
+    # in per-file overhead for these row counts, measured 7.2s -> 3.3s);
+    # a real corpus sizes buckets to ~executor-memory-fit partitions.
+    write_minhash_index(
+        corpus, "mh_corpus_idx", num_hashes=32, bands=8, num_buckets=8
+    )
     idx = read_minhash_index(spark, "mh_corpus_idx")
     return minhash_lsh_join(new, idx, verify_threshold_pct=30).select(
         "new_id", "corpus_id"

@@ -27,6 +27,10 @@ TIE_PRONE = [
     "dedup_user_event",
     "doc_packing",
     "orders_upsert",
+    # round-5: per-query fused rankings (window tiebreaks on rrf doubles)
+    # and the two-phase closure (iteration order must not leak into labels)
+    "hybrid_search_multi",
+    "dedup_clusters_twophase",
 ]
 
 
