@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "incremental_corpus_dedup_indexed",
     "hybrid_search_multi",
     "dedup_clusters_twophase",
+    "semantic_dedup",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -19,6 +19,7 @@ from .dedup import (
     write_minhash_index,
 )
 from .fusion import rrf_fuse
+from .similarity import semantic_dedup
 from .graph import connected_components, dedup_survivors
 from .joins import banded_range_join, lookup, positional_zip
 from .sets import union_by_name_all
@@ -41,6 +42,7 @@ __all__ = [
     "read_minhash_index",
     "write_minhash_index",
     "rrf_fuse",
+    "semantic_dedup",
     "simhash_near_pairs",
     "simhash_table",
     "lookup",

@@ -398,3 +398,76 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cos")
     )
     return finalize(out, e, bk)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    sample_size: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    algorithm: str = "hash_min",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication [Abbas et al. 2023,
+    arXiv:2303.09540]: k-means-cluster the embeddings (the same coarse
+    quantizer as :func:`cosine_topk_ivf`), generate candidate pairs
+    ONLY within a cell, verify with the exact cosine, close over
+    connected components, and keep the min-id survivor per semantic
+    cluster. The third dedup modality next to lexical (MinHash/SimHash)
+    and bucket-LSH vector dedup (:func:`embedding_near_dup_pairs`):
+    cluster-scoped pruning of semantically redundant documents.
+
+    Scale accounting: the candidate stage is ONE shuffle keyed on cell
+    plus per-cell self-joins — cost ~ sum |cell|^2, controlled by
+    ``n_centroids`` (SemDeDup practice: ~sqrt(N) centroids keeps
+    expected cell size ~sqrt(N)); a skewed cell is split by AQE's
+    skew-join handling. Never corpus all-pairs. The documented miss
+    class is cross-cell pairs (cluster-boundary near-dups) — exactly
+    IVF's nprobe=1 trade, bounded tighter as thresholds rise (a 0.95+
+    pair straddles a centroid boundary only when both points are nearly
+    equidistant to two centroids).
+
+    Output: (id, component, is_survivor) — the dedup_survivors shape.
+    """
+    from .graph import dedup_survivors
+    from .util import finalize
+
+    sample_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    if not sample_rows:
+        raise ValueError("semantic_dedup: empty corpus")
+    sample = np.array([np.asarray(r[1], dtype=np.float64) for r in sample_rows])
+    centroids = _kmeans_lite(sample, k=n_centroids)
+
+    e = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col("__vec").alias("vec"),
+        F.col("__norm").alias("norm"),
+    )
+    e = (
+        _assign_centroids(e, centroids, "vec", nprobe=1)
+        .select(
+            "id", "vec", "norm", F.element_at(F.col("__cells"), 1).alias("cell")
+        )
+        .persist()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.vec"), F.col("b.vec")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    out = dedup_survivors(
+        pairs, df.select(id_col), algorithm=algorithm
+    )
+    return finalize(out, e)

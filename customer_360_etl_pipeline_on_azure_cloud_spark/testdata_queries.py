@@ -2055,6 +2055,53 @@ CORE_QUERIES["dedup_clusters_twophase"] = (
 )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (operators/similarity.py
+    semantic_dedup): k-means cells -> within-cell exact-cosine pairs ->
+    components -> min-id survivors, on the same PLANTED corpus as
+    embedding_near_dup (raw embeddings are noise, max pairwise cos
+    ~0.51; a perturbed copy of the first 50 vectors at id+1M plants
+    cos ~0.99 pairs). Expected output the oracle can state exactly:
+    every original is its own component's survivor; each planted copy
+    joins its source's component as a non-survivor. Cell-coincidence
+    (each planted pair lands in ONE k-means cell — the construction's
+    only approximation) is pinned in tests/test_extensions.py before
+    the driver sees it."""
+    from .operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + 0.02 * F.sin(F.col("vec_id") * 31 + i),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    return semantic_dedup(corpus, threshold=0.9, n_centroids=8).select(
+        F.col("id").alias("vec_id"), "component", "is_survivor"
+    )
+
+
+SQL_SEMANTIC_DEDUP = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(vec_id AS BIGINT) AS component,
+       TRUE AS is_survivor
+FROM embeddings
+UNION ALL
+SELECT CAST(vec_id + 1000000 AS BIGINT) AS vec_id,
+       CAST(vec_id AS BIGINT) AS component,
+       FALSE AS is_survivor
+FROM embeddings WHERE vec_id < 50
+"""
+
+
+CORE_QUERIES["semantic_dedup"] = (q_semantic_dedup, SQL_SEMANTIC_DEDUP)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language corpus rebalancing
     (operators/sampling.py): keep-rate by stratum via md5 hash-gating —

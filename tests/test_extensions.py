@@ -435,3 +435,61 @@ def test_persisted_index_broadcast_probe_streams_corpus(
     assert "BroadcastHashJoin" in plan
     # only the dropDuplicates shuffle remains
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+# --- semantic dedup (SemDeDup-shaped: cells -> cosine -> components) ---------
+
+
+def test_semantic_dedup_planted_pairs_collapse(spark, emb):
+    """Pin the cell-coincidence the driver oracle relies on: every
+    planted perturbed copy (cos ~0.99 to its source) must land in its
+    source's k-means cell, collapse into a 2-node component with the
+    source as survivor, and all untouched originals must stay singleton
+    survivors — on this corpus the output is exactly stateable."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + 0.02 * F.sin(F.col("vec_id") * 31 + i),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    rows = {
+        r["id"]: (r["component"], r["is_survivor"])
+        for r in semantic_dedup(corpus, threshold=0.9, n_centroids=8).collect()
+    }
+    n_base = base.count()
+    assert len(rows) == n_base + 50
+    for i in range(50):
+        assert rows[i] == (i, True)  # source survives its pair
+        assert rows[i + 1_000_000] == (i, False)  # copy collapses into it
+    # spot-check untouched originals stay singleton survivors
+    for i in (60, 100, n_base - 1):
+        assert rows[i] == (i, True)
+
+
+def test_semantic_dedup_empty_corpus_raises(spark):
+    from pyspark.sql import types as T
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        semantic_dedup(empty)
