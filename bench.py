@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "hybrid_search_multi",
     "dedup_clusters_twophase",
     "semantic_dedup",
+    "doc_rare_token_stats",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

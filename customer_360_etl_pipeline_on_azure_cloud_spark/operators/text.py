@@ -372,3 +372,51 @@ def pii_counts(text: Column | str) -> list[Column]:
         )
         for kind in PII_ORDER
     ]
+
+
+def rare_token_stats(
+    df: DataFrame,
+    top_k_vocab: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-based quality signals: per-doc token totals and counts
+    of tokens OUTSIDE the corpus' top-K vocabulary — the standard cheap
+    OOV/quality filter for corpus curation (a doc that is mostly
+    rare/garbage tokens is boilerplate, OCR noise, or another language).
+
+    Two passes, both scale-shaped:
+
+    pass 1: one posting build (explode + count) aggregates the term
+    table; the top-K vocabulary is a deterministic
+    ``orderBy(count desc, token asc).limit(K)`` —
+    TakeOrderedAndProject, never a full sort — collected to the driver
+    (bounded: K strings).
+    pass 2: rare counting is a NARROW map — an array filter against the
+    K-term set folded into the plan as an InSet literal. No second
+    corpus shuffle, no join; the scan is the cost.
+
+    Output (all BIGINT, cross-engine exact):
+    (doc_id, n_tokens, n_rare, n_distinct_rare).
+    """
+    from .util import spread
+
+    toks_df = spread(
+        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+    )
+    vocab_rows = (
+        toks_df.select(F.explode("__toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t"))
+        .limit(top_k_vocab)
+        .collect()
+    )
+    vocab = [r["t"] for r in vocab_rows]
+    rare = F.filter(F.col("__toks"), lambda t: ~t.isin(*vocab))
+    return toks_df.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(rare).cast("long").alias("n_rare"),
+        F.size(F.array_distinct(rare)).cast("long").alias("n_distinct_rare"),
+    )

@@ -2102,6 +2102,49 @@ FROM embeddings WHERE vec_id < 50
 CORE_QUERIES["semantic_dedup"] = (q_semantic_dedup, SQL_SEMANTIC_DEDUP)
 
 
+def q_doc_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-based OOV/quality stats (operators/text.py
+    rare_token_stats): tokens outside the corpus top-20 vocabulary are
+    'rare'. top_k_vocab=20 deliberately lands INSIDE this corpus'
+    ~30-word vocabulary so the cutoff boundary (count-desc, token-asc
+    ties) is exercised, not vacuous. Pass 1 is a posting aggregate +
+    TakeOrderedAndProject (driver sees K strings); pass 2 is a narrow
+    map with the vocab folded in as an InSet literal — no second
+    corpus shuffle. BIGINT-only output."""
+    from .operators.text import rare_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return rare_token_stats(docs, top_k_vocab=20)
+
+
+SQL_DOC_RARE_TOKEN_STATS = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c
+    FROM (SELECT unnest(t) AS tok FROM toks)
+    GROUP BY tok
+    ORDER BY c DESC, tok
+    LIMIT 20
+  )
+),
+vl AS (SELECT list(tok) AS v FROM vocab)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(t, x -> NOT list_contains(v, x))) AS BIGINT)
+         AS n_rare,
+       CAST(len(list_distinct(list_filter(t, x -> NOT list_contains(v, x))))
+            AS BIGINT) AS n_distinct_rare
+FROM toks CROSS JOIN vl
+"""
+
+
+CORE_QUERIES["doc_rare_token_stats"] = (
+    q_doc_rare_token_stats,
+    SQL_DOC_RARE_TOKEN_STATS,
+)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language corpus rebalancing
     (operators/sampling.py): keep-rate by stratum via md5 hash-gating —

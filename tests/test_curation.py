@@ -92,3 +92,31 @@ def test_doc_repetition_flags_planted_doc(spark):
     assert out[2]["is_repetitive"] is False
     # doc 3: single token -> zero bigrams, never flagged
     assert out[3]["n_bigrams"] == 0 and out[3]["is_repetitive"] is False
+
+
+def test_rare_token_stats_boundary_and_invariants(spark):
+    """Vocab cutoff determinism + integer invariants: with a tiny corpus
+    whose frequencies force count ties at the top-K boundary, the kept
+    vocabulary must break ties token-ascending, and per-doc counts obey
+    0 <= n_distinct_rare <= n_rare <= n_tokens."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+        rare_token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb bb cc dd"),   # aa,bb freq 2; cc,dd freq 1 (tie)
+            (2, "aa bb cc cc zz zz zz"),
+        ],
+        ["doc_id", "text"],
+    )
+    # top-3 vocab by (count desc, token asc): zz(3), aa(3)... recount:
+    # aa: 3, bb: 3, cc: 3, dd: 1, zz: 3 -> top3 = aa, bb, cc (tie on 3,
+    # token-ascending beats zz). dd and zz are rare.
+    out = {r["doc_id"]: r for r in rare_token_stats(docs, top_k_vocab=3).collect()}
+    assert out[1]["n_tokens"] == 6 and out[1]["n_rare"] == 1  # dd
+    assert out[1]["n_distinct_rare"] == 1
+    assert out[2]["n_tokens"] == 7 and out[2]["n_rare"] == 3  # zz x3
+    assert out[2]["n_distinct_rare"] == 1
+    for r in out.values():
+        assert 0 <= r["n_distinct_rare"] <= r["n_rare"] <= r["n_tokens"]
