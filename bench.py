@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "dedup_clusters_twophase",
     "semantic_dedup",
     "doc_rare_token_stats",
+    "doc_containment_pairs",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -8,6 +8,7 @@ from .aggregates import (
 from .cleaning import dedup_deterministic, drop_sentinels
 from .dedup import (
     MinhashIndex,
+    containment_pairs,
     dedup_exact,
     jaccard_pairs,
     minhash_index,
@@ -34,6 +35,7 @@ __all__ = [
     "dedup_deterministic",
     "drop_sentinels",
     "dedup_exact",
+    "containment_pairs",
     "jaccard_pairs",
     "minhash_index",
     "minhash_lsh_join",

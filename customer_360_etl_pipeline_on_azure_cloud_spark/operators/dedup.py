@@ -112,7 +112,7 @@ def jaccard_pairs(
             stacklevel=2,
         )
     out, sh_all = _jaccard_pairs_plan(df, id_col, text_col, n, threshold_pct, max_df)
-    return finalize(out, sh_all)
+    return finalize(out.select("id_a", "id_b", "inter", "uni"), sh_all)
 
 
 def _jaccard_pairs_plan(
@@ -172,7 +172,7 @@ def _jaccard_pairs_plan(
         .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
         .filter(F.col("inter") * 100 >= F.col("uni") * threshold_pct)
     )
-    return out.select("id_a", "id_b", "inter", "uni"), sh_all
+    return out.select("id_a", "id_b", "inter", "na", "nb", "uni"), sh_all
 
 
 # --- MinHash + LSH ----------------------------------------------------------
@@ -684,3 +684,55 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_pct: int = 80,
+    max_df: int | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Document pairs whose n-gram OVERLAP COEFFICIENT
+    ``inter / min(|A|, |B|)`` clears the threshold — the asymmetric
+    companion to :func:`jaccard_pairs` for QUOTE/EXCERPT detection: a
+    short doc fully contained in a long one scores ~100% here while its
+    Jaccard stays tiny (union is dominated by the long doc). The
+    standard containment check in corpus curation (quotes, boilerplate
+    inclusion, partial scrapes).
+
+    Same candidate machinery and scale posture as jaccard_pairs (shared-
+    shingle equi-join, integer-only threshold math, ``max_df``
+    stop-shingle cap with the same warn-unless-exact contract). Output:
+    (id_a, id_b, inter, n_a, n_b) with id_a < id_b.
+    """
+    import warnings
+
+    from .util import finalize
+
+    if max_df is None and not exact:
+        warnings.warn(
+            "containment_pairs called without max_df: the shared-shingle "
+            "self-join is quadratic in the hottest shingle's document "
+            "frequency. Pass max_df=<cap> for corpus-scale runs, or "
+            "exact=True to acknowledge the exact-but-unbounded semantics.",
+            stacklevel=2,
+        )
+    out, sh_all = _jaccard_pairs_plan(
+        df, id_col, text_col, n, threshold_pct=0, max_df=max_df
+    )
+    # threshold_pct=0 makes the Jaccard filter vacuous, so `out` is
+    # every intersecting pair with sizes attached; apply the asymmetric
+    # containment threshold (integer math: inter*100 >= min(na,nb)*pct).
+    out = out.filter(
+        F.col("inter") * 100 >= F.least("na", "nb") * threshold_pct
+    ).select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+    )
+    return finalize(out, sh_all)

@@ -2145,6 +2145,47 @@ CORE_QUERIES["doc_rare_token_stats"] = (
 )
 
 
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (overlap-coefficient) near-dup pairs
+    (operators/dedup.py containment_pairs): inter / min(|A|,|B|) >= 80%
+    over 3-gram shingles — the quote/excerpt detector. A short doc fully
+    inside a long one scores ~100% here while its Jaccard stays tiny, so
+    this catches the partial-scrape/boilerplate-inclusion class that
+    jaccard_pairs is blind to. Integer-only threshold math; exact
+    semantics (exact=True) for the oracle."""
+    from .operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=3, threshold_pct=80, exact=True)
+
+
+SQL_DOC_CONTAINMENT_PAIRS = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+        FROM toks WHERE len(t) >= 3)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter, sa.nsh AS n_a, sb.nsh AS n_b
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 100 >= LEAST(sa.nsh, sb.nsh) * 80
+"""
+
+
+CORE_QUERIES["doc_containment_pairs"] = (
+    q_doc_containment_pairs,
+    SQL_DOC_CONTAINMENT_PAIRS,
+)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language corpus rebalancing
     (operators/sampling.py): keep-rate by stratum via md5 hash-gating —

@@ -493,3 +493,47 @@ def test_semantic_dedup_empty_corpus_raises(spark):
     )
     with pytest.raises(ValueError, match="empty corpus"):
         semantic_dedup(empty)
+
+
+# --- containment (overlap coefficient) pairs ---------------------------------
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """The asymmetric semantics: a short doc fully contained in a long
+    one clears a high containment threshold while the same pair fails
+    the same Jaccard threshold (union dominated by the long doc)."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(10, 20))  # 10 tokens inside
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, excerpt)], ["doc_id", "text"]
+    )
+    cont = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(
+            docs, n=3, threshold_pct=80, exact=True
+        ).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(
+            docs, n=3, threshold_pct=80, exact=True
+        ).collect()
+    }
+    assert (1, 2) in cont  # excerpt's shingles all inside the long doc
+    assert (1, 2) not in jac  # union is ~58 shingles, inter 8 -> ~14%
+
+
+def test_containment_warns_without_cap(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    with pytest.warns(UserWarning, match="without max_df"):
+        containment_pairs(docs, n=3, threshold_pct=50)
