@@ -403,7 +403,8 @@ def embedding_near_dup_pairs(
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | str = "auto",
+    target_cell_size: int = 256,
     sample_size: int = 2000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -419,14 +420,23 @@ def semantic_dedup(
     cluster-scoped pruning of semantically redundant documents.
 
     Scale accounting: the candidate stage is ONE shuffle keyed on cell
-    plus per-cell self-joins — cost ~ sum |cell|^2, controlled by
-    ``n_centroids`` (SemDeDup practice: ~sqrt(N) centroids keeps
-    expected cell size ~sqrt(N)); a skewed cell is split by AQE's
+    plus per-cell self-joins — cost ~ sum |cell|^2. A FIXED centroid
+    count is therefore quadratic in corpus size (measured: 68x
+    wall-clock at 10x data with k=8, SCALE_r5.json) — the default
+    ``n_centroids="auto"`` sizes k = N / target_cell_size so expected
+    cell size stays CONSTANT and total pair work is linear
+    (~ N * target_cell_size). A skewed cell is split by AQE's
     skew-join handling. Never corpus all-pairs. The documented miss
     class is cross-cell pairs (cluster-boundary near-dups) — exactly
     IVF's nprobe=1 trade, bounded tighter as thresholds rise (a 0.95+
     pair straddles a centroid boundary only when both points are nearly
-    equidistant to two centroids).
+    equidistant to two centroids); more cells means more boundary, the
+    recall side of the same knob.
+
+    Limit: centroids are fit driver-side from a bounded sample, so k is
+    capped at sample_size // 2 — at the default (2000, 256) that serves
+    corpora up to ~256k vectors; beyond that raise sample_size, or
+    precluster hierarchically (coarse cells -> re-run per coarse cell).
 
     Output: (id, component, is_survivor) — the dedup_survivors shape.
     """
@@ -438,6 +448,12 @@ def semantic_dedup(
     )
     if not sample_rows:
         raise ValueError("semantic_dedup: empty corpus")
+    if n_centroids == "auto":
+        n_total = df.count()
+        n_centroids = min(
+            max(16, -(-n_total // target_cell_size)),  # ceil div
+            max(16, sample_size // 2),
+        )
     sample = np.array([np.asarray(r[1], dtype=np.float64) for r in sample_rows])
     centroids = _kmeans_lite(sample, k=n_centroids)
 

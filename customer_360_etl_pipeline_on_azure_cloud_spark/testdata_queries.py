@@ -2081,7 +2081,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = base.unionByName(planted)
-    return semantic_dedup(corpus, threshold=0.9, n_centroids=8).select(
+    return semantic_dedup(corpus, threshold=0.9).select(
         F.col("id").alias("vec_id"), "component", "is_survivor"
     )
 

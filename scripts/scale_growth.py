@@ -37,6 +37,10 @@ QUERIES = [
     "dedup_clusters",
     "incremental_corpus_dedup",
     "incremental_corpus_dedup_indexed",
+    "dedup_clusters_twophase",
+    "semantic_dedup",
+    "doc_containment_pairs",
+    "doc_rare_token_stats",
 ]
 
 

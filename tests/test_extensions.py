@@ -463,7 +463,7 @@ def test_semantic_dedup_planted_pairs_collapse(spark, emb):
     corpus = base.unionByName(planted)
     rows = {
         r["id"]: (r["component"], r["is_survivor"])
-        for r in semantic_dedup(corpus, threshold=0.9, n_centroids=8).collect()
+        for r in semantic_dedup(corpus, threshold=0.9).collect()
     }
     n_base = base.count()
     assert len(rows) == n_base + 50
