@@ -134,6 +134,12 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "doc_rare_token_stats",
     "doc_containment_pairs",
+    "cluster_aware_split",
+    "gopher_quality_flags",
+    "bpe_merge_pairs",
+    "duplicate_passages",
+    "doc_lm_perplexity",
+    "embedding_quantization",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -736,3 +736,68 @@ def containment_pairs(
         F.col("nb").alias("n_b"),
     )
     return finalize(out, sh_all)
+
+
+# --- cross-document duplicated passages -------------------------------------
+
+
+def shared_passage_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-passage detection: for every document,
+    how many of its sliding ``window``-token passages also appear in at
+    least one OTHER document.  This is the distributed shape of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): instead of one global
+    suffix array, every window-gram is fingerprinted and duplicated
+    spans fall out of one hash aggregate — the form that scales to a
+    100 TB corpus because it is explode → agg → semi-join, all
+    hash-partitioned, never a global sort.
+
+    Catches what whole-document near-dup (MinHash/SimHash) is blind
+    to: a long document QUOTING a passage of another (overall Jaccard
+    tiny, passage overlap total).  ``containment_pairs`` finds the
+    asymmetric doc pair; this finds the per-document SPAN EXPOSURE.
+
+    Plan: window fingerprints are md5 over the space-joined token
+    slice (engine-portable); the explode emits O(total_tokens) rows
+    (linear, the unavoidable cost); shared keys come from one
+    count-distinct aggregate; the mark-back is a semi-style broadcast
+    or shuffle join chosen by AQE from the observed shared-set size.
+
+    Output: ``(doc_id, n_windows, n_shared_windows)`` — BIGINT only —
+    restricted to documents with at least one shared passage.
+    """
+    from .text import tokens
+
+    t = tokens(text_col)
+    n = F.size(t)
+    wins = F.when(
+        n >= F.lit(window),
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(window - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = df.select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("wkey"))
+    shared = (
+        w.groupBy("wkey")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wkey", F.lit(1).alias("__shared"))
+    )
+    marked = w.join(shared, "wkey", "left")
+    out = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("__shared"), F.lit(0)))
+            .cast("long")
+            .alias("n_shared_windows"),
+        )
+        .filter(F.col("n_shared_windows") > 0)
+    )
+    return out

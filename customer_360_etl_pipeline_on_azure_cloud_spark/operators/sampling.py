@@ -161,3 +161,31 @@ def weighted_sample(
     thresh = F.floor(p * F.lit(float(16**nhex))).cast("long")
     gate_int = F.conv(_gate(F.col(key_col), salt, nhex), 16, 10).cast("long")
     return df.filter(gate_int < thresh)
+
+
+def leakage_safe_split(
+    edges: DataFrame,
+    vertices: DataFrame,
+    fractions: dict[str, float],
+    salt: str = "",
+    algorithm: str = "hash_min",
+) -> DataFrame:
+    """Train/val/test assignment that can never leak a near-duplicate
+    across splits: documents are first collapsed into near-dup
+    components (``edges`` = verified near-dup pairs from any of the
+    dedup family's candidate generators), then the WHOLE component is
+    hash-banded into a split by its component label.  A doc and its
+    paraphrase land in the same split by construction — the property a
+    naive per-doc split silently violates, inflating eval scores with
+    memorized training twins.
+
+    Composition of two existing scale-safe pieces: connected
+    components (one shuffle per round, see operators/graph.py) and the
+    band split (narrow map).  Output: ``(id, component, split)``.
+    """
+    from .graph import dedup_survivors
+
+    comp = dedup_survivors(edges, vertices, algorithm=algorithm).select(
+        "id", "component"
+    )
+    return split_assign(comp, "component", fractions, salt=salt)

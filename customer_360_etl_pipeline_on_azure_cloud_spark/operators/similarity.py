@@ -487,3 +487,58 @@ def semantic_dedup(
         pairs, df.select(id_col), algorithm=algorithm
     )
     return finalize(out, e)
+
+
+# --- int8 scalar quantization -----------------------------------------------
+
+
+def embedding_quant_stats(
+    df: DataFrame, vec_col: str = "embedding", levels: int = 256
+) -> DataFrame:
+    """Per-dimension int8 scalar quantization audit: min/max calibration
+    per dimension, then the quantized-code statistics a vector-store
+    build reports before committing to 4× memory compression (dims
+    whose codes collapse to a few levels carry little information and
+    flag a bad calibration or a dead dimension).
+
+    Two linear passes, both scale-shaped: pass 1 explodes to
+    (dim, val) and hash-aggregates min/max per dim — map-side partial
+    aggregation means the shuffle carries ``dims × partitions`` rows,
+    not the corpus.  Pass 2 re-explodes, joins the dims-sized
+    calibration table (broadcast — it is `dim` rows), quantizes with
+    ``round((v - min) * (levels-1) / (max - min))``, and aggregates
+    code stats per dim.  At 100 TB the same two scans are the cost
+    floor for exact calibration; sampled calibration just gates pass 1
+    behind ``sampling.deterministic_sample``.
+
+    Cross-engine exactness: the quantization arithmetic is the
+    identical IEEE double expression tree on both engines, and every
+    output column is BIGINT.
+
+    Output: ``(dim, n_levels, q_min, q_max, q_sum)``.
+    """
+    v = df.select(F.posexplode(F.col(vec_col)).alias("dim", "val"))
+    stats = v.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    scale = F.lit(float(levels - 1))
+    q = v.join(F.broadcast(stats), "dim").select(
+        "dim",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                (F.col("val").cast("double") - F.col("mn").cast("double"))
+                * scale
+                / (F.col("mx").cast("double") - F.col("mn").cast("double")),
+                0,
+            ).cast("long")
+        )
+        .alias("qv"),
+    )
+    return q.groupBy("dim").agg(
+        F.count_distinct("qv").alias("n_levels"),
+        F.min("qv").alias("q_min"),
+        F.max("qv").alias("q_max"),
+        F.sum("qv").alias("q_sum"),
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_levels", "q_min", "q_max", "q_sum",
+    )

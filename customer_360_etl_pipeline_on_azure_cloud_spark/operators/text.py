@@ -420,3 +420,135 @@ def rare_token_stats(
         F.size(rare).cast("long").alias("n_rare"),
         F.size(F.array_distinct(rare)).cast("long").alias("n_distinct_rare"),
     )
+
+
+# --- Gopher-style composite quality rules -----------------------------------
+
+#: Default thresholds for :func:`gopher_rules`, adapted from the published
+#: Gopher corpus-filtering heuristics (Rae et al. 2021, "Scaling Language
+#: Models: ... Gopher", table A1) to integer-exact arithmetic.  The
+#: original rules use fractional ratios (mean word length 3-10, symbol
+#: ratio <= 0.1, >= 2 stop words); these constants express the identical
+#: comparisons through cross-multiplication so the classification carries
+#: no float, and an external audit (the DuckDB oracle) replays it exactly.
+GOPHER_DEFAULTS: dict[str, int] = {
+    "min_tokens": 20,
+    "max_tokens": 1000,
+    "min_mean_word_len": 3,   # mean token length lower bound (chars)
+    "max_mean_word_len": 10,  # mean token length upper bound (chars)
+    "max_symbol_pct": 10,     # non-alphanumeric chars <= 10% of chars
+    "min_stopwords": 2,       # at least 2 English stop words
+}
+
+
+def gopher_rules(
+    text: Column | str, params: dict[str, int] | None = None
+) -> dict[str, Column]:
+    """Per-rule violation flags for the Gopher-style quality filter —
+    a dict of boolean Columns (True = the document VIOLATES the rule).
+
+    All five rules are narrow column expressions over one text column —
+    no shuffle, codegen-friendly; at 100 TB this annotates at scan
+    speed next to the other per-document profilers.  Mean word length
+    is evaluated as ``(n_chars - (n_tokens - 1))`` vs
+    ``bound * n_tokens`` (total token chars, assuming single-space
+    joins, cross-multiplied) and the symbol ratio as
+    ``n_symbols * 100`` vs ``n_chars * max_pct`` — integer comparisons
+    only, so the flags are bit-identical on any engine.
+    """
+    p = {**GOPHER_DEFAULTS, **(params or {})}
+    n_tok = token_count(text)
+    n_chars = (
+        F.length(F.col(text) if isinstance(text, str) else text).cast("long")
+    )
+    word_chars = n_chars - (n_tok - F.lit(1))
+    n_sym = non_alnum_count(text)
+    n_stop = stopword_hits(text, LANG_STOPWORDS["en"])
+    return {
+        "too_short": n_tok < F.lit(p["min_tokens"]),
+        "too_long": n_tok > F.lit(p["max_tokens"]),
+        "word_len_out": (word_chars < n_tok * F.lit(p["min_mean_word_len"]))
+        | (word_chars > n_tok * F.lit(p["max_mean_word_len"])),
+        "symbol_heavy": n_sym * F.lit(100) > n_chars * F.lit(p["max_symbol_pct"]),
+        "low_stopwords": n_stop < F.lit(p["min_stopwords"]),
+    }
+
+
+def adjacent_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All adjacent token pairs of every document — the count table a
+    BPE/WordPiece tokenizer trainer consumes for its merge step (the
+    most frequent pair becomes the next merge rule).
+
+    ``zip_with(tokens[:-1], tokens[1:])`` builds the pair structs
+    inside the row (JVM-side, no Python), one explode streams them
+    out, and the caller's ``groupBy(left_tok, right_tok).count()``
+    partially aggregates map-side — so at 100 TB the shuffle carries
+    only the distinct-pair partial counts (bounded by vocabulary²
+    observed, in practice far smaller), never the corpus.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    pairs = F.zip_with(
+        F.slice(t, 1, n - F.lit(1)),
+        F.slice(t, 2, n - F.lit(1)),
+        lambda l, r: F.struct(l.alias("left_tok"), r.alias("right_tok")),
+    )
+    return df.select(F.explode(pairs).alias("p")).select("p.left_tok", "p.right_tok")
+
+
+def unigram_nll(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus'
+    own unigram language model — the classic cheap perplexity-style
+    quality score (CCNet trains a real LM; the unigram self-model is
+    the shuffle-only approximation that needs no external artifact).
+    High ``avg_nll`` = the document is made of corpus-rare tokens.
+
+    Plan shape: one explode + hash aggregate builds the unigram count
+    table (vocabulary-sized — broadcastable at any corpus scale: even
+    a 100 TB web corpus has a token vocabulary in the low millions);
+    token scoring is then a broadcast join, and the per-document
+    reduction is a second hash aggregate.  The corpus-total token
+    count rides a one-row crossJoin, not a driver collect.
+
+    Cross-engine exactness: the per-document sum of ``ln(count)``
+    terms folds in PINNED token order (array_sort over (pos, lp)
+    structs, then a left fold) so an oracle replaying the same fold
+    (DuckDB ``list_reduce(list(lp ORDER BY pos))``) lands on the
+    bit-identical double — the same technique bm25_topk_multi uses.
+
+    Output: ``(doc_id, n_tokens, avg_nll DOUBLE)``.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "w"),
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("n_total"))
+    scored = tok.join(F.broadcast(uni), "w").select(
+        "doc_id", "pos", F.log(F.col("cnt").cast("double")).alias("lp")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                lambda s: s["lp"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("ll"),
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            (
+                F.col("n_tokens").cast("double")
+                * F.log(F.col("n_total").cast("double"))
+                - F.col("ll")
+            )
+            / F.col("n_tokens").cast("double")
+        ).alias("avg_nll"),
+    )

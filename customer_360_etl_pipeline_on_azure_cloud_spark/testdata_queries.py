@@ -2933,6 +2933,14 @@ FROM fused QUALIFY fused_rank <= 5
 CORE_QUERIES["hybrid_search_multi"] = (q_hybrid_search_multi, SQL_HYBRID_SEARCH_MULTI)
 
 
+# --- training-prep extension queries (leakage-safe split, Gopher rules,
+# BPE pairs, duplicated passages, unigram-LM perplexity, int8 quant) ---------
+
+from .trainprep_queries import build_trainprep_queries  # noqa: E402
+
+CORE_QUERIES.update(build_trainprep_queries(SQL_DEDUP_CLUSTERS))
+
+
 # --- canonical registry order ----------------------------------------------
 #
 # The external driver's correctness gate checks the FIRST 50 registered

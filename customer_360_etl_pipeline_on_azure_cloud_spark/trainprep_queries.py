@@ -1,0 +1,319 @@
+"""Training-prep queries: leakage-safe splits, Gopher quality rules,
+BPE merge-pair counting, duplicated-passage spans, unigram-LM
+perplexity ranking, and int8 embedding quantization audits.
+
+These are the operations that sit between corpus curation and the
+tokenizer/trainer: the split must not leak near-duplicates, the
+tokenizer trainer needs adjacent-pair counts, the quality gate needs
+the published composite rules, and the vector store needs a
+quantization calibration report.  Each is expressed through the
+operator library (operators/text.py, dedup.py, similarity.py,
+sampling.py, graph.py) with the repo's exactness rules: integer
+comparisons for thresholds, md5 for all engine-crossing hashes,
+pinned-order folds when a double must cross engines, BIGINT-only
+outputs wherever ranking is the deliverable.
+
+This module deliberately does NOT import testdata_queries (no import
+cycle); the one oracle that reuses the dedup-cluster recursive CTE
+receives it as a parameter via :func:`build_trainprep_queries`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.sampling import leakage_safe_split, split_band_sql
+from .operators.text import (
+    GOPHER_DEFAULTS,
+    LANG_STOPWORDS,
+    adjacent_pairs,
+    gopher_rules,
+    unigram_nll,
+)
+from .session import tune
+from .sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark, shuffle_partitions=32)
+    return load_table(spark, sf_dir, name)
+
+
+# --- leakage-safe cluster-aware dataset split --------------------------------
+
+TRAINPREP_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test split
+    (operators/sampling.py leakage_safe_split): MinHash-LSH verified
+    pairs -> connected components -> hash-band the COMPONENT into a
+    split, so a document and its near-duplicates always share a split
+    and eval can't be inflated by memorized training twins.
+
+    Scale: the components pass is the dedup cascade already run for
+    dedup_clusters (shared machinery); the split itself is a narrow
+    map on the component label.  Oracle: the dedup-cluster recursive
+    CTE (valid on this corpus because verified LSH pairs coincide with
+    exact >=30% Jaccard pairs — same pinned coincidence as
+    dedup_clusters) + the identical md5 band CASE.
+    """
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, verify_threshold_pct=30
+    ).select("id_a", "id_b")
+    out = leakage_safe_split(pairs, docs.select("doc_id"), TRAINPREP_SPLITS)
+    return out.select(F.col("id").alias("doc_id"), "component", "split")
+
+
+def _sql_cluster_aware_split(sql_dedup_clusters: str) -> str:
+    band = split_band_sql("component", TRAINPREP_SPLITS)
+    return f"""
+WITH comp AS (SELECT doc_id, component FROM ({sql_dedup_clusters}) c)
+SELECT doc_id, component, {band} AS split FROM comp
+"""
+
+
+# --- Gopher-style composite quality gate ------------------------------------
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of the Gopher-style quality rules
+    (operators/text.py gopher_rules): how many documents each source
+    contributes, how many pass the composite gate, and which rule
+    trips how often — the report that decides which crawl sources are
+    worth keeping at 100 TB.  Five integer-exact narrow flags + one
+    small aggregation; the scan is the cost."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_rules(F.col("text"))
+    viol = None
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for name, col in flags.items():
+        aggs.append(F.sum(col.cast("long")).alias(f"n_{name}"))
+        viol = col if viol is None else (viol | col)
+    aggs.append(F.sum((~viol).cast("long")).alias("n_pass"))
+    return docs.groupBy("source").agg(*aggs)
+
+
+def _sql_gopher() -> str:
+    p = GOPHER_DEFAULTS
+    stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT source,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_sym,
+    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x IN ({stop}))) AS BIGINT) AS n_stop
+  FROM documents
+), flags AS (
+  SELECT source,
+    (n_tok < {p["min_tokens"]}) AS too_short,
+    (n_tok > {p["max_tokens"]}) AS too_long,
+    ((n_chars - (n_tok - 1)) < n_tok * {p["min_mean_word_len"]}
+     OR (n_chars - (n_tok - 1)) > n_tok * {p["max_mean_word_len"]}) AS word_len_out,
+    (n_sym * 100 > n_chars * {p["max_symbol_pct"]}) AS symbol_heavy,
+    (n_stop < {p["min_stopwords"]}) AS low_stopwords
+  FROM base
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+  CAST(SUM(CASE WHEN too_long THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
+  CAST(SUM(CASE WHEN word_len_out THEN 1 ELSE 0 END) AS BIGINT) AS n_word_len_out,
+  CAST(SUM(CASE WHEN symbol_heavy THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_heavy,
+  CAST(SUM(CASE WHEN low_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopwords,
+  CAST(SUM(CASE WHEN NOT (too_short OR too_long OR word_len_out
+                          OR symbol_heavy OR low_stopwords)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flags GROUP BY source
+"""
+
+
+# --- BPE merge-pair counting -------------------------------------------------
+
+_BPE_TOPK = 20
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-token-pair counts (operators/text.py
+    adjacent_pairs) — the count table of one BPE/WordPiece merge
+    iteration over the corpus.  zip_with builds pairs in-row, the
+    groupBy partially aggregates map-side, and the top-k is
+    orderBy+limit = TakeOrderedAndProject (distributed top-k, no
+    global sort).  Integer counts, deterministic (count desc, pair
+    asc) cutoff."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        adjacent_pairs(docs)
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "left_tok", "right_tok")
+        .limit(_BPE_TOPK)
+    )
+
+
+SQL_BPE_MERGE_PAIRS = f"""
+WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> struct_pack(l := t[i], r := t[i + 1]))) AS p
+  FROM toks
+)
+SELECT p.l AS left_tok, p.r AS right_tok, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1, 2
+ORDER BY cnt DESC, left_tok, right_tok LIMIT {_BPE_TOPK}
+"""
+
+
+# --- cross-document duplicated passages --------------------------------------
+
+_PASSAGE_WINDOW = 8
+
+
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-passage exposure (operators/dedup.py
+    shared_passage_stats): sliding 8-token window fingerprints, shared
+    iff the same window text occurs in >=2 distinct documents — the
+    distributed form of substring-level dedup that catches quotes and
+    partial scrapes whole-document similarity misses."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.dedup import shared_passage_stats
+
+    return shared_passage_stats(docs, window=_PASSAGE_WINDOW)
+
+
+SQL_DUPLICATE_PASSAGES = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(t) - {_PASSAGE_WINDOW - 1}),
+           i -> md5(array_to_string(t[i:i + {_PASSAGE_WINDOW - 1}], ' ')))) AS wkey
+  FROM toks WHERE len(t) >= {_PASSAGE_WINDOW}
+), shared AS (
+  SELECT wkey FROM w GROUP BY wkey HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN wkey IN (SELECT wkey FROM shared) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shared_windows
+FROM w GROUP BY doc_id
+HAVING CAST(SUM(CASE WHEN wkey IN (SELECT wkey FROM shared) THEN 1 ELSE 0 END)
+            AS BIGINT) > 0
+"""
+
+
+# --- unigram-LM perplexity ranking -------------------------------------------
+
+_PPL_TOPK = 25
+
+
+def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus' most perplexing documents under its own unigram LM
+    (operators/text.py unigram_nll) — the CCNet-style quality
+    ordering, self-contained (no external LM artifact).  Ranking is
+    orderBy(avg_nll desc, doc_id) + limit = TakeOrderedAndProject;
+    output is BIGINT-only (the double sort key stays internal, its
+    cross-engine bit-equality guaranteed by the pinned-order fold)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_nll(docs)
+    top = scored.orderBy(F.col("avg_nll").desc(), "doc_id").limit(_PPL_TOPK)
+    w = Window.orderBy(F.col("avg_nll").desc(), "doc_id")
+    return top.select(
+        "doc_id", "n_tokens", F.row_number().over(w).cast("long").alias("ppl_rank")
+    )
+
+
+SQL_DOC_LM_PERPLEXITY = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w,
+         unnest(generate_series(1, len(t))) AS pos
+  FROM toks
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM uni
+), per AS (
+  SELECT tok.doc_id, tok.pos, ln(uni.cnt::DOUBLE) AS lp
+  FROM tok JOIN uni ON tok.w = uni.w
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY pos)),
+                     (a, b) -> a + b) AS ll
+  FROM per GROUP BY doc_id
+), sc AS (
+  SELECT doc_id, n_tokens,
+         (n_tokens::DOUBLE * ln(tot.n_total::DOUBLE) - ll) / n_tokens::DOUBLE
+           AS avg_nll
+  FROM agg CROSS JOIN tot
+)
+SELECT doc_id, n_tokens,
+       CAST(ROW_NUMBER() OVER (ORDER BY avg_nll DESC, doc_id) AS BIGINT)
+         AS ppl_rank
+FROM sc QUALIFY ppl_rank <= {_PPL_TOPK}
+"""
+
+
+# --- int8 embedding quantization audit ---------------------------------------
+
+
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 quantization audit (operators/similarity.py
+    embedding_quant_stats): min/max calibration + quantized-code
+    statistics per dimension — the report a vector store emits before
+    committing to 4x compression of a 100 TB embedding column."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from .operators.similarity import embedding_quant_stats
+
+    return embedding_quant_stats(emb)
+
+
+SQL_EMBEDDING_QUANTIZATION = """
+WITH v AS (
+  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+), s AS (
+  SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM v GROUP BY dim
+), q AS (
+  SELECT v.dim,
+         CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+              ELSE CAST(round((v.val::DOUBLE - s.mn::DOUBLE) * 255.0
+                              / (s.mx::DOUBLE - s.mn::DOUBLE)) AS BIGINT)
+         END AS qv
+  FROM v JOIN s ON v.dim = s.dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(DISTINCT qv) AS BIGINT) AS n_levels,
+       MIN(qv) AS q_min, MAX(qv) AS q_max, SUM(qv) AS q_sum
+FROM q GROUP BY dim
+"""
+
+
+def build_trainprep_queries(sql_dedup_clusters: str) -> dict:
+    """Registry fragment; ``sql_dedup_clusters`` is the recursive-CTE
+    cluster oracle from testdata_queries (passed in, not imported — no
+    module cycle)."""
+    return {
+        "cluster_aware_split": (
+            q_cluster_aware_split,
+            _sql_cluster_aware_split(sql_dedup_clusters),
+        ),
+        "gopher_quality_flags": (q_gopher_quality_flags, _sql_gopher()),
+        "bpe_merge_pairs": (q_bpe_merge_pairs, SQL_BPE_MERGE_PAIRS),
+        "duplicate_passages": (q_duplicate_passages, SQL_DUPLICATE_PASSAGES),
+        "doc_lm_perplexity": (q_doc_lm_perplexity, SQL_DOC_LM_PERPLEXITY),
+        "embedding_quantization": (
+            q_embedding_quantization,
+            SQL_EMBEDDING_QUANTIZATION,
+        ),
+    }

@@ -1,0 +1,196 @@
+"""Unit tests for the training-prep operators: Gopher rules, BPE pair
+counting, unigram-LM scoring, duplicated-passage stats, int8
+quantization, leakage-safe splits.
+
+The registered queries' oracle parity is covered by
+tests/test_oracle_parity.py (which parametrizes over the full
+registry); these tests pin the operator-level semantics on
+hand-computable corpora.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+    shared_passage_stats,
+)
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.sampling import (
+    leakage_safe_split,
+)
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+    embedding_quant_stats,
+)
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+    adjacent_pairs,
+    gopher_rules,
+    unigram_nll,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- gopher_rules ------------------------------------------------------------
+
+
+def test_gopher_each_rule_fires_independently(spark):
+    fluent = "the cat sat of and is to in " + "word " * 15  # 23 tokens, stopword-rich
+    docs = _docs(
+        spark,
+        [
+            (1, fluent.strip()),                       # passes everything
+            (2, "the a of and is to in"),              # too_short (7 tokens)
+            (3, ("xx " * 30).strip()),                 # low_stopwords + word_len (2.0)
+            (4, "the a of !!! ### $$$ %%% ^^^ &&& *" + " word" * 15),  # symbols
+        ],
+    )
+    flags = gopher_rules(F.col("text"))
+    out = docs.select(
+        "doc_id", *[c.alias(n) for n, c in flags.items()]
+    ).collect()
+    by_id = {r["doc_id"]: r.asDict() for r in out}
+    assert not any(
+        v for k, v in by_id[1].items() if k != "doc_id"
+    ), by_id[1]
+    assert by_id[2]["too_short"]
+    assert by_id[3]["low_stopwords"] and by_id[3]["word_len_out"]
+    assert by_id[4]["symbol_heavy"]
+
+
+def test_gopher_mean_word_len_cross_multiplication(spark):
+    # 4 tokens x 3 chars = 12 word chars + 3 spaces -> mean exactly 3.0:
+    # NOT a violation (bounds inclusive).  2-char tokens -> mean 2.0: fails.
+    docs = _docs(spark, [(1, "abc def ghi jkl"), (2, "ab cd ef gh")])
+    flags = gopher_rules(F.col("text"))
+    out = {r["doc_id"]: r["v"] for r in docs.select(
+        "doc_id", flags["word_len_out"].alias("v")).collect()}
+    assert out[1] is False and out[2] is True
+
+
+# --- adjacent_pairs ----------------------------------------------------------
+
+
+def test_adjacent_pairs_tiny_docs(spark):
+    docs = _docs(spark, [(1, "a"), (2, "a b"), (3, "a b c b c")])
+    got = sorted(
+        tuple(r) for r in adjacent_pairs(docs).collect()
+    )
+    assert got == [("a", "b"), ("a", "b"), ("b", "c"), ("b", "c"), ("c", "b")]
+
+
+def test_adjacent_pairs_top_count(spark):
+    docs = _docs(spark, [(1, "x y x y x y z")])
+    top = (
+        adjacent_pairs(docs)
+        .groupBy("left_tok", "right_tok")
+        .count()
+        .orderBy(F.col("count").desc(), "left_tok", "right_tok")
+        .first()
+    )
+    assert (top["left_tok"], top["right_tok"], top["count"]) == ("x", "y", 3)
+
+
+# --- unigram_nll -------------------------------------------------------------
+
+
+def test_unigram_nll_hand_computed(spark):
+    # corpus: doc1 = "a a b", doc2 = "b".  counts: a=2, b=2, total=4.
+    # every token has p=2/4 -> nll = ln(4)-ln(2) = ln(2) for both docs.
+    docs = _docs(spark, [(1, "a a b"), (2, "b")])
+    out = {r["doc_id"]: r for r in unigram_nll(docs).collect()}
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 1
+    assert abs(out[1]["avg_nll"] - math.log(2)) < 1e-12
+    assert abs(out[2]["avg_nll"] - math.log(2)) < 1e-12
+
+
+def test_unigram_nll_rare_tokens_score_higher(spark):
+    docs = _docs(
+        spark,
+        [(1, "common common common common"), (2, "common rare")],
+    )
+    out = {r["doc_id"]: r["avg_nll"] for r in unigram_nll(docs).collect()}
+    assert out[2] > out[1]
+
+
+# --- shared_passage_stats ----------------------------------------------------
+
+
+def test_shared_passage_detects_cross_doc_quote(spark):
+    passage = "one two three four five six seven eight"
+    docs = _docs(
+        spark,
+        [
+            (1, passage + " tail1 tail2"),
+            (2, "head1 head2 " + passage),
+            (3, "nothing in common with anyone here at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in shared_passage_stats(docs).collect()}
+    # docs 1 and 2 share exactly the 8-token passage window; doc 3 absent
+    assert set(out) == {1, 2}
+    assert out[1]["n_shared_windows"] == 1 and out[2]["n_shared_windows"] == 1
+    assert out[1]["n_windows"] == 3 and out[2]["n_windows"] == 3
+
+
+def test_shared_passage_short_docs_have_no_windows(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    assert shared_passage_stats(docs).count() == 0
+
+
+def test_shared_passage_within_doc_repeat_not_shared(spark):
+    rep = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = _docs(spark, [(1, rep + " mid " + rep)])
+    assert shared_passage_stats(docs).count() == 0
+
+
+# --- embedding_quant_stats ---------------------------------------------------
+
+
+def test_embedding_quant_constant_dim_collapses(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.0]), (2, [0.5, 1.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in embedding_quant_stats(df).collect()}
+    assert out[0]["n_levels"] == 1 and out[0]["q_sum"] == 0
+    # dim 1: values 0, 1, 0.5 -> codes 0, 255, round(127.5)=128 (HALF_UP)
+    assert out[1]["q_min"] == 0 and out[1]["q_max"] == 255
+    assert out[1]["q_sum"] == 0 + 255 + 128 and out[1]["n_levels"] == 3
+
+
+# --- leakage_safe_split ------------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"
+    )
+    out = leakage_safe_split(
+        edges, verts, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    split_of = {r["id"]: r["split"] for r in out}
+    comp_of = {r["id"]: r["component"] for r in out}
+    assert len(split_of) == 6
+    assert split_of[1] == split_of[2] == split_of[3]
+    assert split_of[10] == split_of[11]
+    assert comp_of[1] == comp_of[2] == comp_of[3] == 1
+    assert comp_of[99] == 99
+    assert set(split_of.values()) <= {"train", "val", "test"}
+
+
+def test_leakage_safe_split_deterministic_across_layouts(spark):
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    verts = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    a = leakage_safe_split(edges, verts, {"train": 0.5, "test": 0.5})
+    b = leakage_safe_split(
+        edges.repartition(7), verts.repartition(5), {"train": 0.5, "test": 0.5}
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
