@@ -41,6 +41,13 @@ QUERIES = [
     "semantic_dedup",
     "doc_containment_pairs",
     "doc_rare_token_stats",
+    # round-5 part-2 training-prep surface
+    "cluster_aware_split",
+    "duplicate_passages",
+    "doc_lm_perplexity",
+    "bpe_merge_pairs",
+    "gopher_quality_flags",
+    "embedding_quantization",
 ]
 
 
