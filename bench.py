@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "duplicate_passages",
     "doc_lm_perplexity",
     "embedding_quantization",
+    "collocation_pmi",
+    "cdc_chunking",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -801,3 +801,60 @@ def shared_passage_stats(
         .filter(F.col("n_shared_windows") > 0)
     )
     return out
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    rate_nhex_lt: str = "10000000",
+) -> DataFrame:
+    """Content-defined chunking statistics: cut boundaries fall where
+    the md5 of the trailing ``window``-token context drops below a
+    hash-rate gate (default prefix ``< '10000000'`` = 1/16 of the
+    32-bit space → expected chunk ≈ 16 tokens + window overhead).
+
+    Why content-defined beats the fixed windows of ``chunk_documents``
+    for dedup storage: inserting one token into a document shifts
+    every fixed-chunk boundary after it (no chunk dedups), while CDC
+    boundaries re-align immediately after the edit — the
+    rsync/LBFS/restic construction, here at token granularity for
+    text corpora.
+
+    Everything is IN-ROW array algebra — cut positions via
+    ``filter(sequence)``, chunk lengths via a shifted ``zip_with``
+    difference — a pure narrow map: zero shuffles at any corpus
+    scale, and the md5 gate is engine-portable so an external audit
+    replays boundaries exactly.
+
+    Output: ``(doc_id, n_tokens, n_chunks, max_chunk_tokens)``.
+    """
+    from .text import tokens
+
+    t = tokens(text_col)
+    n = F.size(t)
+    lo, off = window, window - 1
+    cuts = F.when(
+        n >= F.lit(2 * window),
+        F.filter(
+            F.sequence(F.lit(lo), n - F.lit(window)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(t, i - F.lit(off), window))), 1, 8
+            )
+            < F.lit(rate_nhex_lt),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(F.array(F.lit(0)), cuts, F.array(n))
+    nb = F.size(bounds)
+    lens = F.zip_with(
+        F.slice(bounds, 1, nb - F.lit(1)),
+        F.slice(bounds, 2, nb - F.lit(1)),
+        lambda a, b: b - a,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        (F.size(cuts) + F.lit(1)).cast("long").alias("n_chunks"),
+        F.array_max(lens).cast("long").alias("max_chunk_tokens"),
+    )

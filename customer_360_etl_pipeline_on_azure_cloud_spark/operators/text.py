@@ -552,3 +552,52 @@ def unigram_nll(
             / F.col("n_tokens").cast("double")
         ).alias("avg_nll"),
     )
+
+
+def pmi_pairs(
+    df: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Pointwise-mutual-information collocations over adjacent token
+    pairs — the phrase-mining / multi-word-expression pass a tokenizer
+    or vocabulary build runs after raw pair counting
+    (:func:`adjacent_pairs` supplies the bigram table).
+
+    ``pmi = ln(c(l,r) * N / (c(l) * c(r)))`` with ``N`` = total pair
+    occurrences.  The unigram table is vocabulary-sized (broadcast);
+    the bigram aggregate partially combines map-side; ``N`` rides a
+    one-row broadcast crossJoin.  ``min_count`` suppresses the
+    unstable low-frequency tail (classic PMI failure mode).
+
+    Cross-engine exactness: identical IEEE tree — integer counts cast
+    to double, two multiplies, one divide, one ln — so an oracle
+    replaying the same tree lands on the bit-identical double.
+
+    Output: ``(left_tok, right_tok, pair_count, pmi)``.
+    """
+    pairs = adjacent_pairs(df, text_col=text_col)
+    big = pairs.groupBy("left_tok", "right_tok").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = big.agg(F.sum("pair_count").alias("np"))
+    ul = uni.select(F.col("w").alias("left_tok"), F.col("c").alias("cl"))
+    ur = uni.select(F.col("w").alias("right_tok"), F.col("c").alias("cr"))
+    return (
+        big.filter(F.col("pair_count") >= F.lit(min_count))
+        .join(F.broadcast(ul), "left_tok")
+        .join(F.broadcast(ur), "right_tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "left_tok",
+            "right_tok",
+            "pair_count",
+            F.log(
+                (F.col("pair_count").cast("double") * F.col("np").cast("double"))
+                / (F.col("cl").cast("double") * F.col("cr").cast("double"))
+            ).alias("pmi"),
+        )
+    )

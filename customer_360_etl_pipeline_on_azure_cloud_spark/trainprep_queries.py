@@ -316,4 +316,109 @@ def build_trainprep_queries(sql_dedup_clusters: str) -> dict:
             q_embedding_quantization,
             SQL_EMBEDDING_QUANTIZATION,
         ),
+        "collocation_pmi": (q_collocation_pmi, SQL_COLLOCATION_PMI),
+        "cdc_chunking": (q_cdc_chunking, SQL_CDC_CHUNKING),
     }
+
+
+# --- collocation mining (PMI) ------------------------------------------------
+
+_PMI_TOPK = 20
+_PMI_MIN_COUNT = 5
+
+
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI collocations over adjacent token pairs
+    (operators/text.py pmi_pairs) — the phrase/multi-word-expression
+    mining pass of a vocabulary build.  Ranking by the pinned IEEE
+    expression tree, BIGINT-only output, deterministic (pmi desc,
+    pair asc) cutoff."""
+    from .operators.text import pmi_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = pmi_pairs(docs, min_count=_PMI_MIN_COUNT)
+    w = Window.orderBy(F.col("pmi").desc(), "left_tok", "right_tok")
+    return (
+        scored.orderBy(F.col("pmi").desc(), "left_tok", "right_tok")
+        .limit(_PMI_TOPK)
+        .select(
+            "left_tok",
+            "right_tok",
+            "pair_count",
+            F.row_number().over(w).cast("long").alias("pmi_rank"),
+        )
+    )
+
+
+SQL_COLLOCATION_PMI = f"""
+WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),
+tok AS (SELECT unnest(t) AS w FROM toks),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         i -> struct_pack(l := t[i], r := t[i + 1]))) AS p
+  FROM toks
+),
+big AS (SELECT p.l AS l, p.r AS r, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS np FROM big),
+sc AS (
+  SELECT big.l, big.r, big.c,
+         ln((big.c::DOUBLE * n.np::DOUBLE) / (ul.c::DOUBLE * ur.c::DOUBLE)) AS pmi
+  FROM big
+  JOIN uni ul ON big.l = ul.w
+  JOIN uni ur ON big.r = ur.w
+  CROSS JOIN n
+  WHERE big.c >= {_PMI_MIN_COUNT}
+)
+SELECT l AS left_tok, r AS right_tok, c AS pair_count,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, l, r) AS BIGINT) AS pmi_rank
+FROM sc QUALIFY pmi_rank <= {_PMI_TOPK}
+"""
+
+
+# --- content-defined chunking ------------------------------------------------
+
+_CDC_WINDOW = 4
+_CDC_GATE = "10000000"  # md5-prefix < 1/16 of the 32-bit space
+
+
+def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking audit (operators/dedup.py
+    cdc_chunk_stats): hash-gated cut boundaries that re-align after
+    insertions (the rsync/LBFS construction at token granularity) —
+    the chunking a dedup STORE wants, next to doc_chunking's fixed
+    windows for model context packing.  Pure in-row array algebra:
+    zero shuffles at any scale."""
+    from .operators.dedup import cdc_chunk_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunk_stats(
+        docs, window=_CDC_WINDOW, rate_nhex_lt=_CDC_GATE
+    )
+
+
+SQL_CDC_CHUNKING = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), cuts AS (
+  SELECT doc_id, len(t) AS n,
+    CASE WHEN len(t) >= {2 * _CDC_WINDOW} THEN
+      list_filter(generate_series({_CDC_WINDOW}, len(t) - {_CDC_WINDOW}),
+        i -> substring(md5(array_to_string(t[i - {_CDC_WINDOW - 1}:i], ' ')), 1, 8)
+             < '{_CDC_GATE}')
+    ELSE [] END AS cutpos
+  FROM toks
+), bounds AS (
+  SELECT doc_id, n,
+         list_concat(list_concat([0], cutpos), [n]) AS b,
+         len(cutpos) AS ncuts
+  FROM cuts
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(ncuts + 1 AS BIGINT) AS n_chunks,
+       CAST(list_max(list_transform(generate_series(1, len(b) - 1),
+                                    i -> b[i + 1] - b[i])) AS BIGINT)
+         AS max_chunk_tokens
+FROM bounds
+"""

@@ -194,3 +194,85 @@ def test_leakage_safe_split_deterministic_across_layouts(spark):
         edges.repartition(7), verts.repartition(5), {"train": 0.5, "test": 0.5}
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- pmi_pairs ---------------------------------------------------------------
+
+
+def test_pmi_collocation_beats_chance_pair(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+        pmi_pairs,
+    )
+
+    # "new" occurs ONLY before "york" (c=5, c(new)=c(york)=5 ->
+    # pmi=ln(N/5)); "the" spreads over cat/dog/fox (c(the)=15, the-cat
+    # c=5 -> pmi=ln(N/15)).  Exclusive pairing must outrank the
+    # diluted one.
+    docs = _docs(
+        spark,
+        [(i, "new york the cat the dog the fox pad") for i in range(5)],
+    )
+    out = {
+        (r["left_tok"], r["right_tok"]): r["pmi"]
+        for r in pmi_pairs(docs, min_count=5).collect()
+    }
+    assert ("new", "york") in out
+    assert out[("new", "york")] > out[("the", "cat")]
+
+
+def test_pmi_min_count_suppresses_tail(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+        pmi_pairs,
+    )
+
+    docs = _docs(spark, [(1, "a b a b a b c d")])
+    got = {(r["left_tok"], r["right_tok"]) for r in pmi_pairs(docs, min_count=3).collect()}
+    assert ("c", "d") not in got and ("a", "b") in got
+
+
+# --- cdc_chunk_stats ---------------------------------------------------------
+
+
+def test_cdc_short_doc_is_one_chunk(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        cdc_chunk_stats,
+    )
+
+    docs = _docs(spark, [(1, "a b c d e f g")])  # 7 < 2*window
+    row = cdc_chunk_stats(docs).collect()[0]
+    assert row["n_chunks"] == 1 and row["max_chunk_tokens"] == row["n_tokens"] == 7
+
+
+def test_cdc_chunk_lengths_partition_the_doc(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        cdc_chunk_stats,
+    )
+
+    text = " ".join(f"w{i % 13}" for i in range(120))
+    row = cdc_chunk_stats(_docs(spark, [(1, text)])).collect()[0]
+    assert row["n_tokens"] == 120
+    assert 1 <= row["n_chunks"] <= 120
+    assert row["max_chunk_tokens"] <= 120
+    # boundaries are insertion-robust: shifting a prefix in must
+    # reproduce identical chunking AFTER the re-sync point, so the max
+    # chunk length changes by at most the prefix effect — pinned
+    # indirectly: same text -> same stats across partitioning layouts.
+    row2 = cdc_chunk_stats(
+        _docs(spark, [(1, text)]).repartition(3)
+    ).collect()[0]
+    assert tuple(row) == tuple(row2)
+
+
+def test_cdc_boundaries_realign_after_insertion(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        cdc_chunk_stats,
+    )
+
+    base = " ".join(f"w{i % 13}" for i in range(120))
+    shifted = "INS " + base
+    a = cdc_chunk_stats(_docs(spark, [(1, base)])).collect()[0]
+    b = cdc_chunk_stats(_docs(spark, [(1, shifted)])).collect()[0]
+    # content-defined: chunk count differs by at most the chunks the
+    # 1-token insertion touches (the re-sync guarantee), never a full
+    # re-chunk like fixed windows.
+    assert abs(a["n_chunks"] - b["n_chunks"]) <= 2
