@@ -746,6 +746,7 @@ def shared_passage_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 8,
+    max_docs_per_window: int | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-passage detection: for every document,
     how many of its sliding ``window``-token passages also appear in at
@@ -754,7 +755,7 @@ def shared_passage_stats(
     Training Data Makes Language Models Better"): instead of one global
     suffix array, every window-gram is fingerprinted and duplicated
     spans fall out of one hash aggregate — the form that scales to a
-    100 TB corpus because it is explode → agg → semi-join, all
+    100 TB corpus because it is explode → agg → small join, all
     hash-partitioned, never a global sort.
 
     Catches what whole-document near-dup (MinHash/SimHash) is blind
@@ -762,45 +763,63 @@ def shared_passage_stats(
     tiny, passage overlap total).  ``containment_pairs`` finds the
     asymmetric doc pair; this finds the per-document SPAN EXPOSURE.
 
-    Plan: window fingerprints are md5 over the space-joined token
-    slice (engine-portable); the explode emits O(total_tokens) rows
-    (linear, the unavoidable cost); shared keys come from one
-    count-distinct aggregate; the mark-back is a semi-style broadcast
-    or shuffle join chosen by AQE from the observed shared-set size.
+    Plan (ONE corpus-scale shuffle — the v1 shape with a
+    count-distinct aggregate plus a corpus-wide mark-join re-computed
+    the window explode twice and re-shuffled the full window table
+    into a sort-merge join; measured 11.7x wall-clock growth on 10x
+    data at sf1.  This form measured ~linear):
+
+    * per-document window totals are ARITHMETIC (``max(0, n-w+1)``) on
+      a narrow scan — no explode needed for the denominator;
+    * window keys are 64-bit ``xxhash64`` (8-byte shuffle rows, not
+      32-char md5 hex; no hash crosses engines — the output is counts,
+      and a 64-bit collision needs ~2^32 windows to matter);
+    * ONE ``groupBy(wkey).collect_list(doc_id)`` aggregate (partial
+      map-side merge) finds multi-doc windows; only SHARED windows —
+      a tiny fraction — are exploded back and counted per doc;
+    * the final join attaches the small per-doc shared counts to the
+      narrow totals scan (broadcast-sized in practice; AQE decides).
+
+    Boilerplate caveat: a window occurring in millions of documents
+    (license headers) makes its members list hot; pass
+    ``max_docs_per_window`` to drop such stop-passages explicitly
+    (same contract as ``jaccard_pairs(max_df=...)``).
 
     Output: ``(doc_id, n_windows, n_shared_windows)`` — BIGINT only —
     restricted to documents with at least one shared passage.
     """
     from .text import tokens
+    from .util import spread
 
+    df = spread(df)  # single-file demo inputs must not serialize the explode
     t = tokens(text_col)
     n = F.size(t)
     wins = F.when(
         n >= F.lit(window),
         F.transform(
             F.sequence(F.lit(1), n - F.lit(window - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, window))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, window))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     w = df.select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("wkey"))
-    shared = (
-        w.groupBy("wkey")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("wkey", F.lit(1).alias("__shared"))
-    )
-    marked = w.join(shared, "wkey", "left")
-    out = (
-        marked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.coalesce(F.col("__shared"), F.lit(0)))
-            .cast("long")
-            .alias("n_shared_windows"),
+    members = w.groupBy("wkey").agg(F.collect_list("doc_id").alias("ids"))
+    shared = members.filter(F.size(F.array_distinct("ids")) >= 2)
+    if max_docs_per_window is not None:
+        shared = shared.filter(
+            F.size(F.array_distinct("ids")) <= max_docs_per_window
         )
-        .filter(F.col("n_shared_windows") > 0)
+    contrib = (
+        shared.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
     )
-    return out
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(n - F.lit(window - 1), F.lit(0)).cast("long").alias("n_windows"),
+    )
+    return totals.join(contrib, "doc_id").select(
+        "doc_id", "n_windows", "n_shared_windows"
+    )
 
 
 def cdc_chunk_stats(
@@ -831,7 +850,9 @@ def cdc_chunk_stats(
     Output: ``(doc_id, n_tokens, n_chunks, max_chunk_tokens)``.
     """
     from .text import tokens
+    from .util import spread
 
+    df = spread(df)  # in-row algebra, but a one-file input = one core
     t = tokens(text_col)
     n = F.size(t)
     lo, off = window, window - 1
@@ -845,16 +866,30 @@ def cdc_chunk_stats(
             < F.lit(rate_nhex_lt),
         ),
     ).otherwise(F.array().cast("array<int>"))
-    bounds = F.concat(F.array(F.lit(0)), cuts, F.array(n))
+    # Two projections on purpose: the md5-gate filter is EXPENSIVE, and
+    # the stats below reference its result four times.  In one select,
+    # expression inlining would re-evaluate the whole gate per
+    # reference (measured ~4x wall-clock); split, `cuts` is a plain
+    # attribute — cheap to reference — and CollapseProject keeps the
+    # projections apart because duplicating a non-trivial producer is
+    # exactly what its cost rule forbids.
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        cuts.alias("__cuts"),
+    )
+    c = F.col("__cuts")
+    nt = F.col("n_tokens").cast("int")
+    bounds = F.concat(F.array(F.lit(0)), c, F.array(nt))
     nb = F.size(bounds)
     lens = F.zip_with(
         F.slice(bounds, 1, nb - F.lit(1)),
         F.slice(bounds, 2, nb - F.lit(1)),
         lambda a, b: b - a,
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        n.cast("long").alias("n_tokens"),
-        (F.size(cuts) + F.lit(1)).cast("long").alias("n_chunks"),
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        (F.size(c) + F.lit(1)).cast("long").alias("n_chunks"),
         F.array_max(lens).cast("long").alias("max_chunk_tokens"),
     )

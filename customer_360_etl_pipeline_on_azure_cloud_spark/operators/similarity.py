@@ -517,6 +517,9 @@ def embedding_quant_stats(
 
     Output: ``(dim, n_levels, q_min, q_max, q_sum)``.
     """
+    from .util import spread
+
+    df = spread(df)
     v = df.select(F.posexplode(F.col(vec_col)).alias("dim", "val"))
     stats = v.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
     scale = F.lit(float(levels - 1))

@@ -456,14 +456,42 @@ def gopher_rules(
     ``n_symbols * 100`` vs ``n_chars * max_pct`` — integer comparisons
     only, so the flags are bit-identical on any engine.
     """
-    p = {**GOPHER_DEFAULTS, **(params or {})}
     n_tok = token_count(text)
     n_chars = (
         F.length(F.col(text) if isinstance(text, str) else text).cast("long")
     )
-    word_chars = n_chars - (n_tok - F.lit(1))
     n_sym = non_alnum_count(text)
     n_stop = stopword_hits(text, LANG_STOPWORDS["en"])
+    return gopher_rules_from_counts(n_tok, n_chars, n_sym, n_stop, params)
+
+
+def gopher_counts(text: Column | str) -> dict[str, Column]:
+    """The four ingredient counts the Gopher rules consume, as named
+    columns.  Materialize these in their OWN projection when several
+    rules will reference them (the tokenize/regex work is the expensive
+    part; as plain attributes the rule flags are free), then feed the
+    attributes to :func:`gopher_rules_from_counts`."""
+    return {
+        "n_tok": token_count(text),
+        "n_chars": F.length(
+            F.col(text) if isinstance(text, str) else text
+        ).cast("long"),
+        "n_sym": non_alnum_count(text),
+        "n_stop": stopword_hits(text, LANG_STOPWORDS["en"]),
+    }
+
+
+def gopher_rules_from_counts(
+    n_tok: Column,
+    n_chars: Column,
+    n_sym: Column,
+    n_stop: Column,
+    params: dict[str, int] | None = None,
+) -> dict[str, Column]:
+    """Rule flags from pre-computed ingredient counts (see
+    :func:`gopher_counts`); all comparisons integer-exact."""
+    p = {**GOPHER_DEFAULTS, **(params or {})}
+    word_chars = n_chars - (n_tok - F.lit(1))
     return {
         "too_short": n_tok < F.lit(p["min_tokens"]),
         "too_long": n_tok > F.lit(p["max_tokens"]),
@@ -486,6 +514,9 @@ def adjacent_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     only the distinct-pair partial counts (bounded by vocabulary²
     observed, in practice far smaller), never the corpus.
     """
+    from .util import spread
+
+    df = spread(df)  # single-file demo inputs must not serialize the explode
     t = tokens(text_col)
     n = F.size(t)
     pairs = F.zip_with(
@@ -520,6 +551,9 @@ def unigram_nll(
 
     Output: ``(doc_id, n_tokens, avg_nll DOUBLE)``.
     """
+    from .util import spread
+
+    df = spread(df)
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(text_col)).alias("pos", "w"),

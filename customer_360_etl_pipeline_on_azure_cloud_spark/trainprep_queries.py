@@ -87,15 +87,27 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     trips how often — the report that decides which crawl sources are
     worth keeping at 100 TB.  Five integer-exact narrow flags + one
     small aggregation; the scan is the cost."""
-    docs = _t(spark, sf_dir, "documents")
-    flags = gopher_rules(F.col("text"))
+    from .operators.text import gopher_counts, gopher_rules_from_counts
+    from .operators.util import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    # stage the expensive tokenize/regex counts in their own projection
+    # so the five rule flags reference cheap attributes, not five
+    # re-evaluations of the count expressions (see gopher_counts)
+    counts = gopher_counts(F.col("text"))
+    base = docs.select(
+        "source", *[c.alias(name) for name, c in counts.items()]
+    )
+    flags = gopher_rules_from_counts(
+        F.col("n_tok"), F.col("n_chars"), F.col("n_sym"), F.col("n_stop")
+    )
     viol = None
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     for name, col in flags.items():
         aggs.append(F.sum(col.cast("long")).alias(f"n_{name}"))
         viol = col if viol is None else (viol | col)
     aggs.append(F.sum((~viol).cast("long")).alias("n_pass"))
-    return docs.groupBy("source").agg(*aggs)
+    return base.groupBy("source").agg(*aggs)
 
 
 def _sql_gopher() -> str:
