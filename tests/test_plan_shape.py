@@ -309,3 +309,53 @@ def test_contamination_benchmark_is_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_cdc_chunking_is_shuffle_free_narrow_map(spark):
+    # content-defined chunking is pure in-row array algebra: the only
+    # allowed Exchange is spread()'s round-robin rebalance of a
+    # single-file demo input — never a hash partitioning, join, or sort
+    plan = plan_of(spark, "cdc_chunking")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan and "Sort" not in plan
+
+
+def test_duplicate_passages_single_window_explode(spark):
+    # v1 computed the window explode TWICE (count-distinct branch +
+    # mark-join branch) and re-shuffled the full window table into a
+    # sort-merge join — measured 11.7x growth on 10x data. The fix
+    # pins: one generator over the corpus, totals by arithmetic.
+    plan = plan_of(spark, "duplicate_passages")
+    assert plan.count("Generate explode") == 2, (
+        "expected exactly two generators: the corpus window explode + "
+        "the small shared-members explode"
+    )
+    assert "SortMergeJoin" not in plan, (
+        "marking shared windows must not re-shuffle the corpus window "
+        "table into a sort-merge join"
+    )
+
+
+def test_bpe_merge_pairs_distributed_topk(spark):
+    plan = plan_of(spark, "bpe_merge_pairs")
+    assert "TakeOrderedAndProject" in plan, (
+        "top-k pair selection must be a distributed top-k, not a "
+        "global sort"
+    )
+
+
+def test_doc_lm_perplexity_broadcasts_vocab(spark):
+    plan = plan_of(spark, "doc_lm_perplexity")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan, (
+        "token scoring must join the vocabulary-sized unigram table "
+        "by broadcast, never reshuffle the token stream"
+    )
+
+
+def test_gopher_flags_single_aggregation(spark):
+    plan = plan_of(spark, "gopher_quality_flags")
+    assert "Join" not in plan
+    # one hash aggregate pair (partial + final) over the source key
+    assert plan.count("HashAggregate") == 2
