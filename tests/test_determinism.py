@@ -31,6 +31,12 @@ TIE_PRONE = [
     # and the two-phase closure (iteration order must not leak into labels)
     "hybrid_search_multi",
     "dedup_clusters_twophase",
+    # round-5 part 2: ranked cutoffs on computed scores (count/pmi/nll
+    # desc with pair/doc tiebreaks) and the component-banded split
+    "bpe_merge_pairs",
+    "collocation_pmi",
+    "doc_lm_perplexity",
+    "cluster_aware_split",
 ]
 
 
