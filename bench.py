@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "embedding_quantization",
     "collocation_pmi",
     "cdc_chunking",
+    "media_blob_dedup",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

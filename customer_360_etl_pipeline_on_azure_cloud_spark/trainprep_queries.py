@@ -330,6 +330,7 @@ def build_trainprep_queries(sql_dedup_clusters: str) -> dict:
         ),
         "collocation_pmi": (q_collocation_pmi, SQL_COLLOCATION_PMI),
         "cdc_chunking": (q_cdc_chunking, SQL_CDC_CHUNKING),
+        "media_blob_dedup": (q_media_blob_dedup, SQL_MEDIA_BLOB_DEDUP),
     }
 
 
@@ -433,4 +434,34 @@ SELECT doc_id,
                                     i -> b[i + 1] - b[i])) AS BIGINT)
          AS max_chunk_tokens
 FROM bounds
+"""
+
+
+# --- binary media blob dedup -------------------------------------------------
+
+
+def q_media_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over BINARY media blobs — the first stage of any
+    multimodal corpus pipeline (identical image/audio files re-crawled
+    under different URIs dedup by content digest before any decode).
+    One hash aggregate on md5(content) with per-group byte accounting;
+    blob bytes never shuffle (the digest does).  Completes the dedup
+    modality set: lexical (MinHash/SimHash), semantic (embedding),
+    passage (windows), and now raw-bytes."""
+    from .operators.multimodal import documents_as_media
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return media.groupBy(F.md5("content").alias("blob_fp")).agg(
+        F.min("media_id").alias("keeper_media_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum(F.length("content")).cast("long").alias("total_bytes"),
+    )
+
+
+SQL_MEDIA_BLOB_DEDUP = """
+SELECT md5(text) AS blob_fp,
+       MIN(doc_id) AS keeper_media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents GROUP BY 1
 """
