@@ -276,3 +276,114 @@ def test_cdc_boundaries_realign_after_insertion(spark):
     # 1-token insertion touches (the re-sync guarantee), never a full
     # re-chunk like fixed windows.
     assert abs(a["n_chunks"] - b["n_chunks"]) <= 2
+
+
+# --- pure-Python reference cross-checks (third implementation) ---------------
+#
+# The DuckDB oracles replay the same expression trees; these re-derive
+# the semantics from scratch in Python so a shared misreading of the
+# spec can't hide in both SQL dialects.
+
+import hashlib
+import random
+
+
+def _py_cdc(tokens_list, window=4, gate="10000000"):
+    n = len(tokens_list)
+    cuts = []
+    if n >= 2 * window:
+        for i in range(window, n - window + 1):
+            ctx = " ".join(tokens_list[i - window: i])
+            if hashlib.md5(ctx.encode()).hexdigest()[:8] < gate:
+                cuts.append(i)
+    bounds = [0, *cuts, n]
+    lens = [b - a for a, b in zip(bounds, bounds[1:])]
+    return n, len(cuts) + 1, max(lens)
+
+
+def test_cdc_matches_pure_python_reference(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        cdc_chunk_stats,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        n = rng.randint(1, 60)
+        rows.append((i, " ".join(f"t{rng.randint(0, 12)}" for _ in range(n))))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chunks"], r["max_chunk_tokens"])
+        for r in cdc_chunk_stats(_docs(spark, rows)).collect()
+    }
+    for i, text in rows:
+        assert got[i] == _py_cdc(text.split(" ")), (i, text)
+
+
+def _py_gopher(text):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+        GOPHER_DEFAULTS as P,
+        LANG_STOPWORDS,
+    )
+    import re
+
+    toks = re.split(r"\s+", text.strip())
+    n_tok, n_chars = len(toks), len(text)
+    n_sym = len(text) - len(re.sub(r"[^a-z0-9 ]", "", text.lower()))
+    n_stop = sum(1 for t in toks if t in LANG_STOPWORDS["en"])
+    wc = n_chars - (n_tok - 1)
+    return {
+        "too_short": n_tok < P["min_tokens"],
+        "too_long": n_tok > P["max_tokens"],
+        "word_len_out": wc < n_tok * P["min_mean_word_len"]
+        or wc > n_tok * P["max_mean_word_len"],
+        "symbol_heavy": n_sym * 100 > n_chars * P["max_symbol_pct"],
+        "low_stopwords": n_stop < P["min_stopwords"],
+    }
+
+
+def test_gopher_matches_pure_python_reference(spark):
+    rng = random.Random(11)
+    words = ["the", "a", "of", "xx", "word", "!!!", "ab", "verylongtoken", "t9"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 40))))
+        for i in range(40)
+    ]
+    flags = gopher_rules(F.col("text"))
+    got = {
+        r["doc_id"]: {k: r[k] for k in flags}
+        for r in _docs(spark, rows).select("doc_id", *[c.alias(n) for n, c in flags.items()]).collect()
+    }
+    for i, text in rows:
+        assert got[i] == _py_gopher(text), (i, text)
+
+
+def test_unigram_nll_matches_pure_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+        unigram_nll,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, " ".join(f"w{rng.randint(0, 6)}" for _ in range(rng.randint(1, 20))))
+        for i in range(30)
+    ]
+    counts = Counter(t for _, text in rows for t in text.split(" "))
+    total = sum(counts.values())
+    got = {r["doc_id"]: r["avg_nll"] for r in unigram_nll(_docs(spark, rows)).collect()}
+    for i, text in rows:
+        toks = text.split(" ")
+        # same pinned order: sum ln(count) left-to-right, then the
+        # n*ln(total) - ll form — replayed exactly
+        ll = 0.0
+        for t in toks:
+            ll += math.log(counts[t])
+        want = (len(toks) * math.log(total) - ll) / len(toks)
+        # JVM Math.log and libm log may differ in the last ulp (both are
+        # "within 1 ulp", neither correctly rounded) — which is precisely
+        # why doc_lm_perplexity emits BIGINT ranks, never the raw double.
+        assert abs(got[i] - want) <= 1e-12 * max(1.0, abs(want)), (
+            i, text, got[i], want,
+        )
