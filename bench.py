@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "collocation_pmi",
     "cdc_chunking",
     "media_blob_dedup",
+    "bpe_train_merges",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

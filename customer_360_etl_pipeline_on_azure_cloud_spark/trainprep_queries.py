@@ -331,6 +331,7 @@ def build_trainprep_queries(sql_dedup_clusters: str) -> dict:
         "collocation_pmi": (q_collocation_pmi, SQL_COLLOCATION_PMI),
         "cdc_chunking": (q_cdc_chunking, SQL_CDC_CHUNKING),
         "media_blob_dedup": (q_media_blob_dedup, SQL_MEDIA_BLOB_DEDUP),
+        "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_TRAIN_MERGES),
     }
 
 
@@ -465,3 +466,57 @@ SELECT md5(text) AS blob_fp,
        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
 FROM documents GROUP BY 1
 """
+
+
+# --- BPE training loop -------------------------------------------------------
+
+_BPE_TRAIN_ROUNDS = 3
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual BPE training loop (operators/bpe.py bpe_train), not
+    just one iteration's counts: K rounds of pair-count -> argmax ->
+    in-row greedy merge rewrite.  Per round: one map-side-combined
+    aggregate, a TakeOrderedAndProject argmax whose single row is the
+    only driver traffic, and a narrow fold rewrite.  Oracle: the
+    identical match-with-previous fold unrolled K times in DuckDB
+    (list_reduce over singleton lists — same greedy non-overlap
+    semantics, pinned by unit tests against a pure-Python BPE)."""
+    from .operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=_BPE_TRAIN_ROUNDS)
+
+
+def _sql_bpe_train(n_merges: int = _BPE_TRAIN_ROUNDS) -> str:
+    parts = [
+        "WITH t1 AS (SELECT string_split_regex(trim(text), '\\s+') AS t "
+        "FROM documents)"
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT p.l AS l, p.r AS r, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> struct_pack(l := t[i], r := t[i + 1]))) AS p FROM t{k})
+  GROUP BY 1, 2
+),
+m{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1)""")
+        if k < n_merges:
+            parts.append(f""",
+t{k + 1} AS (
+  SELECT list_reduce(list_transform(t, x -> [x]),
+    (acc, e) -> CASE WHEN len(acc) > 0 AND acc[-1] = m{k}.l AND e[1] = m{k}.r
+                THEN list_append(acc[:-2], m{k}.l || '+' || m{k}.r)
+                ELSE list_concat(acc, e) END) AS t
+  FROM t{k} CROSS JOIN m{k}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_tok, "
+        f"r AS right_tok, c AS cnt FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+SQL_BPE_TRAIN_MERGES = _sql_bpe_train()

@@ -387,3 +387,82 @@ def test_unigram_nll_matches_pure_python_reference(spark):
         assert abs(got[i] - want) <= 1e-12 * max(1.0, abs(want)), (
             i, text, got[i], want,
         )
+
+
+# --- bpe training ------------------------------------------------------------
+
+
+def test_merge_pair_greedy_non_overlap(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.bpe import (
+        merge_pair,
+    )
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a", "b", "a", "a"],)],
+        "t array<string>",
+    )
+    got = [r["m"] for r in df.select(merge_pair(F.col("t"), "a", "a").alias("m")).collect()]
+    assert got[0] == ["a+a", "a"]
+    assert got[1] == ["a+a", "a+a", "b", "a+a"]
+
+
+def _py_bpe(texts, n_merges=3, min_count=2):
+    streams = [t.split(" ") for t in texts]
+    merges = []
+    for k in range(1, n_merges + 1):
+        from collections import Counter
+
+        c = Counter()
+        for s in streams:
+            for a, b in zip(s, s[1:]):
+                c[(a, b)] += 1
+        if not c:
+            break
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((k, l, r, cnt))
+        joined = f"{l}+{r}"
+        out_streams = []
+        for s in streams:
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = joined
+                else:
+                    out.append(x)
+            out_streams.append(out)
+        streams = out_streams
+    return merges
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    import random
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.bpe import (
+        bpe_train,
+    )
+
+    rng = random.Random(23)
+    texts = [
+        " ".join(f"w{rng.randint(0, 5)}" for _ in range(rng.randint(2, 30)))
+        for _ in range(40)
+    ]
+    docs = _docs(spark, list(enumerate(texts)))
+    got = sorted(tuple(r) for r in bpe_train(docs, n_merges=4).collect())
+    want = sorted(_py_bpe(texts, n_merges=4))
+    assert got == want
+
+
+def test_bpe_train_merged_symbol_feeds_next_round(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.bpe import (
+        bpe_train,
+    )
+
+    # round 1 merges (a,b); round 2 must see "a+b" as a unit and merge
+    # (a+b, c) — the defining property of BPE training.
+    docs = _docs(spark, [(i, "a b c x") for i in range(3)])
+    got = [tuple(r) for r in bpe_train(docs, n_merges=2).orderBy("merge_rank").collect()]
+    assert got[0] == (1, "a", "b", 3)
+    assert got[1] == (2, "a+b", "c", 3)
