@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "cdc_chunking",
     "media_blob_dedup",
     "bpe_train_merges",
+    "bpe_compression",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

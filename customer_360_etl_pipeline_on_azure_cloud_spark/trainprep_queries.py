@@ -332,6 +332,7 @@ def build_trainprep_queries(sql_dedup_clusters: str) -> dict:
         "cdc_chunking": (q_cdc_chunking, SQL_CDC_CHUNKING),
         "media_blob_dedup": (q_media_blob_dedup, SQL_MEDIA_BLOB_DEDUP),
         "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_TRAIN_MERGES),
+        "bpe_compression": (q_bpe_compression, SQL_BPE_COMPRESSION),
     }
 
 
@@ -520,3 +521,68 @@ t{k + 1} AS (
 
 
 SQL_BPE_TRAIN_MERGES = _sql_bpe_train()
+
+
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-application closure of bpe_train_merges: apply the K
+    learned merge rules to the corpus (K chained in-row folds — narrow
+    maps, zero shuffles beyond the rule learning itself) and report
+    per-source token totals before/after — the compression statement a
+    tokenizer change ships with.  Integer-only output."""
+    from .operators.bpe import bpe_train, merge_pair
+    from .operators.text import tokens
+    from .operators.util import spread
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = bpe_train(docs, n_merges=_BPE_TRAIN_ROUNDS).orderBy("merge_rank").collect()
+    toks = spread(docs).select("source", tokens("text").alias("t"))
+    merged = F.col("t")
+    for r in rules:
+        merged = merge_pair(merged, r["left_tok"], r["right_tok"])
+    staged = toks.select(
+        "source",
+        F.size("t").cast("long").alias("n_before"),
+        F.size(merged).cast("long").alias("n_after"),
+    )
+    return staged.groupBy("source").agg(
+        F.sum("n_before").alias("tokens_before"),
+        F.sum("n_after").alias("tokens_after"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _sql_bpe_compression(n_merges: int = _BPE_TRAIN_ROUNDS) -> str:
+    # reuse the unrolled training CTE chain, but carry source through
+    # and apply the final (K-th) rule too, then compare token counts.
+    parts = [
+        "WITH t1 AS (SELECT source, "
+        "string_split_regex(trim(text), '\\s+') AS t FROM documents)"
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT p.l AS l, p.r AS r, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> struct_pack(l := t[i], r := t[i + 1]))) AS p FROM t{k})
+  GROUP BY 1, 2
+),
+m{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+t{k + 1} AS (
+  SELECT source, list_reduce(list_transform(t, x -> [x]),
+    (acc, e) -> CASE WHEN len(acc) > 0 AND acc[-1] = m{k}.l AND e[1] = m{k}.r
+                THEN list_append(acc[:-2], m{k}.l || '+' || m{k}.r)
+                ELSE list_concat(acc, e) END) AS t
+  FROM t{k} CROSS JOIN m{k}
+)""")
+    last = n_merges + 1
+    return "".join(parts) + f"""
+SELECT a.source, a.tokens_before, b.tokens_after, a.n_docs
+FROM (SELECT source, CAST(SUM(len(t)) AS BIGINT) AS tokens_before,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM t1 GROUP BY source) a
+JOIN (SELECT source, CAST(SUM(len(t)) AS BIGINT) AS tokens_after
+      FROM t{last} GROUP BY source) b USING (source)
+"""
+
+
+SQL_BPE_COMPRESSION = _sql_bpe_compression()
