@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "media_blob_dedup",
     "bpe_train_merges",
     "bpe_compression",
+    "split_leakage_audit",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

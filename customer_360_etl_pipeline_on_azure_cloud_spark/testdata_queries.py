@@ -2938,7 +2938,9 @@ CORE_QUERIES["hybrid_search_multi"] = (q_hybrid_search_multi, SQL_HYBRID_SEARCH_
 
 from .trainprep_queries import build_trainprep_queries  # noqa: E402
 
-CORE_QUERIES.update(build_trainprep_queries(SQL_DEDUP_CLUSTERS))
+CORE_QUERIES.update(
+    build_trainprep_queries(SQL_DEDUP_CLUSTERS, SQL_DOC_JACCARD_PAIRS)
+)
 
 
 # --- canonical registry order ----------------------------------------------

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators.sampling import leakage_safe_split, split_band_sql
+from .operators.sampling import leakage_safe_split, split_assign, split_band_sql
 from .operators.text import (
     GOPHER_DEFAULTS,
     LANG_STOPWORDS,
@@ -311,10 +311,19 @@ FROM q GROUP BY dim
 """
 
 
-def build_trainprep_queries(sql_dedup_clusters: str) -> dict:
-    """Registry fragment; ``sql_dedup_clusters`` is the recursive-CTE
-    cluster oracle from testdata_queries (passed in, not imported — no
-    module cycle)."""
+def build_trainprep_queries(
+    sql_dedup_clusters: str, sql_jaccard_pairs: str | None = None
+) -> dict:
+    """Registry fragment; ``sql_dedup_clusters`` (the recursive-CTE
+    cluster oracle) and ``sql_jaccard_pairs`` (the exact-pair oracle)
+    come from testdata_queries — passed in, not imported, so there is
+    no module cycle."""
+    extra = {}
+    if sql_jaccard_pairs is not None:
+        extra["split_leakage_audit"] = (
+            q_split_leakage_audit,
+            _sql_split_leakage(sql_jaccard_pairs),
+        )
     return {
         "cluster_aware_split": (
             q_cluster_aware_split,
@@ -333,6 +342,7 @@ def build_trainprep_queries(sql_dedup_clusters: str) -> dict:
         "media_blob_dedup": (q_media_blob_dedup, SQL_MEDIA_BLOB_DEDUP),
         "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_TRAIN_MERGES),
         "bpe_compression": (q_bpe_compression, SQL_BPE_COMPRESSION),
+        **extra,
     }
 
 
@@ -586,3 +596,59 @@ JOIN (SELECT source, CAST(SUM(len(t)) AS BIGINT) AS tokens_after
 
 
 SQL_BPE_COMPRESSION = _sql_bpe_compression()
+
+
+# --- naive-split leakage audit -----------------------------------------------
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies the defect cluster_aware_split exists to fix: assign
+    splits NAIVELY (per-doc hash band, ignoring near-dup structure),
+    then count verified near-dup pairs by the (split, split) cell they
+    land in.  Off-diagonal cells are evaluation leakage — a train doc
+    whose near-duplicate sits in val/test.  The audit a pipeline runs
+    before trusting any eval number.
+
+    Plan: the pair generation is the shared LSH cascade; the split is
+    a narrow map joined twice (both ends of each pair); the output is
+    a <=9-cell table."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    naive = split_assign(docs.select("doc_id"), "doc_id", TRAINPREP_SPLITS)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, verify_threshold_pct=30
+    ).select("id_a", "id_b")
+    sa = naive.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = naive.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("split_a") != F.col("split_b")).cast("long")
+            ).alias("n_leaked"),
+        )
+    )
+
+
+def _sql_split_leakage(sql_jaccard_pairs: str) -> str:
+    band = split_band_sql("doc_id", TRAINPREP_SPLITS)
+    return f"""
+WITH pairs AS (SELECT id_a, id_b FROM ({sql_jaccard_pairs}) j),
+splits AS (SELECT doc_id, {band} AS split FROM documents)
+SELECT sa.split AS split_a, sb.split AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked
+FROM pairs
+JOIN splits sa ON sa.doc_id = pairs.id_a
+JOIN splits sb ON sb.doc_id = pairs.id_b
+GROUP BY 1, 2
+"""

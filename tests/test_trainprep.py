@@ -466,3 +466,36 @@ def test_bpe_train_merged_symbol_feeds_next_round(spark):
     got = [tuple(r) for r in bpe_train(docs, n_merges=2).orderBy("merge_rank").collect()]
     assert got[0] == (1, "a", "b", 3)
     assert got[1] == (2, "a+b", "c", 3)
+
+
+# --- split leakage: the audit and its fix, closed loop -----------------------
+
+
+def test_cluster_aware_split_audits_to_zero_leakage(spark):
+    from conftest import SF_SMALL
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.trainprep_queries import (
+        q_cluster_aware_split,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    split = q_cluster_aware_split(spark, SF_SMALL).select("doc_id", "split")
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, verify_threshold_pct=30
+    ).select("id_a", "id_b")
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    leaked = (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leaked == 0, (
+        "cluster-aware split must never place a near-dup pair across splits"
+    )
