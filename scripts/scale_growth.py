@@ -48,6 +48,12 @@ QUERIES = [
     "bpe_merge_pairs",
     "gopher_quality_flags",
     "embedding_quantization",
+    "collocation_pmi",
+    "cdc_chunking",
+    "media_blob_dedup",
+    "bpe_train_merges",
+    "bpe_compression",
+    "split_leakage_audit",
 ]
 
 
