@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "bpe_compression",
     "split_leakage_audit",
+    "streaming_index_dedup",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

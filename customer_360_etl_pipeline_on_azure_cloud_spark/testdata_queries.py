@@ -2939,7 +2939,11 @@ CORE_QUERIES["hybrid_search_multi"] = (q_hybrid_search_multi, SQL_HYBRID_SEARCH_
 from .trainprep_queries import build_trainprep_queries  # noqa: E402
 
 CORE_QUERIES.update(
-    build_trainprep_queries(SQL_DEDUP_CLUSTERS, SQL_DOC_JACCARD_PAIRS)
+    build_trainprep_queries(
+        SQL_DEDUP_CLUSTERS,
+        SQL_DOC_JACCARD_PAIRS,
+        SQL_INCREMENTAL_CORPUS_DEDUP,
+    )
 )
 
 

@@ -312,17 +312,25 @@ FROM q GROUP BY dim
 
 
 def build_trainprep_queries(
-    sql_dedup_clusters: str, sql_jaccard_pairs: str | None = None
+    sql_dedup_clusters: str,
+    sql_jaccard_pairs: str | None = None,
+    sql_incremental_dedup: str | None = None,
 ) -> dict:
     """Registry fragment; ``sql_dedup_clusters`` (the recursive-CTE
-    cluster oracle) and ``sql_jaccard_pairs`` (the exact-pair oracle)
-    come from testdata_queries — passed in, not imported, so there is
-    no module cycle."""
+    cluster oracle), ``sql_jaccard_pairs`` (the exact-pair oracle), and
+    ``sql_incremental_dedup`` (the cross-split pair oracle) come from
+    testdata_queries — passed in, not imported, so there is no module
+    cycle."""
     extra = {}
     if sql_jaccard_pairs is not None:
         extra["split_leakage_audit"] = (
             q_split_leakage_audit,
             _sql_split_leakage(sql_jaccard_pairs),
+        )
+    if sql_incremental_dedup is not None:
+        extra["streaming_index_dedup"] = (
+            q_streaming_index_dedup,
+            sql_incremental_dedup,
         )
     return {
         "cluster_aware_split": (
@@ -652,3 +660,60 @@ JOIN splits sa ON sa.doc_id = pairs.id_a
 JOIN splits sb ON sb.doc_id = pairs.id_b
 GROUP BY 1, 2
 """
+
+
+# --- streaming incremental index dedup ---------------------------------------
+
+
+def q_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest dedup loop AS AN ACTUAL STREAM: arrivals
+    (doc_id % 5 == 0, the same split as incremental_corpus_dedup) land
+    as parquet files in a watched directory, a file-source stream with
+    maxFilesPerTrigger=1 + availableNow delivers them in MULTIPLE
+    micro-batches, and foreachBatch probes each batch against the
+    standing corpus' precomputed MinHash index
+    (operators/dedup.py minhash_lsh_join — batch band rows broadcast,
+    corpus never re-read, never re-shingled).
+
+    Because each batch's cross-corpus pairs are independent of how
+    arrivals are batched, the union over micro-batches equals the
+    one-shot batch result — so this SHARES incremental_corpus_dedup's
+    oracle, and the equality IS the exactly-once/batching-invariance
+    statement.  Micro-batch delivery (>= 2 batches) is pinned in
+    tests/test_trainprep.py."""
+    import os
+    import tempfile
+
+    from .operators.dedup import minhash_index, minhash_lsh_join
+    from .streaming.incremental import run_foreach_batch, stream_file_source
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = minhash_index(corpus)
+
+    tmp = tempfile.mkdtemp(prefix="c360_stream_idx_")
+    arrivals = os.path.join(tmp, "arrivals")
+    # two "days" of arrivals -> two files -> two micro-batches
+    new.filter(F.col("doc_id") % 10 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+    new.filter(F.col("doc_id") % 10 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+
+    stream = stream_file_source(
+        spark, arrivals, docs.schema, max_files_per_trigger=1
+    )
+    found: list[tuple[int, int]] = []
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = minhash_lsh_join(
+            batch_df, idx, num_hashes=32, bands=8, verify_threshold_pct=30
+        ).select("new_id", "corpus_id")
+        found.extend((r["new_id"], r["corpus_id"]) for r in pairs.collect())
+
+    run_foreach_batch(stream, os.path.join(tmp, "ckpt"), probe)
+    return spark.createDataFrame(
+        found, "new_id long, corpus_id long"
+    )

@@ -499,3 +499,66 @@ def test_cluster_aware_split_audits_to_zero_leakage(spark):
     assert leaked == 0, (
         "cluster-aware split must never place a near-dup pair across splits"
     )
+
+
+# --- streaming index dedup ---------------------------------------------------
+
+
+def test_streaming_index_dedup_delivers_multiple_batches(spark):
+    """The streaming form must actually stream: arrivals split across
+    two files with maxFilesPerTrigger=1 -> at least two micro-batches,
+    each probing the standing index; the union equals the one-shot
+    batch result (batching invariance = the exactly-once statement)."""
+    import os
+    import tempfile
+
+    from conftest import SF_SMALL
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_join,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.streaming.incremental import (
+        run_foreach_batch,
+        stream_file_source,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = minhash_index(corpus)
+
+    tmp = tempfile.mkdtemp(prefix="c360_stream_idx_test_")
+    arrivals = os.path.join(tmp, "arrivals")
+    new.filter(F.col("doc_id") % 10 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+    new.filter(F.col("doc_id") % 10 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+
+    stream = stream_file_source(
+        spark, arrivals, docs.schema, max_files_per_trigger=1
+    )
+    batches, pairs = [], []
+
+    def probe(batch_df, batch_id):
+        batches.append(batch_id)
+        out = minhash_lsh_join(
+            batch_df, idx, num_hashes=32, bands=8, verify_threshold_pct=30
+        ).select("new_id", "corpus_id")
+        pairs.extend((r["new_id"], r["corpus_id"]) for r in out.collect())
+
+    run_foreach_batch(stream, os.path.join(tmp, "ckpt"), probe)
+
+    assert len(batches) >= 2, "expected >=2 micro-batches"
+    oneshot = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lsh_join(
+            new, idx, num_hashes=32, bands=8, verify_threshold_pct=30
+        ).select("new_id", "corpus_id").collect()
+    )
+    assert sorted(pairs) == oneshot
