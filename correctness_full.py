@@ -102,9 +102,13 @@ def main() -> None:
         flag = "ok" if row["hash_match"] else "FAIL"
         print(f"{flag:4s} {name}", file=sys.stderr)
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "CORRECTNESS_FULL_local.json"
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fname = (
+        "CORRECTNESS_FULL_local.json"
+        if sf_tag == "sf0.01"
+        else f"CORRECTNESS_FULL_{sf_tag}_local.json"
     )
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")

@@ -30,7 +30,7 @@ separator keeps a merged token from colliding with a raw token, so
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 

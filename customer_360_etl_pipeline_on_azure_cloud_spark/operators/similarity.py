@@ -409,6 +409,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     algorithm: str = "hash_min",
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication [Abbas et al. 2023,
     arXiv:2303.09540]: k-means-cluster the embeddings (the same coarse
@@ -462,10 +463,19 @@ def semantic_dedup(
         F.col("__vec").alias("vec"),
         F.col("__norm").alias("norm"),
     )
+    # nprobe is the boundary-recall knob: each vector joins its nprobe
+    # nearest cells for CANDIDATE generation (default 1 = faithful
+    # SemDeDup; 2 recovers centroid-boundary pairs at ~nprobe^2 the
+    # pair work).  Extra candidates can only ADD true >=threshold
+    # pairs — verification is the exact cosine either way — so raising
+    # nprobe strictly improves recall, never precision.
     e = (
-        _assign_centroids(e, centroids, "vec", nprobe=1)
+        _assign_centroids(e, centroids, "vec", nprobe=nprobe)
         .select(
-            "id", "vec", "norm", F.element_at(F.col("__cells"), 1).alias("cell")
+            "id",
+            "vec",
+            "norm",
+            F.explode(F.slice(F.col("__cells"), 1, nprobe)).alias("cell"),
         )
         .persist()
     )
@@ -483,6 +493,11 @@ def semantic_dedup(
         .filter(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
+    if nprobe > 1:
+        # a pair sharing several probed cells appears once per shared
+        # cell; components tolerate duplicate edges, but dedup keeps
+        # the verified edge set minimal
+        pairs = pairs.distinct()
     out = dedup_survivors(
         pairs, df.select(id_col), algorithm=algorithm
     )

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import math
 
-import pytest
 from pyspark.sql import functions as F
 
 from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
@@ -562,3 +561,44 @@ def test_streaming_index_dedup_delivers_multiple_batches(spark):
         ).select("new_id", "corpus_id").collect()
     )
     assert sorted(pairs) == oneshot
+
+
+# --- semantic_dedup boundary recall (nprobe knob) ----------------------------
+
+
+def test_semantic_dedup_nprobe_recovers_boundary_pair(spark):
+    """At sf0.1 the planted pair (18, 1000018) deterministically
+    straddles a k-means cell boundary — the documented nprobe=1 miss
+    class (CORRECTNESS_FULL_sf0.1 records it).  nprobe=2 must recover
+    it: every planted copy joins its source's component, none are
+    survivors.  Extra candidates are exact-cosine-verified, so raising
+    nprobe can only add true pairs — precision is unchanged."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + 0.02 * F.sin(F.col("vec_id") * 31 + i),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+
+    def misses(nprobe):
+        out = semantic_dedup(corpus, threshold=0.9, nprobe=nprobe).collect()
+        comp = {r["id"]: r["component"] for r in out}
+        return sorted(
+            v for v in range(50) if comp[v + 1_000_000] != comp[v]
+        )
+
+    assert misses(1) == [18], "the deterministic nprobe=1 boundary miss"
+    assert misses(2) == [], "nprobe=2 must recover every planted pair"
