@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "bpe_compression",
     "split_leakage_audit",
     "streaming_index_dedup",
+    "incremental_index_update",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -332,6 +332,10 @@ def build_trainprep_queries(
             q_streaming_index_dedup,
             sql_incremental_dedup,
         )
+        extra["incremental_index_update"] = (
+            q_incremental_index_update,
+            SQL_INCREMENTAL_INDEX_UPDATE,
+        )
     return {
         "cluster_aware_split": (
             q_cluster_aware_split,
@@ -717,3 +721,74 @@ def q_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         found, "new_id long, corpus_id long"
     )
+
+
+# --- growing-index daily loop ------------------------------------------------
+
+
+def q_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE across ingest days: day 1's arrivals are
+    probed against the standing corpus index, then their signatures
+    are APPENDED to it, so day 2's arrivals dedup against corpus AND
+    day 1 — the property that makes incremental dedup converge instead
+    of accumulating cross-day duplicates forever.  (The streaming form,
+    streaming_index_dedup, probes a static index; this closes the
+    update half of the loop.)
+
+    Per day: one probe (batch band rows broadcast, corpus never
+    re-read) + one signature append (narrow map over the day's docs —
+    the index grows by exactly the arrivals' ~256 B/doc signatures).
+    Driver traffic is nothing but the loop control; pair results stay
+    DataFrames unioned lazily.
+
+    Oracle: exact cross-membership Jaccard pairs — day-1 arrivals vs
+    corpus; day-2 arrivals vs corpus AND day 1 — under the same pinned
+    corpus coincidence as incremental_corpus_dedup."""
+    from .operators.dedup import minhash_index, minhash_lsh_join
+    from .operators.sets import union_by_name_all
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    days = [
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 10 != 0)),
+    ]
+    idx = minhash_index(corpus)
+    results = []
+    for day in days:
+        results.append(
+            minhash_lsh_join(
+                day, idx, num_hashes=32, bands=8, verify_threshold_pct=30
+            ).select("new_id", "corpus_id")
+        )
+        idx = idx.unionByName(minhash_index(day))
+    return union_by_name_all(results)
+
+
+SQL_INCREMENTAL_INDEX_UPDATE = """
+-- CORPUS-COUPLED oracle (same pinned coincidence as
+-- incremental_corpus_dedup): exact cross-membership 3-gram Jaccard
+-- >= 30% pairs. Membership encodes the growing index: day-1 arrivals
+-- (doc_id % 10 = 0) see only the corpus (doc_id % 5 <> 0); day-2
+-- arrivals (doc_id % 5 = 0 AND % 10 <> 0) see corpus + day 1.
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+        FROM toks WHERE len(t) >= 3)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE (a.doc_id % 10 = 0 AND b.doc_id % 5 <> 0)
+     OR (a.doc_id % 5 = 0 AND a.doc_id % 10 <> 0
+         AND (b.doc_id % 5 <> 0 OR b.doc_id % 10 = 0))
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id
+FROM pairs
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = corpus_id
+WHERE inter * 100 >= (sa.nsh + sb.nsh - inter) * 30
+"""

@@ -602,3 +602,58 @@ def test_semantic_dedup_nprobe_recovers_boundary_pair(spark):
 
     assert misses(1) == [18], "the deterministic nprobe=1 boundary miss"
     assert misses(2) == [], "nprobe=2 must recover every planted pair"
+
+
+# --- growing-index daily loop ------------------------------------------------
+
+
+def test_incremental_index_update_growth_matters(spark):
+    """A near-dup pair split across day 1 and day 2 is only findable
+    because day 1's signatures were APPENDED to the index before day 2
+    probed — a static index can never produce it."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_join,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    corpus = _docs(spark, [(1, "totally unrelated words nothing shared here at all x y z")])
+    day1 = _docs(spark, [(10, base.strip())])
+    day2 = _docs(spark, [(25, base.strip() + " tail")])
+
+    idx = minhash_index(corpus)
+    found = []
+    for day in (day1, day2):
+        found.extend(
+            (r["new_id"], r["corpus_id"])
+            for r in minhash_lsh_join(
+                day, idx, num_hashes=32, bands=8, verify_threshold_pct=30
+            ).select("new_id", "corpus_id").collect()
+        )
+        idx = idx.unionByName(minhash_index(day))
+    assert found == [(25, 10)], found
+
+    # static-index control: the same probes without the append find nothing
+    idx0 = minhash_index(corpus)
+    static = []
+    for day in (day1, day2):
+        static.extend(
+            minhash_lsh_join(
+                day, idx0, num_hashes=32, bands=8, verify_threshold_pct=30
+            ).collect()
+        )
+    assert static == []
+
+
+def test_incremental_index_update_day1_hits_at_sf01(spark):
+    """On the sf0.1 corpus the day-2 probe finds exactly 2 day-1
+    arrivals as near-dups — the deterministic witness that the
+    registered query's index actually grows (the gate SF produces no
+    cross-day pairs, so this pin carries the growth evidence)."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.trainprep_queries import (
+        q_incremental_index_update,
+    )
+
+    out = q_incremental_index_update(spark, "/root/testdata/sf0.1").collect()
+    day1_hits = [r for r in out if r["corpus_id"] % 10 == 0]
+    assert len(out) == 91 and len(day1_hits) == 2, (len(out), len(day1_hits))
