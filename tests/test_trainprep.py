@@ -657,3 +657,116 @@ def test_incremental_index_update_day1_hits_at_sf01(spark):
     out = q_incremental_index_update(spark, "/root/testdata/sf0.1").collect()
     day1_hits = [r for r in out if r["corpus_id"] % 10 == 0]
     assert len(out) == 91 and len(day1_hits) == 2, (len(out), len(day1_hits))
+
+
+def test_shared_passages_match_pure_python_reference(spark):
+    rng = random.Random(31)
+    rows = []
+    for i in range(40):
+        n = rng.randint(3, 30)
+        rows.append((i, " ".join(f"p{rng.randint(0, 5)}" for _ in range(n))))
+    # plant one exact 8-token quote across two docs
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8"
+    rows.append((100, quote + " x y"))
+    rows.append((101, "a b " + quote))
+
+    W = 8
+    windows = {}
+    for i, text in rows:
+        toks = text.split(" ")
+        windows[i] = [
+            " ".join(toks[j : j + W]) for j in range(len(toks) - W + 1)
+        ]
+    from collections import Counter
+
+    docs_per_window = {}
+    for i, ws in windows.items():
+        for w in set(ws):
+            docs_per_window.setdefault(w, set()).add(i)
+    want = {}
+    for i, ws in windows.items():
+        shared = sum(1 for w in ws if len(docs_per_window[w]) >= 2)
+        if shared > 0:
+            want[i] = (len(ws), shared)
+
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_shared_windows"])
+        for r in shared_passage_stats(_docs(spark, rows)).collect()
+    }
+    assert got == want
+
+
+def test_pmi_matches_pure_python_reference(spark):
+    import math as m
+    import random
+    from collections import Counter
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+        pmi_pairs,
+    )
+
+    rng = random.Random(37)
+    rows = [
+        (i, " ".join(f"t{rng.randint(0, 4)}" for _ in range(rng.randint(2, 25))))
+        for i in range(30)
+    ]
+    uni, big = Counter(), Counter()
+    for _, text in rows:
+        toks = text.split(" ")
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n = sum(big.values())
+    want = {
+        (l, r): m.log((c * n) / (uni[l] * uni[r]))
+        for (l, r), c in big.items()
+        if c >= 5
+    }
+    got = {
+        (r["left_tok"], r["right_tok"]): r["pmi"]
+        for r in pmi_pairs(_docs(spark, rows), min_count=5).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-12 * max(1.0, abs(want[k])), k
+
+
+def test_embedding_quant_matches_pure_python_reference(spark):
+    import random
+
+    rng = random.Random(41)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(25)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    # replay through float32 exactly as parquet/Spark store it
+    import numpy as np
+
+    cols = np.array(
+        [np.asarray(v, dtype=np.float32) for _, v in vecs], dtype=np.float32
+    )
+    want = {}
+    for d in range(6):
+        col = cols[:, d]
+        mn, mx = float(col.min()), float(col.max())
+        if mx == mn:
+            codes = [0] * len(col)
+        else:
+            codes = [
+                int(
+                    __import__("decimal").Decimal(
+                        (float(v) - mn) * 255.0 / (mx - mn)
+                    ).quantize(0, rounding="ROUND_HALF_UP")
+                )
+                for v in col
+            ]
+        want[d] = (
+            len(set(codes)),
+            min(codes),
+            max(codes),
+            sum(codes),
+        )
+    got = {
+        r["dim"]: (r["n_levels"], r["q_min"], r["q_max"], r["q_sum"])
+        for r in embedding_quant_stats(df).collect()
+    }
+    assert got == want
