@@ -54,6 +54,8 @@ QUERIES = [
     "bpe_train_merges",
     "bpe_compression",
     "split_leakage_audit",
+    "streaming_index_dedup",
+    "incremental_index_update",
 ]
 
 
