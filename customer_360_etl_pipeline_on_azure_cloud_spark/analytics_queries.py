@@ -1638,3 +1638,166 @@ GROUP BY 1
 
 
 ANALYTICS_QUERIES["shard_balance"] = (q_shard_balance, SQL_SHARD_BALANCE)
+
+
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts are linked when
+    they appear in the same order), 3 iterations of integer fixed-point
+    arithmetic (operators/graph.py pagerank_fixed) — the web-graph
+    centrality signal corpus-curation pipelines use for source quality
+    (and a warehouse uses for product affinity), made engine-exact.
+
+    Scale notes: edge building is a self-equi-join of the (orderkey,
+    partkey) projection on orderkey — lines-per-order is bounded (~7),
+    so pair rows are O(lineitem); the distinct collapses them to at
+    most |parts|^2 but in practice O(lineitem) edges.  Each PageRank
+    round shuffles O(|parts|) partial sums (map-side combine over the
+    dst key), never the edge list — the rank vector is vertex-sized.
+    Integer div/sum makes the result independent of partitioning and
+    engine: no float summation-order drift, so the oracle can unroll
+    the same three rounds.
+    """
+    from .operators.graph import pagerank_fixed
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    ranks = pagerank_fixed(pairs, iterations=3, damping_pct=85)
+    return ranks.select(F.col("id").alias("part_id"), "rank_fp")
+
+
+SQL_PART_PAGERANK = """
+-- Replays pagerank_fixed's integer fixed-point recurrence exactly:
+-- r0 = scale//N; r' = ((100-85)*(scale//N))//100
+--                   + (85 * SUM_{u->v}(r(u)//outdeg(u)))//100
+-- (integer ops are associative -> engine-exact; // == Spark's div on
+-- the all-positive values here).
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+verts AS (SELECT u AS id FROM pairs UNION SELECT v FROM pairs),
+nn AS (SELECT COUNT(*) AS n FROM verts),
+c0 AS (SELECT CAST(1000000000000 // n AS BIGINT) AS init,
+              CAST((15 * (1000000000000 // n)) // 100 AS BIGINT) AS base
+       FROM nn),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS outdeg FROM pairs GROUP BY u),
+r0 AS (SELECT id, (SELECT init FROM c0) AS r FROM verts),
+m1 AS (SELECT p.v AS id, SUM(r0.r // d.outdeg) AS s
+       FROM pairs p JOIN r0 ON r0.id = p.u JOIN deg d ON d.u = p.u
+       GROUP BY p.v),
+r1 AS (SELECT verts.id,
+              CAST((SELECT base FROM c0)
+                   + (85 * COALESCE(m1.s, 0)) // 100 AS BIGINT) AS r
+       FROM verts LEFT JOIN m1 ON m1.id = verts.id),
+m2 AS (SELECT p.v AS id, SUM(r1.r // d.outdeg) AS s
+       FROM pairs p JOIN r1 ON r1.id = p.u JOIN deg d ON d.u = p.u
+       GROUP BY p.v),
+r2 AS (SELECT verts.id,
+              CAST((SELECT base FROM c0)
+                   + (85 * COALESCE(m2.s, 0)) // 100 AS BIGINT) AS r
+       FROM verts LEFT JOIN m2 ON m2.id = verts.id),
+m3 AS (SELECT p.v AS id, SUM(r2.r // d.outdeg) AS s
+       FROM pairs p JOIN r2 ON r2.id = p.u JOIN deg d ON d.u = p.u
+       GROUP BY p.v),
+r3 AS (SELECT verts.id,
+              CAST((SELECT base FROM c0)
+                   + (85 * COALESCE(m3.s, 0)) // 100 AS BIGINT) AS r
+       FROM verts LEFT JOIN m3 ON m3.id = verts.id)
+SELECT id AS part_id, r AS rank_fp FROM r3
+"""
+
+ANALYTICS_QUERIES["part_pagerank"] = (q_part_pagerank, SQL_PART_PAGERANK)
+
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation audit over the orders load
+    (operators/quality.py): five constraint classes — not-null, key
+    uniqueness, range, accepted values, and lineitem->orders
+    referential integrity — as ``(rule, total, violations, passed)``
+    rows.  This is the pre-promotion gate a warehouse runs on every
+    load (Delta expectations re-expressed engine-side); the reference
+    pipeline has no validation at all.
+
+    Scale notes: the four conditional rules AND the uniqueness
+    distinct-count fold into ONE hash aggregate over one scan of
+    orders (adding a rule adds a column, not a pass); the referential
+    rule is a left-anti join against the pruned distinct key column,
+    broadcast by AQE when small.  Null predicates count as violations
+    (coalesce(cond, false)) identically in both engines.
+    """
+    from .operators.quality import check_referential, check_rules
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rules = [
+        ("orders.o_orderkey.not_null", F.col("o_orderkey").isNotNull()),
+        ("orders.o_totalprice.positive", F.col("o_totalprice") > 0),
+        (
+            "orders.o_orderstatus.accepted",
+            F.col("o_orderstatus").isin("F", "O", "P"),
+        ),
+        (
+            "orders.o_orderdate.range",
+            (F.col("o_orderdate") >= "1992-01-01")
+            & (F.col("o_orderdate") < "2031-01-01"),
+        ),
+    ]
+    audit = check_rules(
+        orders, rules, unique_keys={"orders.o_orderkey.unique": ["o_orderkey"]}
+    )
+    ref = check_referential(
+        li, orders, [("l_orderkey", "o_orderkey")],
+        "lineitem.l_orderkey.referential",
+    )
+    return audit.unionByName(ref)
+
+
+SQL_DQ_EXPECTATIONS = """
+WITH o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(COUNT(*) FILTER (WHERE NOT COALESCE(o_orderkey IS NOT NULL,
+                                                  FALSE)) AS BIGINT) AS v_nn,
+         CAST(COUNT(*) FILTER (WHERE NOT COALESCE(o_totalprice > 0,
+                                                  FALSE)) AS BIGINT) AS v_pos,
+         CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+              o_orderstatus IN ('F','O','P'), FALSE)) AS BIGINT) AS v_acc,
+         CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+              o_orderdate >= TIMESTAMP '1992-01-01'
+              AND o_orderdate < TIMESTAMP '2031-01-01',
+              FALSE)) AS BIGINT) AS v_rng,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_unq
+  FROM orders
+),
+l AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(COUNT(*) FILTER (WHERE ok.o_orderkey IS NULL) AS BIGINT) AS v_ref
+  FROM lineitem
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+    ON l_orderkey = ok.o_orderkey
+)
+SELECT rule, total, violations, violations = 0 AS passed FROM (
+  SELECT 'orders.o_orderkey.not_null' AS rule, total, v_nn AS violations FROM o
+  UNION ALL
+  SELECT 'orders.o_totalprice.positive', total, v_pos FROM o
+  UNION ALL
+  SELECT 'orders.o_orderstatus.accepted', total, v_acc FROM o
+  UNION ALL
+  SELECT 'orders.o_orderdate.range', total, v_rng FROM o
+  UNION ALL
+  SELECT 'orders.o_orderkey.unique', total, v_unq FROM o
+  UNION ALL
+  SELECT 'lineitem.l_orderkey.referential', total, v_ref FROM l
+)
+"""
+
+ANALYTICS_QUERIES["dq_expectations"] = (q_dq_expectations, SQL_DQ_EXPECTATIONS)

@@ -670,3 +670,50 @@ CURATION_QUERIES["group_quantiles_approx"] = (
     q_group_quantiles_approx,
     SQL_GROUP_QUANTILES_APPROX,
 )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE over every document
+    (operators/text.py hashed_linear_score): feature-hash each token,
+    look up an integer weight, sum in-row, threshold to keep/drop —
+    the distributed shape of the fastText/CCNet quality gate every
+    corpus pipeline runs before training.
+
+    The weight table here is the deterministic md5 surrogate
+    (hashed_token_weight) because the container ships no trained
+    model; swapping in trained weights is a broadcast
+    map_from_entries lookup on the same hasher, leaving the plan
+    unchanged.
+
+    Scale notes: a pure narrow map — tokenize + in-row integer fold,
+    zero shuffles, scan-bound at any corpus size; integer weights
+    make the score associative and engine-exact.
+    """
+    from .operators.text import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, text_col="text").select(
+        "doc_id", "source", "score", "label"
+    )
+
+
+SQL_QUALITY_CLASSIFIER = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+),
+s AS (
+  SELECT doc_id,
+         SUM(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+             % 2001 - 1000) AS score
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+       CASE WHEN COALESCE(s.score, 0) >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+
+CURATION_QUERIES["quality_classifier_score"] = (
+    q_quality_classifier,
+    SQL_QUALITY_CLASSIFIER,
+)

@@ -21,8 +21,10 @@ from .dedup import (
 )
 from .fusion import rrf_fuse
 from .similarity import semantic_dedup
-from .graph import connected_components, dedup_survivors
+from .graph import connected_components, dedup_survivors, pagerank_fixed
 from .joins import banded_range_join, lookup, positional_zip
+from .quality import check_referential, check_rules
+from .text import hashed_linear_score
 from .sets import union_by_name_all
 from .windows import top_k_per_group
 
@@ -50,6 +52,10 @@ __all__ = [
     "lookup",
     "connected_components",
     "dedup_survivors",
+    "pagerank_fixed",
+    "check_rules",
+    "check_referential",
+    "hashed_linear_score",
     "banded_range_join",
     "positional_zip",
     "union_by_name_all",

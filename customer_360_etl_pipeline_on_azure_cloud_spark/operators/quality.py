@@ -1,0 +1,113 @@
+"""Data-quality expectation checks — the constraint audit a warehouse
+runs before promoting a load (the capability Delta Lake exposes as
+table constraints / expectations, re-expressed engine-side).
+
+The reference pipeline trusts its inputs blindly (no validation
+anywhere in ETL_pipeline.py); at 100 TB a silent bad load poisons every
+downstream feature, so the engine ships a one-scan audit: N rules over
+a table cost ONE aggregate job (conditional counts share the scan),
+never N passes.  Uniqueness rides the same aggregate as
+``count - count(distinct key)``; referential integrity is the only rule
+that needs a second input and runs as a broadcast/shuffle anti-join
+count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema shared by all rule evaluators.
+_OUT_COLS = ("rule", "total", "violations", "passed")
+
+
+def check_rules(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    unique_keys: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Evaluate named expectations over ``df`` in ONE aggregate pass.
+
+    ``rules`` maps rule name -> a boolean Column that is True when the
+    row SATISFIES the expectation; a NULL predicate counts as a
+    violation (``coalesce(cond, false)`` — the conservative reading,
+    identical across engines).  ``unique_keys`` maps rule name -> key
+    column list; duplicates = ``count(*) - count(distinct keys)``.
+
+    Returns ``(rule, total, violations, passed)`` — one row per rule.
+
+    Scale: all conditional counts and the distinct-count(s) fold into a
+    single hash aggregate over one scan of ``df`` (map-side partial
+    aggregation; the result is one row wide), then a driver-free
+    explode to rows.  Adding a rule adds a column to the aggregate, not
+    a pass over the data.
+    """
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, (_name, cond) in enumerate(rules):
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+            ).alias(f"__v{i}")
+        )
+    uk = list((unique_keys or {}).items())
+    for i, (_name, keys) in enumerate(uk):
+        aggs.append(
+            F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias(
+                f"__d{i}"
+            )
+        )
+    one = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("__total").alias("total"),
+            F.coalesce(F.col(f"__v{i}"), F.lit(0)).cast("long").alias(
+                "violations"
+            ),
+        )
+        for i, (name, _c) in enumerate(rules)
+    ] + [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("__total").alias("total"),
+            (F.col("__total") - F.col(f"__d{i}")).cast("long").alias(
+                "violations"
+            ),
+        )
+        for i, (name, _k) in enumerate(uk)
+    ]
+    return (
+        one.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.rule", "e.total", "e.violations")
+        .withColumn("passed", F.col("violations") == 0)
+    )
+
+
+def check_referential(
+    child: DataFrame,
+    parent: DataFrame,
+    on: list[tuple[str, str]],
+    rule: str,
+) -> DataFrame:
+    """Referential-integrity expectation: count child rows whose key has
+    no match in ``parent``.  Same ``(rule, total, violations, passed)``
+    row shape as :func:`check_rules`, so audits union cleanly.
+
+    Scale: one left-anti join on the key — the parent side is reduced
+    to its distinct keys first (column pruning keeps the shuffle
+    narrow), and AQE broadcasts it when the key set is small, making
+    the check a map-side filter over the child scan.
+    """
+    keys = parent.select(
+        *[F.col(p).alias(c) for c, p in on]
+    ).distinct()
+    orphans = child.join(keys, [c for c, _p in on], "left_anti")
+    counts = child.agg(F.count(F.lit(1)).alias("total")).crossJoin(
+        orphans.agg(F.count(F.lit(1)).alias("violations"))
+    )
+    return counts.select(
+        F.lit(rule).alias("rule"),
+        "total",
+        F.col("violations").cast("long"),
+        (F.col("violations") == 0).alias("passed"),
+    )

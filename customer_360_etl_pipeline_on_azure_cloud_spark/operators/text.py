@@ -635,3 +635,48 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def hashed_token_weight(tok: Column, weight_mod: int = 2001) -> Column:
+    """Deterministic integer weight for a token under the hashing trick:
+    the first 8 hex chars of md5(token) as an integer, mapped to the
+    symmetric range ``[-(weight_mod//2), weight_mod//2]``.
+
+    md5 (not xxhash64) so the SAME weight is computable in any engine —
+    the repo's standard portable-hash rule.  In production the weight
+    table comes from a trained model (broadcast ``map_from_entries``
+    lookup with this same expression as the feature hasher); the
+    hash-derived surrogate keeps the full inference plumbing testable
+    without shipping model weights.
+    """
+    h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    return h % F.lit(weight_mod) - F.lit(weight_mod // 2)
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    weight_mod: int = 2001,
+    threshold: int = 0,
+) -> DataFrame:
+    """FastText-shaped linear text classifier INFERENCE: score every
+    document as the sum of per-token hashed-feature weights, label by
+    sign.  Adds ``score`` (BIGINT) and ``label`` ('keep' iff
+    ``score >= threshold``).
+
+    This is the distributed shape of quality-classifier scoring (the
+    CCNet / fastText quality gate most corpus pipelines run): feature
+    hashing -> weight lookup -> linear sum -> threshold.  Everything is
+    an IN-ROW array fold over the token array — a narrow map with zero
+    shuffles, scan-bound at any corpus size; integer weights make the
+    score associative and engine-exact (no float summation order).
+    """
+    score = F.aggregate(
+        tokens(F.col(text_col), " "),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + hashed_token_weight(t, weight_mod),
+    )
+    return df.withColumn("score", score).withColumn(
+        "label",
+        F.when(F.col("score") >= threshold, "keep").otherwise("drop"),
+    )

@@ -1,0 +1,174 @@
+"""Unit tests for the engine-ops additions: integer fixed-point
+PageRank, the one-scan data-quality expectation audit, and hashed
+linear-classifier inference.
+
+PageRank and the classifier get THIRD implementations (pure Python,
+sharing no expression tree with either engine) so the Spark results are
+pinned against independently derived values, not just the DuckDB twin.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+    pagerank_fixed,
+)
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.quality import (
+    check_referential,
+    check_rules,
+)
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+    hashed_linear_score,
+)
+
+SCALE = 10**12
+
+
+def py_pagerank(edges, iterations=3, damping=85, scale=SCALE):
+    """Independent reference: same integer recurrence, plain dicts."""
+    edges = sorted(set(edges))
+    verts = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(verts)
+    init = scale // n
+    base = ((100 - damping) * init) // 100
+    outdeg: dict[int, int] = {}
+    for u, _v in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {v: init for v in verts}
+    for _ in range(iterations):
+        inbound = {v: 0 for v in verts}
+        for u, v in edges:
+            inbound[v] += r[u] // outdeg[u]
+        r = {v: base + (damping * inbound[v]) // 100 for v in verts}
+    return r
+
+
+def run_pagerank(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        row["id"]: row["rank_fp"]
+        for row in pagerank_fixed(df, **kw).collect()
+    }
+
+
+def test_pagerank_matches_python_reference(spark):
+    # small web: a hub (0) pointed at by everyone, plus a chain
+    edges = [(1, 0), (2, 0), (3, 0), (1, 2), (2, 3), (3, 1), (4, 1), (0, 4)]
+    got = run_pagerank(spark, edges, iterations=3)
+    assert got == py_pagerank(edges, iterations=3)
+    # more iterations still match (loop/lineage handling)
+    got6 = run_pagerank(spark, edges, iterations=6)
+    assert got6 == py_pagerank(edges, iterations=6)
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    got = run_pagerank(spark, edges, iterations=3)
+    assert got[0] == max(got.values())
+    # leaves 2..5 have identical in-link structure -> identical ranks
+    assert len({got[i] for i in range(2, 6)}) == 1
+
+
+def test_pagerank_dangling_and_duplicate_edges(spark):
+    # vertex 2 has no out-edges (dangling); duplicate edges collapse
+    edges = [(0, 1), (0, 1), (1, 2), (0, 2)]
+    got = run_pagerank(spark, edges, iterations=2)
+    assert got == py_pagerank([(0, 1), (1, 2), (0, 2)], iterations=2)
+    assert set(got) == {0, 1, 2}
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    # 3-cycle both directions: perfectly symmetric -> equal ranks
+    edges = [(0, 1), (1, 2), (2, 0), (1, 0), (2, 1), (0, 2)]
+    got = run_pagerank(spark, edges, iterations=4)
+    assert len(set(got.values())) == 1
+
+
+def test_check_rules_counts_and_uniqueness(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (2, None, "A"), (4, 3.0, "C")],
+        "id long, amount double, code string",
+    )
+    out = {
+        r["rule"]: r
+        for r in check_rules(
+            df,
+            [
+                ("amount.positive", F.col("amount") > 0),
+                ("code.accepted", F.col("code").isin("A", "B")),
+            ],
+            unique_keys={"id.unique": ["id"]},
+        ).collect()
+    }
+    assert out["amount.positive"]["violations"] == 2  # -5 and NULL
+    assert out["amount.positive"]["total"] == 4
+    assert not out["amount.positive"]["passed"]
+    assert out["code.accepted"]["violations"] == 1  # 'C'
+    assert out["id.unique"]["violations"] == 1  # id=2 twice
+    assert all(r["total"] == 4 for r in out.values())
+
+
+def test_check_rules_all_green(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    rows = check_rules(
+        df, [("id.not_null", F.col("id").isNotNull())],
+        unique_keys={"id.unique": ["id"]},
+    ).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in rows)
+
+
+def test_check_referential_orphans(spark):
+    child = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (9, "z"), (9, "w")], "fk long, payload string"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = check_referential(
+        child, parent, [("fk", "pk")], "child.fk.referential"
+    ).collect()[0]
+    assert row["total"] == 4
+    assert row["violations"] == 2  # both fk=9 rows
+    assert not row["passed"]
+
+
+def py_token_weight(tok: str, mod: int = 2001) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % mod - mod // 2
+
+
+def test_hashed_linear_score_matches_python(spark):
+    docs = [
+        (1, "the quick brown fox"),
+        (2, "spam spam spam spam spam"),
+        (3, ""),
+        (4, "  padded   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["score"], r["label"])
+        for r in hashed_linear_score(df).collect()
+    }
+    for doc_id, text in docs:
+        toks = text.strip().split(" ")  # split on single space, like engines
+        expected = sum(py_token_weight(t) for t in toks)
+        assert got[doc_id][0] == expected, (doc_id, text)
+        assert got[doc_id][1] == ("keep" if expected >= 0 else "drop")
+
+
+def test_hashed_linear_score_repeated_tokens_accumulate(spark):
+    df = spark.createDataFrame([(1, "w"), (2, "w w w")], "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in hashed_linear_score(df).collect()}
+    assert got[2] == 3 * got[1]
+
+
+def test_pagerank_plan_stays_bounded(spark):
+    """Lineage must not grow with iterations: the explain string of the
+    10-iteration result should not be ~5x the 2-iteration one (the
+    localCheckpoint-per-round contract)."""
+    edges = [(i, (i + 1) % 8) for i in range(8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    short = pagerank_fixed(df, iterations=2)._jdf.queryExecution().toString()
+    long = pagerank_fixed(df, iterations=10)._jdf.queryExecution().toString()
+    assert len(long) < 3 * len(short)
