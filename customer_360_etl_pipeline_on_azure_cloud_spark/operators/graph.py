@@ -205,42 +205,59 @@ def pagerank_fixed(
     a stochastic-matrix eigenvector to machine precision; ordinal
     ranks agree with float PageRank far beyond ``1/scale``.)
 
-    Scale analysis: the per-iteration work is one equi-join of edges
-    with the current rank vector on ``src`` plus one ``groupBy(dst)``
-    sum — both shuffle on vertex ids, and Spark's partial aggregation
-    combines contributions map-side, so shuffled bytes are O(vertices)
-    per round, not O(edges).  The edge list (joined once with
-    out-degrees) is localCheckpoint'ed before the loop: iterations
-    reuse the materialized edges and plan size stays O(1) in rounds.
-    Driver traffic is a single count (N); ranks never leave the
-    cluster.
+    Scale analysis: the distinct edge list is materialized ONCE and
+    persisted DISK_ONLY — edges are O(graph), far larger than the
+    O(vertices) rank vector, and heap-deserialized caching of them is
+    exactly what OOMs a default-heap executor, while leaving them
+    unpersisted would re-run the edge-building join for every
+    consumer (vertex derivation plus each iteration).  Per iteration,
+    the rank vector joins the VERTEX-sized out-degree table first
+    (two small inputs) and only then meets the edge list — a
+    broadcast-able probe, so the edges are never reshuffled; the
+    ``groupBy(dst)`` sum partially aggregates map-side, shuffling
+    O(vertices) bytes per round, not O(edges).  The rank vector is
+    localCheckpoint'ed per round (truncating lineage so plan size
+    stays O(1) in rounds) and the superseded round's blocks are freed
+    immediately.  Driver traffic is a single count (N); ranks never
+    leave the cluster.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)
+    )
     verts = (
-        e.select(F.col("u").alias("id"))
-        .union(e.select(F.col("v").alias("id")))
+        e.select(F.explode(F.array("u", "v")).alias("id"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     n = verts.count()
     if n == 0:
+        e.unpersist()
         return verts.select("id", F.lit(0).cast("long").alias("rank_fp"))
     init = scale // n
     base = ((100 - damping_pct) * init) // 100
-    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_deg = e.join(outdeg, "u").localCheckpoint(eager=True)
+    outdeg = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = verts.select("id", F.lit(init).cast("long").alias("rank_fp"))
+    prev = None
     for _ in range(iterations):
-        msgs = (
-            e_deg.join(ranks, e_deg["u"] == ranks["id"])
-            .select(
-                F.col("v").alias("id"),
-                F.expr("rank_fp div outdeg").alias("contrib"),
-            )
-            .groupBy("id")
-            .agg(F.sum("contrib").alias("inbound"))
+        shares = (
+            ranks.join(outdeg, ranks["id"] == outdeg["u"])
+            .select("u", F.expr("rank_fp div outdeg").alias("share"))
         )
-        ranks = (
+        msgs = (
+            e.join(shares, "u")
+            .select(F.col("v").alias("id"), "share")
+            .groupBy("id")
+            .agg(F.sum("share").alias("inbound"))
+        )
+        new_ranks = (
             verts.join(msgs, "id", "left")
             .select(
                 "id",
@@ -251,8 +268,17 @@ def pagerank_fixed(
                     )
                 ).cast("long").alias("rank_fp"),
             )
+            # eager checkpoint materializes new_ranks, so the PREVIOUS
+            # round's blocks (and, after the loop, the edge cache) can
+            # be dropped without risking recomputation of freed blocks
             .localCheckpoint(eager=True)
         )
+        if prev is not None:
+            prev.unpersist()
+        prev, ranks = ranks, new_ranks
+    e.unpersist()
+    outdeg.unpersist()
+    verts.unpersist()
     return ranks
 
 
