@@ -8,6 +8,7 @@ from .aggregates import (
 from .cleaning import dedup_deterministic, drop_sentinels
 from .dedup import (
     MinhashIndex,
+    compact_minhash_index,
     containment_pairs,
     dedup_exact,
     jaccard_pairs,
@@ -37,6 +38,7 @@ __all__ = [
     "dedup_deterministic",
     "drop_sentinels",
     "dedup_exact",
+    "compact_minhash_index",
     "containment_pairs",
     "jaccard_pairs",
     "minhash_index",

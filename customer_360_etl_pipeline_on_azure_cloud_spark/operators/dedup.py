@@ -444,6 +444,66 @@ def read_minhash_index(spark, name: str) -> MinhashIndex:
     )
 
 
+def compact_minhash_index(spark, name: str) -> dict[str, int]:
+    """Compact a persisted MinHash index after daily appends — the
+    small-file maintenance every standing 100 TB index needs.
+
+    ``write_minhash_index(mode="append")`` adds one file per bucket per
+    append job, so a year of daily ingests turns each bucket into ~365
+    small files: scan tasks multiply, sort-within-bucket is lost, and
+    object-store listing dominates probe startup.  Compaction rewrites
+    each table into the SAME bucket spec with exactly one file per
+    bucket (``repartition`` on the bucket columns uses the same hash
+    family as the bucket layout, so every output task holds whole
+    buckets), then atomically swaps it in via DROP + RENAME.  Probe
+    results are bit-identical before and after (pinned by tests);
+    only the file layout changes.
+
+    Returns ``{table: files_after}`` for observability.  Cost: one
+    read + one write of the index tables — O(index), never O(corpus),
+    and ZERO shuffle: the read is forced onto the bucketed scan (one
+    input partition per bucket), so each task streams exactly its
+    bucket's files into one output file.  (The forced scan matters —
+    by default the planner collapses a ``repartition`` on the bucket
+    columns as "already satisfied" by the bucket spec and AQE then
+    disables the bucketed scan, leaving bucket-MIXED file splits that
+    re-fragment the write.)  Run it when file counts degrade, like any
+    LSM/Delta compaction.
+    """
+    out: dict[str, int] = {}
+    specs = [
+        (f"{name}_sig", ["id"]),
+        (f"{name}_bands", ["band", "bhash"]),
+    ]
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev_auto = spark.conf.get(auto_key, "true")
+    spark.conf.set(auto_key, "false")
+    try:
+        for table, cols in specs:
+            describe = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+            info = {
+                r.col_name.strip(): (r.data_type or "").strip()
+                for r in describe
+            }
+            num_buckets = int(info["Num Buckets"])
+            tmp = f"{table}__compact"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            (
+                spark.table(table)
+                .sortWithinPartitions(*cols)
+                .write.mode("overwrite")
+                .bucketBy(num_buckets, *cols)
+                .sortBy(*cols)
+                .saveAsTable(tmp)
+            )
+            spark.sql(f"DROP TABLE {table}")
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+            out[table] = len(spark.table(table).inputFiles())
+    finally:
+        spark.conf.set(auto_key, prev_auto)
+    return out
+
+
 def _candidate_probe(
     new_bands: DataFrame, corpus_bands: DataFrame, broadcast_new: bool
 ) -> DataFrame:

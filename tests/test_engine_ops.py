@@ -172,3 +172,61 @@ def test_pagerank_plan_stays_bounded(spark):
     short = pagerank_fixed(df, iterations=2)._jdf.queryExecution().toString()
     long = pagerank_fixed(df, iterations=10)._jdf.queryExecution().toString()
     assert len(long) < 3 * len(short)
+
+
+# --- MinHash index compaction ------------------------------------------------
+
+
+def test_compact_minhash_index_preserves_probe(spark):
+    """Daily appends multiply files per bucket; compaction must collapse
+    each table to one file per bucket, keep the bucket spec (plan still
+    scans `Bucketed: true`), and leave probe results bit-identical."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        compact_minhash_index,
+        minhash_lsh_join,
+        read_minhash_index,
+        write_minhash_index,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    name = "t_mh_compact"
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    day1 = docs.filter(F.col("doc_id") % 10 == 0)
+    probe = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 10 != 0)
+    )
+    try:
+        write_minhash_index(corpus, name, num_hashes=32, bands=8,
+                            num_buckets=4)
+        write_minhash_index(day1, name, num_hashes=32, bands=8,
+                            num_buckets=4, mode="append")
+        files_before = len(spark.table(f"{name}_bands").inputFiles())
+        assert files_before > 4  # two append jobs -> >1 file per bucket
+        before = {
+            tuple(r)
+            for r in minhash_lsh_join(
+                probe, read_minhash_index(spark, name)
+            ).collect()
+        }
+        counts = compact_minhash_index(spark, name)
+        assert counts[f"{name}_bands"] <= 4
+        assert counts[f"{name}_sig"] <= 4
+        idx = read_minhash_index(spark, name)
+        after = {
+            tuple(r) for r in minhash_lsh_join(probe, idx).collect()
+        }
+        assert before and after == before
+        # bucket spec survived the rewrite: metadata still bucketed
+        described = {
+            r.col_name.strip(): (r.data_type or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {name}_bands").collect()
+        }
+        assert described.get("Num Buckets") == "4"
+        assert "band" in described.get("Bucket Columns", "")
+    finally:
+        for suffix in ("_sig", "_bands", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}__compact")
