@@ -88,6 +88,83 @@ def gen(sf: float, out_dir: str) -> None:
     pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
     pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
     print(f"wrote {n_docs} docs, {n_vecs} vecs -> {out_dir}")
+    gen_facts(sf, out_dir)
+
+
+def gen_facts(sf: float, out_dir: str) -> None:
+    """orders/lineitem at sf-shape, mirroring the driver testdata's
+    observed characteristics (orders 1.5M*sf; lines-per-order ~
+    Poisson(4) clipped >=1, parts 200k*sf uniform; status/price/date
+    marginals) — enough to scale-validate the co-purchase graph
+    (part_pagerank) and the DQ audit alongside the text family."""
+    nrng = np.random.default_rng(20260813)
+    n_orders = int(1_500_000 * sf)
+    n_parts = int(200_000 * sf)
+    okeys = np.arange(n_orders, dtype=np.int64)
+    day = nrng.integers(0, 2400, n_orders)  # ~1995-2001 span, days
+    base = np.datetime64("1995-01-01", "us")
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(okeys),
+            "o_custkey": pa.array(
+                nrng.integers(0, max(1, int(15_000 * sf)), n_orders)
+            ),
+            "o_orderstatus": pa.array(
+                np.array(["F", "O", "P"])[nrng.integers(0, 3, n_orders)]
+            ),
+            "o_totalprice": pa.array(
+                np.round(nrng.uniform(900.0, 360_000.0, n_orders), 2)
+            ),
+            "o_orderdate": pa.array(
+                base + day.astype("timedelta64[D]").astype("timedelta64[us]"),
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"])[
+                    nrng.integers(0, 4, n_orders)
+                ]
+            ),
+        }
+    )
+    lines = np.clip(nrng.poisson(4.0, n_orders), 1, None)
+    l_okey = np.repeat(okeys, lines)
+    n_li = len(l_okey)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(l_okey),
+            "l_partkey": pa.array(nrng.integers(0, n_parts, n_li)),
+            "l_suppkey": pa.array(nrng.integers(0, max(1, int(1000 * sf)), n_li)),
+            "l_linenumber": pa.array(
+                np.concatenate([np.arange(1, k + 1) for k in lines]).astype(
+                    np.int32
+                )
+            ),
+            "l_quantity": pa.array(
+                nrng.integers(1, 51, n_li).astype(np.float64)
+            ),
+            "l_extendedprice": pa.array(
+                np.round(nrng.uniform(900.0, 105_000.0, n_li), 2)
+            ),
+            "l_discount": pa.array(np.round(nrng.uniform(0, 0.1, n_li), 2)),
+            "l_tax": pa.array(np.round(nrng.uniform(0, 0.08, n_li), 2)),
+            "l_returnflag": pa.array(
+                np.array(["A", "N", "R"])[nrng.integers(0, 3, n_li)]
+            ),
+            "l_linestatus": pa.array(
+                np.array(["F", "O"])[nrng.integers(0, 2, n_li)]
+            ),
+            "l_shipdate": pa.array(
+                base
+                + (day.repeat(lines) + nrng.integers(1, 120, n_li)).astype(
+                    "timedelta64[D]"
+                ).astype("timedelta64[us]"),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(orders, os.path.join(out_dir, "orders.parquet"))
+    pq.write_table(lineitem, os.path.join(out_dir, "lineitem.parquet"))
+    print(f"wrote {n_orders} orders, {n_li} lineitem -> {out_dir}")
 
 
 if __name__ == "__main__":

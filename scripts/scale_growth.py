@@ -56,6 +56,10 @@ QUERIES = [
     "split_leakage_audit",
     "streaming_index_dedup",
     "incremental_index_update",
+    # engine-ops additions (graph / DQ / classifier)
+    "part_pagerank",
+    "dq_expectations",
+    "quality_classifier_score",
 ]
 
 
@@ -80,8 +84,15 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     n_passes = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    names = [q for q in QUERIES if not only or q in only.split(",")]
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    prior = {}
+    prior_path = os.path.join(root, "SCALE_r5.json")
+    if only and os.path.exists(prior_path):
+        with open(prior_path) as fh:
+            prior = json.load(fh)
+    for name in names:
         fn, _sql = CORE_QUERIES[name]
         rec: dict[str, float | int | str] = {}
         for sfname, d in dirs.items():
@@ -104,8 +115,9 @@ def main() -> None:
         out[name] = rec
         print(name, rec, flush=True)
 
+    merged = {**prior, **out} if prior else out
     with open(os.path.join(root, "SCALE_r5.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
+        json.dump(merged, fh, indent=1)
         fh.write("\n")
 
     print("\n| query | sf0.1 s | sf1 s | growth (10x data) | sf1 rows |")
