@@ -1801,3 +1801,49 @@ SELECT rule, total, violations, violations = 0 AS passed FROM (
 """
 
 ANALYTICS_QUERIES["dq_expectations"] = (q_dq_expectations, SQL_DQ_EXPECTATIONS)
+
+
+def q_orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DQ enforcement (operators/quality.py enforce_rules):
+    tag each order with the rules it violates and emit the quarantine
+    set — the load-time companion to dq_expectations (audit says
+    WHETHER the load is clean; enforcement routes the rows that
+    aren't, instead of failing a 100 TB job on one bad row).
+
+    Scale notes: a pure narrow map (every rule is a scan-projection
+    expression; the tag is concat_ws over conditional literals) plus
+    the quarantine filter — no shuffle, no second pass.
+    """
+    from .operators.quality import enforce_rules
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        ("price.le_300k", F.col("o_totalprice") <= 300000),
+        ("status.settled", F.col("o_orderstatus").isin("F", "O")),
+        ("priority.specified", F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+    ]
+    tagged = enforce_rules(orders, rules)
+    return tagged.filter(F.col("failed_rules") != "").select(
+        "o_orderkey", "failed_rules"
+    )
+
+
+SQL_ORDERS_QUARANTINE = """
+SELECT o_orderkey,
+       concat_ws(',',
+         CASE WHEN COALESCE(o_totalprice <= 300000, FALSE)
+              THEN NULL ELSE 'price.le_300k' END,
+         CASE WHEN COALESCE(o_orderstatus IN ('F','O'), FALSE)
+              THEN NULL ELSE 'status.settled' END,
+         CASE WHEN COALESCE(o_orderpriority <> '4-NOT SPECIFIED', FALSE)
+              THEN NULL ELSE 'priority.specified' END) AS failed_rules
+FROM orders
+WHERE NOT (COALESCE(o_totalprice <= 300000, FALSE)
+       AND COALESCE(o_orderstatus IN ('F','O'), FALSE)
+       AND COALESCE(o_orderpriority <> '4-NOT SPECIFIED', FALSE))
+"""
+
+ANALYTICS_QUERIES["orders_quarantine"] = (
+    q_orders_quarantine,
+    SQL_ORDERS_QUARANTINE,
+)

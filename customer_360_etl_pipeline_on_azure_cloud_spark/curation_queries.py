@@ -717,3 +717,55 @@ CURATION_QUERIES["quality_classifier_score"] = (
     q_quality_classifier,
     SQL_QUALITY_CLASSIFIER,
 )
+
+
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: document counts, classifier
+    keep-rate, aggregate score, and token volume for every source —
+    the report a corpus owner reads before deciding per-source
+    sampling weights (the input source_mixture_plan consumes).
+
+    Scale notes: the classifier score and token count are in-row
+    expressions on the scan; ONE hash aggregate by source (map-side
+    combine over ~20 groups) produces the report.  BIGINT-only
+    outputs, so cross-engine exact.
+    """
+    from .operators.text import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs, text_col="text")
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("label") == "keep", 1).otherwise(0)).alias(
+            "n_keep"
+        ),
+        F.sum("score").alias("score_sum"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")).cast("long")).alias(
+            "token_sum"
+        ),
+    )
+
+
+SQL_SOURCE_QUALITY_REPORT = """
+WITH s AS (
+  SELECT d.doc_id, d.source,
+         len(string_split(trim(d.text), ' ')) AS ntok,
+         (SELECT COALESCE(SUM(
+             CAST(concat('0x', substr(md5(t.t), 1, 8)) AS BIGINT)
+             % 2001 - 1000), 0)
+          FROM (SELECT unnest(string_split(trim(d.text), ' ')) AS t) t
+         ) AS score
+  FROM documents d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE score >= 0) AS BIGINT) AS n_keep,
+       CAST(SUM(score) AS BIGINT) AS score_sum,
+       CAST(SUM(ntok) AS BIGINT) AS token_sum
+FROM s GROUP BY source
+"""
+
+CURATION_QUERIES["source_quality_report"] = (
+    q_source_quality_report,
+    SQL_SOURCE_QUALITY_REPORT,
+)

@@ -24,7 +24,7 @@ from .fusion import rrf_fuse
 from .similarity import semantic_dedup
 from .graph import connected_components, dedup_survivors, pagerank_fixed
 from .joins import banded_range_join, lookup, positional_zip
-from .quality import check_referential, check_rules
+from .quality import check_referential, check_rules, enforce_rules
 from .text import hashed_linear_score
 from .sets import union_by_name_all
 from .windows import top_k_per_group
@@ -57,6 +57,7 @@ __all__ = [
     "pagerank_fixed",
     "check_rules",
     "check_referential",
+    "enforce_rules",
     "hashed_linear_score",
     "banded_range_join",
     "positional_zip",

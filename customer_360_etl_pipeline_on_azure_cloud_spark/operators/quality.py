@@ -83,6 +83,41 @@ def check_rules(
     )
 
 
+def enforce_rules(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    quarantine_col: str = "failed_rules",
+) -> DataFrame:
+    """Row-level enforcement: tag every row with the (sorted,
+    comma-joined) names of the rules it VIOLATES — empty string means
+    the row is clean.  The caller routes on it::
+
+        tagged = enforce_rules(orders, RULES)
+        good = tagged.filter(F.col("failed_rules") == "").drop("failed_rules")
+        bad  = tagged.filter(F.col("failed_rules") != "")   # quarantine
+
+    This is the load-time companion to :func:`check_rules`: the audit
+    says WHETHER the load is clean, enforcement quarantines the rows
+    that aren't (instead of failing the whole 100 TB job on one bad
+    row).  NULL predicates count as violations, same convention as the
+    audit.
+
+    Scale: a pure narrow map — every rule is a column expression
+    evaluated in the scan's projection; the tag is concat_ws over
+    conditional literals.  No shuffle, no second pass; a partitioned
+    write of good/bad is the only exchange downstream needs.
+    """
+    tags = [
+        F.when(F.coalesce(cond, F.lit(False)), F.lit(None)).otherwise(
+            F.lit(name)
+        )
+        for name, cond in rules
+    ]
+    # concat_ws skips NULLs, so only violated rule names appear; rule
+    # order in `rules` is the (deterministic) tag order.
+    return df.withColumn(quarantine_col, F.concat_ws(",", *tags))
+
+
 def check_referential(
     child: DataFrame,
     parent: DataFrame,
