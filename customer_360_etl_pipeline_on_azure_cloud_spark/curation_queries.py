@@ -769,3 +769,43 @@ CURATION_QUERIES["source_quality_report"] = (
     q_source_quality_report,
     SQL_SOURCE_QUALITY_REPORT,
 )
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Gram matrix in fixed point
+    (operators/similarity.py embedding_gram_fixed): the one-scan
+    aggregate feeding exact PCA / covariance whitening of the
+    embedding column — the d x d result is the only thing that leaves
+    the cluster; its driver-side eigendecomposition is the projection
+    a vector store trains for dimensionality reduction.
+
+    Scale notes: in-row upper-triangle expansion, one hash aggregate
+    with a d^2-bounded key space (map-side combine -> shuffle carries
+    d^2 x partitions rows at any corpus size); integer products/sums
+    are associative, so the result is partition- and engine-exact.
+    """
+    from .operators.similarity import embedding_gram_fixed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_gram_fixed(emb, vec_col="embedding", scale=10**6)
+
+
+SQL_EMBEDDING_GRAM = """
+WITH fp AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS f
+  FROM embeddings
+),
+prods AS (
+  SELECT ii.i - 1 AS i, jj.j - 1 AS j, f[ii.i] * f[jj.j] AS p
+  FROM fp,
+       unnest(generate_series(1, len(f))) AS ii(i),
+       unnest(generate_series(1, len(f))) AS jj(j)
+  WHERE jj.j >= ii.i
+)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       CAST(SUM(p) AS BIGINT) AS gram_fp
+FROM prods GROUP BY i, j
+"""
+
+CURATION_QUERIES["embedding_gram"] = (q_embedding_gram, SQL_EMBEDDING_GRAM)

@@ -21,7 +21,7 @@ from .dedup import (
     write_minhash_index,
 )
 from .fusion import rrf_fuse
-from .similarity import semantic_dedup
+from .similarity import embedding_gram_fixed, semantic_dedup
 from .graph import connected_components, dedup_survivors, pagerank_fixed
 from .joins import banded_range_join, lookup, positional_zip
 from .quality import check_referential, check_rules, enforce_rules
@@ -49,6 +49,7 @@ __all__ = [
     "write_minhash_index",
     "rrf_fuse",
     "semantic_dedup",
+    "embedding_gram_fixed",
     "simhash_near_pairs",
     "simhash_table",
     "lookup",

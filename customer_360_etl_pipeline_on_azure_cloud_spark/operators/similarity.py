@@ -560,3 +560,103 @@ def embedding_quant_stats(
         F.col("dim").cast("long").alias("dim"),
         "n_levels", "q_min", "q_max", "q_sum",
     )
+
+
+def embedding_gram_fixed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    method: str = "arrow",
+) -> DataFrame:
+    """One-pass fixed-point Gram matrix ``G = sum_r v_r v_r^T`` (upper
+    triangle, ``j >= i``) — the input to PCA / covariance whitening /
+    low-rank projection over an embedding column.  Output:
+    ``(i, j, gram_fp)``, all BIGINT, in units of ``1/scale^2``.
+
+    The scalable PCA recipe: the d x d Gram matrix aggregates in ONE
+    scan of the corpus; eigendecomposition of the d x d result (d=64
+    here) is a trivial driver-side step — the classic way to compute
+    exact PCA over a corpus that never fits anywhere.
+
+    Fixed-point (``round(x*scale)`` per coordinate, integer products
+    and sums) makes the aggregate associative and engine-exact — float
+    dot-product sums depend on partition order and can't be oracled
+    bit-exactly.  Pick ``scale`` for the corpus: products are
+    ~``(scale*|x|)^2`` and the sum must stay under 2^63, so 10^6 is
+    good to ~10^5 rows of unit-scale coords; drop to 10^4 for 10^9
+    rows (precision trades against overflow headroom).
+
+    Scale notes: ``method="arrow"`` (default) computes one numpy int64
+    ``M^T M`` per Arrow batch and yields a single d^2/2-row partial per
+    PARTITION — one BLAS-shaped matmul per batch instead of exploding
+    d^2/2 rows per vector, then a tiny ``d^2 x partitions`` merge
+    aggregate.  ``method="sql"`` is the pure-column-expression twin
+    (in-row upper-triangle expansion -> explode -> one hash aggregate
+    with map-side combine): same exact integers (test-pinned), JVM-only
+    environments, and the form the DuckDB oracle mirrors.  Either way
+    nothing reaches the driver but the d x d result.
+    """
+    fp = F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0)"
+        " AS BIGINT))"
+    )
+    if method == "arrow":
+        # Quantization stays a JVM column expression (Spark round =
+        # HALF_UP; numpy rounds half-to-even), so both methods share
+        # bit-identical fixed-point coordinates; Arrow only does the
+        # exact integer matmul.
+        return _gram_arrow(df.select(fp.alias("__fp")), "__fp")
+    if method != "sql":
+        raise ValueError(f"unknown method {method!r}")
+    tri = F.expr(
+        "flatten(transform(__fp, (x, i) -> "
+        "transform(slice(__fp, i + 1, size(__fp) - i), (y, k) -> "
+        "struct(i AS i, i + k AS j, x * y AS p))))"
+    )
+    return (
+        df.select(fp.alias("__fp"))
+        .select(F.explode(tri).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.p").alias("gram_fp"))
+    )
+
+
+def _gram_arrow(df: DataFrame, fp_col: str) -> DataFrame:
+    """Arrow path for :func:`embedding_gram_fixed`: per-batch integer
+    matmul over pre-quantized int64 coordinates, one upper-triangle
+    partial per partition, merged by a d^2-keyed aggregate.  int64
+    throughout — bit-identical to the SQL path (test-pinned) because
+    integer matmul is exact and summation associative."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("p", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(
+                [np.asarray(v, dtype=np.int64) for v in pdf[fp_col]]
+            )
+            g = M.T @ M
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu, ju = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "p": acc[iu, ju],
+                }
+            )
+
+    partials = df.mapInPandas(run, schema)
+    return partials.groupBy("i", "j").agg(F.sum("p").alias("gram_fp"))

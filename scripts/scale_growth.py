@@ -60,6 +60,9 @@ QUERIES = [
     "part_pagerank",
     "dq_expectations",
     "quality_classifier_score",
+    "orders_quarantine",
+    "source_quality_report",
+    "embedding_gram",
 ]
 
 

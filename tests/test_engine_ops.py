@@ -305,3 +305,75 @@ def test_enforce_rules_streaming_gate(spark, tmp_path):
         for r in enforce_rules(df, rules).collect()
     }
     assert set(collected) == one_shot and len(collected) == len(rows)
+
+
+# --- fixed-point Gram matrix -------------------------------------------------
+
+
+def test_embedding_gram_matches_numpy(spark):
+    """Third implementation: numpy integer outer-product accumulation
+    over the same fixed-point coordinates."""
+    import numpy as np
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        embedding_gram_fixed,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["i"], r["j"]): r["gram_fp"]
+        for r in embedding_gram_fixed(df, scale=10**6).collect()
+    }
+    fp = np.round(vecs.astype(np.float64) * 10**6).astype(np.int64)
+    gram = fp.T @ fp  # exact: int64, values far below 2^63
+    expected = {
+        (i, j): int(gram[i, j]) for i in range(6) for j in range(i, 6)
+    }
+    assert got == expected
+
+
+def test_embedding_gram_diagonal_is_norm(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        embedding_gram_fixed,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r["i"], r["j"]): r["gram_fp"]
+        for r in embedding_gram_fixed(df, scale=10).collect()
+    }
+    # coords scale to (30,40) and (10,0): G = [[1000,1200],[1200,1600]]
+    assert got == {(0, 0): 1000, (0, 1): 1200, (1, 1): 1600}
+
+
+def test_embedding_gram_arrow_equals_sql(spark):
+    """The Arrow matmul path must produce the SQL expression path's
+    exact integers (shared JVM-side quantization; integer matmul)."""
+    import numpy as np
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        embedding_gram_fixed,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 8)).astype(np.float32) * 3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)
+    a = {
+        (r["i"], r["j"]): r["gram_fp"]
+        for r in embedding_gram_fixed(df, method="arrow").collect()
+    }
+    b = {
+        (r["i"], r["j"]): r["gram_fp"]
+        for r in embedding_gram_fixed(df, method="sql").collect()
+    }
+    assert a == b and len(a) == 8 * 9 // 2
