@@ -1847,3 +1847,75 @@ ANALYTICS_QUERIES["orders_quarantine"] = (
     q_orders_quarantine,
     SQL_ORDERS_QUARANTINE,
 )
+
+
+def q_above_avg_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers whose account balance exceeds the
+    global positive-balance average but who have never ordered —
+    grouped per nation with counts and balance totals ("never
+    ordered" is restricted to never placed an URGENT order, which
+    keeps the result set non-trivial on this data where every
+    customer has some order).  The missing classic pattern:
+    scalar-subquery threshold + NOT EXISTS.
+
+    Exactness: the average is never materialized as a double —
+    ``balance > avg`` is evaluated as the cross-multiplied INTEGER
+    comparison ``cents * n > sum_cents`` (cents via money_cents), so
+    the boundary set is identical across engines and partitionings.
+
+    Scale notes: the global (sum, count) is a one-row aggregate
+    crossJoin'd back (broadcast — the no-collect scalar pattern); the
+    never-ordered check is a left-anti join against the PRUNED
+    distinct o_custkey column, broadcast by AQE when small; the final
+    rollup is a nation-keyed hash aggregate with map-side combine.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", money_cents(F.col("c_acctbal")).alias("cents")
+    )
+    pos = cust.filter(F.col("cents") > 0)
+    stats = pos.agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    rich = pos.crossJoin(F.broadcast(stats)).filter(
+        F.col("cents") * F.col("n") > F.col("s")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    idle = rich.join(
+        orders, rich["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+SQL_ABOVE_AVG_IDLE_CUSTOMERS = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+pos AS (SELECT * FROM c WHERE cents > 0),
+st AS (SELECT SUM(cents) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM pos),
+rich AS (
+  SELECT pos.* FROM pos, st WHERE pos.cents * st.n > st.s
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM rich
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = rich.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+ANALYTICS_QUERIES["above_avg_idle_customers"] = (
+    q_above_avg_idle_customers,
+    SQL_ABOVE_AVG_IDLE_CUSTOMERS,
+)
