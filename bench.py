@@ -148,6 +148,13 @@ BENCH_QUERIES = [
     "split_leakage_audit",
     "streaming_index_dedup",
     "incremental_index_update",
+    "part_pagerank",
+    "dq_expectations",
+    "quality_classifier_score",
+    "orders_quarantine",
+    "source_quality_report",
+    "embedding_gram",
+    "above_avg_idle_customers",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator
@@ -189,6 +196,10 @@ def main() -> None:
     # Remaining passes are skipped if the cumulative wall time already
     # used most of the time budget (keeps the driver's per-round bench
     # bounded even if the environment is slow).
+    unbenched = [q for q in CORE_QUERIES if q not in BENCH_QUERIES]
+    if unbenched:
+        print(f"WARNING: registered queries missing from BENCH_QUERIES: "
+              f"{unbenched}", file=sys.stderr)
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
     budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     timings: dict[str, float] = {}
