@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "source_quality_report",
     "embedding_gram",
     "above_avg_idle_customers",
+    "basket_rules",
+    "streaming_dq_gate",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

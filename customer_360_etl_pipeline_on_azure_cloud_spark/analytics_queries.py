@@ -1927,3 +1927,150 @@ ANALYTICS_QUERIES["above_avg_idle_customers"] = (
     q_above_avg_idle_customers,
     SQL_ABOVE_AVG_IDLE_CUSTOMERS,
 )
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: directed
+    part pairs with co-occurrence support >= 5 orders and confidence
+    supp(a->b)/supp(a) >= 10%, with all three supports reported —
+    the classic affinity workload (and the FP-growth 2-itemset core)
+    on the same in-row basket expansion the co-purchase graph uses.
+
+    Exactness: supports are integer counts; the confidence gate is the
+    cross-multiplied integer comparison ``supp_ab * 100 >= supp_a *
+    10`` — no ratio ever materializes, so the rule set is identical
+    across engines.  Consumers derive confidence/lift from the
+    reported integer supports.
+
+    Scale notes: one shuffle of the (orderkey, partkey) projection
+    (collect_set per order), in-row ordered-pair expansion (baskets
+    are bounded ~7 lines), ONE hash aggregate per pair with map-side
+    combine, then a broadcast join of the parts-sized single-item
+    support table onto the pair table — no self-join of lineitem, no
+    second corpus shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pair_supp = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> "
+                    "transform(ps, y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 5)
+    )
+    item_supp = baskets.select(
+        F.explode("ps").alias("part")
+    ).groupBy("part").agg(F.count(F.lit(1)).alias("supp"))
+    sa = item_supp.select(F.col("part").alias("a"), F.col("supp").alias("supp_a"))
+    sb = item_supp.select(F.col("part").alias("b"), F.col("supp").alias("supp_b"))
+    return (
+        pair_supp.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .filter(F.col("supp_ab") * 100 >= F.col("supp_a") * 10)
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            "supp_ab",
+            "supp_a",
+            "supp_b",
+        )
+    )
+
+
+SQL_BASKET_RULES = """
+WITH baskets AS (
+  SELECT l_orderkey, list(DISTINCT l_partkey) AS ps FROM lineitem GROUP BY 1
+),
+pairs AS (
+  SELECT a.a AS a, b.b AS b
+  FROM baskets, unnest(ps) AS a(a), unnest(ps) AS b(b)
+  WHERE a.a <> b.b
+),
+pair_supp AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS supp_ab
+  FROM pairs GROUP BY a, b HAVING COUNT(*) >= 5
+),
+item_supp AS (
+  SELECT i.i AS part, CAST(COUNT(*) AS BIGINT) AS supp
+  FROM baskets, unnest(ps) AS i(i) GROUP BY 1
+)
+SELECT p.a AS antecedent, p.b AS consequent, p.supp_ab,
+       sa.supp AS supp_a, sb.supp AS supp_b
+FROM pair_supp p
+JOIN item_supp sa ON sa.part = p.a
+JOIN item_supp sb ON sb.part = p.b
+WHERE p.supp_ab * 100 >= sa.supp * 10
+"""
+
+ANALYTICS_QUERIES["basket_rules"] = (q_basket_rules, SQL_BASKET_RULES)
+
+
+def q_streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DQ quarantine gate AS AN ACTUAL STREAM: order arrivals land
+    as files in a watched directory, a file-source stream with
+    maxFilesPerTrigger=1 + availableNow delivers them in MULTIPLE
+    micro-batches, and foreachBatch applies enforce_rules to each —
+    the load-time quality gate running at ingest rate instead of as a
+    post-hoc batch audit.
+
+    Because the rule tag is a pure per-row function, the union of
+    per-batch quarantines equals the one-shot batch result — so this
+    SHARES orders_quarantine's oracle, and the equality IS the
+    batching-invariance statement (also pinned with >= 2 micro-batches
+    in tests/test_engine_ops.py).
+    """
+    import os
+    import tempfile
+
+    from .operators.quality import enforce_rules
+    from .streaming.incremental import run_foreach_batch, stream_file_source
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="c360_stream_dq_")
+    arrivals = os.path.join(tmp, "arrivals")
+    # two "days" of arrivals -> two files -> two micro-batches
+    orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+    orders.filter(F.col("o_orderkey") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+
+    rules = [
+        ("price.le_300k", F.col("o_totalprice") <= 300000),
+        ("status.settled", F.col("o_orderstatus").isin("F", "O")),
+        ("priority.specified", F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+    ]
+    stream = stream_file_source(
+        spark, arrivals, orders.schema, max_files_per_trigger=1
+    )
+    quarantined: list[tuple[int, str]] = []
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        bad = enforce_rules(batch_df, rules).filter(
+            F.col("failed_rules") != ""
+        )
+        quarantined.extend(
+            (r["o_orderkey"], r["failed_rules"]) for r in bad.collect()
+        )
+
+    run_foreach_batch(stream, os.path.join(tmp, "ckpt"), gate)
+    return spark.createDataFrame(
+        quarantined, "o_orderkey long, failed_rules string"
+    )
+
+
+ANALYTICS_QUERIES["streaming_dq_gate"] = (
+    q_streaming_dq_gate,
+    SQL_ORDERS_QUARANTINE,
+)

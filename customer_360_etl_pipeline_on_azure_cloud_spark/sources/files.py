@@ -71,6 +71,7 @@ def read_json_daily(
     schema: T.StructType | None = None,
     flatten_struct: str | None = None,
     date_col: str = "Date",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Read a date range of daily ``YYYYMMDD.json`` files as ONE scan.
 
@@ -78,6 +79,14 @@ def read_json_daily(
     (reference ETL_pipeline.py:249-260): one ``spark.read.json(paths)``
     call, optional `_source`-style struct flatten, and a filename-derived
     date column.
+
+    ``corrupt_col`` opts into malformed-record ROUTING (the reference —
+    and Spark's default PERMISSIVE mode — silently nulls bad records):
+    the raw text of any unparseable line is captured in that column so
+    the caller can split clean rows from a quarantine set instead of
+    silently ingesting nulls or failing a 100 TB load on one bad line.
+    Requires an explicit ``schema`` (Spark drops the corrupt column
+    during schema inference).
     """
     paths = paths_in_date_range(path, start_date, end_date, suffix=".json")
     if not paths:
@@ -85,12 +94,28 @@ def read_json_daily(
             f"no .json files in {path} for [{start_date}, {end_date}]"
         )
     reader = spark.read
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError(
+                "corrupt_col requires an explicit schema (inference drops "
+                "the corrupt-record column)"
+            )
+        schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(corrupt_col, T.StringType())]
+        )
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.json(paths)
     df = df.withColumn(date_col, date_from_filename(r"(\d{8})\.json$"))
     if flatten_struct:
-        df = df.select(f"{flatten_struct}.*", date_col)
+        cols = [f"{flatten_struct}.*", date_col]
+        if corrupt_col is not None:
+            cols.append(corrupt_col)
+        df = df.select(*cols)
     return df
 
 

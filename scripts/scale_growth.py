@@ -63,6 +63,7 @@ QUERIES = [
     "orders_quarantine",
     "source_quality_report",
     "embedding_gram",
+    "basket_rules",
 ]
 
 

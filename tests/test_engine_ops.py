@@ -377,3 +377,55 @@ def test_embedding_gram_arrow_equals_sql(spark):
         for r in embedding_gram_fixed(df, method="sql").collect()
     }
     assert a == b and len(a) == 8 * 9 // 2
+
+
+# --- corrupt-record routing on JSON ingest -----------------------------------
+
+
+def test_read_json_daily_routes_corrupt_records(spark, tmp_path):
+    """PERMISSIVE + columnNameOfCorruptRecord: malformed lines land in
+    the corrupt column with their raw text, clean rows parse normally,
+    and neither is silently dropped — the ingest-side quarantine."""
+    from pyspark.sql import types as T
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.files import (
+        read_json_daily,
+    )
+
+    day = tmp_path / "20240101.json"
+    day.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "oops-not-a-number", "v": "c"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    df = read_json_daily(
+        spark, str(tmp_path), 20240101, 20240101,
+        schema=schema, corrupt_col="_bad",
+    )
+    rows = df.collect()
+    assert len(rows) == 4  # nothing dropped
+    clean = {r["id"]: r["v"] for r in rows if r["_bad"] is None}
+    bad = [r["_bad"] for r in rows if r["_bad"] is not None]
+    assert clean == {1: "a", 2: "b"}
+    assert any("not json" in b for b in bad)
+    assert any("oops-not-a-number" in b for b in bad)
+    assert all(r["Date"] is not None for r in rows)
+
+
+def test_read_json_daily_corrupt_col_requires_schema(spark, tmp_path):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.files import (
+        read_json_daily,
+    )
+
+    (tmp_path / "20240101.json").write_text('{"id": 1}\n')
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_json_daily(
+            spark, str(tmp_path), 20240101, 20240101, corrupt_col="_bad"
+        )
