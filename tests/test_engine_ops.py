@@ -429,3 +429,40 @@ def test_read_json_daily_corrupt_col_requires_schema(spark, tmp_path):
         read_json_daily(
             spark, str(tmp_path), 20240101, 20240101, corrupt_col="_bad"
         )
+
+
+# --- plan-shape pins for the engine-ops queries ------------------------------
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quarantine_and_classifier_plans_are_narrow(spark):
+    """Row-level enforcement and classifier inference must stay pure
+    narrow maps: ZERO Exchange nodes — the whole query is scan +
+    projection (+ filter), whole-stage codegen."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("orders_quarantine", "quality_classifier_score"):
+        plan = _executed_plan(qs[name](spark, sf))
+        assert plan.count("Exchange") == 0, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_dq_and_basket_plans_avoid_sort_merge(spark):
+    """The DQ audit's referential leg and basket_rules' support joins
+    must resolve as broadcast joins (vertex/parts-sized build sides),
+    never SortMergeJoin over the fact table."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("dq_expectations", "basket_rules"):
+        df = qs[name](spark, sf)
+        df.collect()  # let AQE finalize
+        plan = _executed_plan(df)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
