@@ -1688,7 +1688,10 @@ SQL_PART_PAGERANK = """
 -- (integer ops are associative -> engine-exact; // == Spark's div on
 -- the all-positive values here).
 WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-pairs AS (
+-- MATERIALIZED: the CTE is referenced 7x (deg + 3 rounds x 2); without
+-- it DuckDB inlines the 24M-row pair join everywhere and the oracle
+-- exhausts a single box at sf1-shape (observed; 9s with the hint).
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey

@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""Correctness at 100x the gate scale: replay the Spark-vs-DuckDB
+comparison on the sf1-SHAPED generated data (scripts/gen_scale_data.py
+— 50k docs / 20k vectors / 1.5M orders / 6M lineitem; 10x the bench
+sf0.1, 100x the sf0.01 gate) for every query whose tables exist there
+and whose ORACLE is tractable at that size.
+
+Excluded: queries whose oracle embeds the exact all-pairs Jaccard /
+recursive-CTE closure (doc_jaccard_pairs, minhash/incremental/cluster
+families) — their DuckDB twin is the deliberately quadratic
+verification form; their sf1 behavior is covered by the growth harness
+(SCALE_r5.json) and the LSH-vs-exact recall measurement in NOTES_r5
+instead.  Also excluded: queries reading tables the scale generator
+does not produce (events, customer, supplier, part, region, nation).
+
+Writes CORRECTNESS_SCALE_sf1_local.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from correctness_full import multiset  # noqa: E402
+from customer_360_etl_pipeline_on_azure_cloud_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    # documents / embeddings surface
+    "doc_profile",
+    "doc_exact_dedup",
+    "tfidf_keywords",
+    "pii_redaction",
+    "doc_chunking",
+    # doc_packing excluded: its ORACLE is a one-row-per-step recursive
+    # CTE (deliberately sequential replay) — quadratic in DuckDB at 50k
+    # rows; the Spark side is linear per group and sf0.1-verified.
+    "stratified_sample",
+    "dataset_split",
+    "doc_repetition",
+    "lang_quota_sample",
+    "source_mixture_plan",
+    "weighted_doc_sample",
+    "vocab_topk",
+    "doc_rare_token_stats",
+    "gopher_quality_flags",
+    "bpe_merge_pairs",
+    "doc_lm_perplexity",
+    "collocation_pmi",
+    "cdc_chunking",
+    "duplicate_passages",
+    "bpe_train_merges",
+    "bpe_compression",
+    "quality_classifier_score",
+    "source_quality_report",
+    "embedding_quantization",
+    "embedding_norms",
+    "embedding_gram",
+    "ann_topk",
+    # orders / lineitem surface
+    "pricing_summary",
+    "returnflag_pivot",
+    "returnflag_rollup",
+    "returnflag_cube",
+    "returnflag_unpivot",
+    "priority_recode",
+    "priority_grouping_sets",
+    "incremental_pricing",
+    "orders_upsert",
+    "orders_change_feed",
+    "order_value_quartiles",
+    "running_revenue",
+    "part_pagerank",
+    "basket_rules",
+    "dq_expectations",
+    "orders_quarantine",
+    "streaming_dq_gate",
+]
+
+TABLES = ("documents", "embeddings", "orders", "lineitem")
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(root, "testdata_scale", "sf1")
+    )
+    spark = get_spark(
+        app_name="c360-correctness-sf1",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # same sizing as scripts/scale_growth.py: a single local JVM
+            # standing in for a cluster at 100x the gate scale needs a
+            # real heap (the 17M-edge co-purchase graph OOMs 1g).
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "24g"
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        rec: dict[str, object] = {
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "spark_sec": None,
+            "oracle_sec": None,
+            "err": None,
+        }
+        try:
+            t0 = time.perf_counter()
+            sdf = queries[name](spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            rec["spark_sec"] = round(time.perf_counter() - t0, 2)
+            rec["spark_rows"] = len(s_rows)
+            t0 = time.perf_counter()
+            res = con.sql(oracles[name])
+            d_cols = list(res.columns)
+            d_rows = [tuple(r) for r in res.fetchall()]
+            rec["oracle_sec"] = round(time.perf_counter() - t0, 2)
+            rec["oracle_rows"] = len(d_rows)
+            rec["hash_match"] = sorted(s_cols) == sorted(d_cols) and multiset(
+                s_cols, s_rows
+            ) == multiset(d_cols, d_rows)
+        except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:250]
+        out[name] = rec
+        flag = "ok  " if rec["hash_match"] else "FAIL"
+        print(f"{flag} {name} {rec}", file=sys.stderr)
+    with open(
+        os.path.join(root, "CORRECTNESS_SCALE_sf1_local.json"), "w"
+    ) as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    n_ok = sum(1 for r in out.values() if r["hash_match"])
+    print(json.dumps({"total": len(out), "hash_match": n_ok, "sf_dir": sf_dir}))
+
+
+if __name__ == "__main__":
+    main()
