@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "above_avg_idle_customers",
     "basket_rules",
     "streaming_dq_gate",
+    "ann_topk_ivf_indexed",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

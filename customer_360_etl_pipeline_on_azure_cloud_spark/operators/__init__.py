@@ -21,7 +21,14 @@ from .dedup import (
     write_minhash_index,
 )
 from .fusion import rrf_fuse
-from .similarity import embedding_gram_fixed, semantic_dedup
+from .similarity import (
+    IvfIndex,
+    cosine_topk_ivf_indexed,
+    embedding_gram_fixed,
+    read_ivf_index,
+    semantic_dedup,
+    write_ivf_index,
+)
 from .graph import connected_components, dedup_survivors, pagerank_fixed
 from .joins import banded_range_join, lookup, positional_zip
 from .quality import check_referential, check_rules, enforce_rules
@@ -50,6 +57,10 @@ __all__ = [
     "rrf_fuse",
     "semantic_dedup",
     "embedding_gram_fixed",
+    "IvfIndex",
+    "write_ivf_index",
+    "read_ivf_index",
+    "cosine_topk_ivf_indexed",
     "simhash_near_pairs",
     "simhash_table",
     "lookup",

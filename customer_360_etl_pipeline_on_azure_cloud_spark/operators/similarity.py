@@ -18,6 +18,8 @@ as DuckDB's list_dot_product so oracle comparisons are exact.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -300,14 +302,42 @@ def cosine_topk_ivf(
     sample = np.array([np.asarray(r[1], dtype=np.float64) for r in sample_rows])
     centroids = _kmeans_lite(sample, k=n_centroids)
 
+    c = _ivf_assign(corpus, centroids, id_col, vec_col)
+    return _ivf_probe(
+        c, centroids, queries, k, nprobe, id_col, vec_col, exclude_self
+    )
+
+
+def _ivf_assign(
+    corpus: DataFrame, centroids, id_col: str, vec_col: str
+) -> DataFrame:
+    """Corpus side of the inverted file: ``(cell, neighbor_id, nvec,
+    nnorm)`` — every vector assigned to its ONE nearest cell."""
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__vec").alias("nvec"),
         F.col("__norm").alias("nnorm"),
     )
-    c = _assign_centroids(c, centroids, "nvec", nprobe=1).select(
-        "neighbor_id", "nvec", "nnorm", F.element_at(F.col("__cells"), 1).alias("cell")
+    return _assign_centroids(c, centroids, "nvec", nprobe=1).select(
+        F.element_at(F.col("__cells"), 1).alias("cell"),
+        "neighbor_id",
+        "nvec",
+        "nnorm",
     )
+
+
+def _ivf_probe(
+    assigned: DataFrame,
+    centroids,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Query side: fan each query out to its nprobe nearest cells, join
+    the inverted file on cell, re-rank exactly within candidates."""
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("__vec").alias("qvec"),
@@ -316,7 +346,7 @@ def cosine_topk_ivf(
     q = _assign_centroids(q, centroids, "qvec", nprobe=nprobe).select(
         "query_id", "qvec", "qnorm", F.explode(F.col("__cells")).alias("cell")
     )
-    cand = c.join(F.broadcast(q), on="cell")
+    cand = assigned.join(F.broadcast(q), on="cell")
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     cos = dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))
@@ -328,6 +358,132 @@ def cosine_topk_ivf(
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "neighbor_id")
+    )
+
+
+class IvfIndex(NamedTuple):
+    """Handle to a persisted on-disk IVF index (see
+    :func:`write_ivf_index`): the cell-bucketed inverted file, the
+    centroid list, and the construction parameters a probe must match."""
+
+    assignments: DataFrame
+    centroids: list[list[float]]
+    n_centroids: int
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    name: str,
+    n_centroids: int = 16,
+    sample_size: int = 2000,
+    num_buckets: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF inverted file as managed tables — the production
+    form of :func:`cosine_topk_ivf` for a standing vector corpus (the
+    vector-side sibling of ``dedup.write_minhash_index``):
+
+    * ``{name}_cells``     (cell, neighbor_id, nvec, nnorm), bucketed
+      by cell — the probe joins on cell, and because a probe touches
+      only ``nprobe x |queries|`` distinct cells (bounded by
+      n_centroids), the cell filter enables bucket pruning: scan tasks
+      open only the probed cells' buckets;
+    * ``{name}_centroids`` (cell, centroid) — n_centroids rows, read
+      whole to the driver at open (the quantizer IS driver-sized);
+    * ``{name}_meta``      construction parameters, so probes can't
+      silently mix quantizers.
+
+    Norms and double-cast vectors are stored, so probes never recompute
+    them — the daily cost of vector search against a standing corpus
+    becomes one broadcast of the query set and a pruned scan of the
+    probed cells.  Centroid fitting uses the same deterministic ordered
+    sample as the in-memory form; parquet roundtrips doubles exactly,
+    so indexed results are bit-identical to the in-memory form
+    (test-pinned).
+    """
+    from .skew import write_bucketed
+
+    spark = corpus.sparkSession
+    if mode == "overwrite":
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for t in (f"{name}_cells", f"{name}_centroids", f"{name}_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            path = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{warehouse}/{t.lower()}"
+            )
+            fs = path.getFileSystem(hconf)
+            if fs.exists(path):
+                fs.delete(path, True)
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    if not sample_rows:
+        raise ValueError("write_ivf_index: empty corpus")
+    sample = np.array(
+        [np.asarray(r[1], dtype=np.float64) for r in sample_rows]
+    )
+    centroids = _kmeans_lite(sample, k=n_centroids)
+    assigned = _ivf_assign(corpus, centroids, id_col, vec_col)
+    write_bucketed(
+        assigned, f"{name}_cells",
+        bucket_by="cell", num_buckets=num_buckets, sort_by="cell", mode=mode,
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).write.mode(mode).saveAsTable(f"{name}_centroids")
+    spark.createDataFrame(
+        [(n_centroids, sample_size)], "n_centroids int, sample_size int"
+    ).write.mode(mode).saveAsTable(f"{name}_meta")
+
+
+def read_ivf_index(spark, name: str) -> IvfIndex:
+    """Open a persisted IVF index written by :func:`write_ivf_index`."""
+    meta = spark.table(f"{name}_meta").collect()[0]
+    cents = spark.table(f"{name}_centroids").collect()
+    centroids = [
+        list(r.centroid) for r in sorted(cents, key=lambda r: r.cell)
+    ]
+    return IvfIndex(
+        assignments=spark.table(f"{name}_cells"),
+        centroids=centroids,
+        n_centroids=meta.n_centroids,
+    )
+
+
+def cosine_topk_ivf_indexed(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a persisted IVF index: same semantics (and bit-identical
+    results, test-pinned) as :func:`cosine_topk_ivf` over the corpus
+    the index was built from — without touching the corpus table.
+
+    Scale shape: the query set broadcasts; the inverted file is read
+    through its cell buckets with the probed-cell filter eligible for
+    bucket pruning; candidates re-rank exactly.  The corpus embeddings
+    are never re-normalized, re-assigned, or re-shuffled.
+    """
+    return _ivf_probe(
+        index.assignments,
+        np.asarray(index.centroids, dtype=np.float64),
+        queries,
+        k,
+        nprobe,
+        id_col,
+        vec_col,
+        exclude_self,
     )
 
 

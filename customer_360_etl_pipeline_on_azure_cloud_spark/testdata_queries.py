@@ -1587,6 +1587,35 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORE_QUERIES["ann_topk_ivf"] = (q_ann_topk_ivf, SQL_ANN_SUMMARY)
 
 
+def q_ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index form of ann_topk_ivf: build the on-disk IVF
+    inverted file (operators/similarity.py write_ivf_index — cell-
+    bucketed assignments with stored norms, driver-sized centroid
+    table), reopen it, and probe — corpus embeddings are never
+    re-normalized or re-assigned at query time, and the probed-cell
+    filter is bucket-prunable.  Results are bit-identical to the
+    in-memory form (pytest-pinned), so this SHARES ann_topk_ivf's
+    oracle summary.  The vector-side sibling of
+    incremental_corpus_dedup_indexed."""
+    from .operators.similarity import (
+        cosine_topk_ivf_indexed,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    name = "q_ivf_idx"
+    write_ivf_index(emb, name, n_centroids=16)
+    idx = read_ivf_index(spark, name)
+    ivf = cosine_topk_ivf_indexed(idx, queries, k=5, nprobe=6)
+    exact20 = cosine_topk_bruteforce(emb, queries, k=20)
+    return _topk_vs_exact_summary(ivf, exact20)
+
+
+CORE_QUERIES["ann_topk_ivf_indexed"] = (q_ann_topk_ivf_indexed, SQL_ANN_SUMMARY)
+
+
 def q_returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets — all 2^2 grouping combinations in one pass
     (complements ROLLUP; both are native Spark exposures)."""

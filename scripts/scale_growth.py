@@ -64,6 +64,7 @@ QUERIES = [
     "source_quality_report",
     "embedding_gram",
     "basket_rules",
+    "ann_topk_ivf_indexed",
 ]
 
 

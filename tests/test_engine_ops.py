@@ -466,3 +466,45 @@ def test_dq_and_basket_plans_avoid_sort_merge(spark):
         plan = _executed_plan(df)
         assert "SortMergeJoin" not in plan, (name, plan)
         assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+# --- persisted IVF index -----------------------------------------------------
+
+
+def test_ivf_indexed_matches_inmemory(spark):
+    """The on-disk IVF index must produce BIT-IDENTICAL top-k to the
+    in-memory form over the same corpus and params (same deterministic
+    centroid sample; parquet roundtrips doubles exactly)."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_indexed,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    name = "t_ivf_idx"
+    try:
+        write_ivf_index(emb, name, n_centroids=8, num_buckets=4)
+        idx = read_ivf_index(spark, name)
+        assert idx.n_centroids == 8 and len(idx.centroids) == 8
+        ondisk = {
+            tuple(r)
+            for r in cosine_topk_ivf_indexed(
+                idx, queries, k=5, nprobe=3
+            ).collect()
+        }
+        inmem = {
+            tuple(r)
+            for r in cosine_topk_ivf(
+                emb, queries, k=5, n_centroids=8, nprobe=3
+            ).collect()
+        }
+        assert ondisk and ondisk == inmem
+    finally:
+        for suffix in ("_cells", "_centroids", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
