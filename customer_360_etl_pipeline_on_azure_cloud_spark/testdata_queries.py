@@ -1606,7 +1606,10 @@ def q_ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     name = "q_ivf_idx"
-    write_ivf_index(emb, name, n_centroids=16)
+    # 8 buckets at demo SF (same sizing rule as
+    # incremental_corpus_dedup_indexed: per-file overhead dominates tiny
+    # buckets); a real corpus sizes buckets to executor-memory-fit cells.
+    write_ivf_index(emb, name, n_centroids=16, num_buckets=8)
     idx = read_ivf_index(spark, name)
     ivf = cosine_topk_ivf_indexed(idx, queries, k=5, nprobe=6)
     exact20 = cosine_topk_bruteforce(emb, queries, k=20)
