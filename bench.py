@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "basket_rules",
     "streaming_dq_gate",
     "ann_topk_ivf_indexed",
+    "streaming_ann_probe",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

@@ -1619,6 +1619,66 @@ def q_ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORE_QUERIES["ann_topk_ivf_indexed"] = (q_ann_topk_ivf_indexed, SQL_ANN_SUMMARY)
 
 
+def q_streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector search AS A STREAM: query vectors arrive as files in a
+    watched directory (maxFilesPerTrigger=1 + availableNow delivers
+    them in MULTIPLE micro-batches) and foreachBatch probes each batch
+    against the STANDING persisted IVF index — the serving shape of
+    embedding search over a fixed corpus (the vector sibling of
+    streaming_index_dedup).
+
+    Per-query top-k depends only on the query and the index, so the
+    union over micro-batches equals the one-shot probe and this SHARES
+    ann_topk_ivf's oracle summary; the per-batch probe broadcasts only
+    that batch's queries and reads the probed cells' buckets."""
+    import os
+    import tempfile
+
+    from .operators.similarity import (
+        cosine_topk_ivf_indexed,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    name = "q_ivf_stream"
+    write_ivf_index(emb, name, n_centroids=16, num_buckets=8)
+    idx = read_ivf_index(spark, name)
+
+    tmp = tempfile.mkdtemp(prefix="c360_stream_ann_")
+    arrivals = os.path.join(tmp, "arrivals")
+    queries.filter(F.col("vec_id") < 5).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+    queries.filter(F.col("vec_id") >= 5).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+
+    from .streaming.incremental import run_foreach_batch, stream_file_source
+
+    stream = stream_file_source(
+        spark, arrivals, emb.schema, max_files_per_trigger=1
+    )
+    found: list[tuple[int, int, int]] = []
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        topk = cosine_topk_ivf_indexed(idx, batch_df, k=5, nprobe=6)
+        found.extend(
+            (r["query_id"], r["rk"], r["neighbor_id"]) for r in topk.collect()
+        )
+
+    run_foreach_batch(stream, os.path.join(tmp, "ckpt"), probe)
+    ivf = spark.createDataFrame(
+        found, "query_id long, rk long, neighbor_id long"
+    )
+    exact20 = cosine_topk_bruteforce(emb, queries, k=20)
+    return _topk_vs_exact_summary(ivf, exact20)
+
+
+CORE_QUERIES["streaming_ann_probe"] = (q_streaming_ann_probe, SQL_ANN_SUMMARY)
+
+
 def q_returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets — all 2^2 grouping combinations in one pass
     (complements ROLLUP; both are native Spark exposures)."""
