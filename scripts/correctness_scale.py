@@ -5,12 +5,13 @@ comparison on the sf1-SHAPED generated data (scripts/gen_scale_data.py
 sf0.1, 100x the sf0.01 gate) for every query whose tables exist there
 and whose ORACLE is tractable at that size.
 
-Excluded: queries whose oracle embeds the exact all-pairs Jaccard /
-recursive-CTE closure (doc_jaccard_pairs, minhash/incremental/cluster
-families) — their DuckDB twin is the deliberately quadratic
-verification form; their sf1 behavior is covered by the growth harness
-(SCALE_r5.json) and the LSH-vs-exact recall measurement in NOTES_r5
-instead.  Also excluded: queries reading tables the scale generator
+Included even at this size: the exact shared-shingle pair queries
+(doc_jaccard_pairs, doc_containment_pairs — ~25 s DuckDB oracles).
+Excluded: the LSH-COINCIDENCE oracles (minhash/simhash/incremental/
+cluster families), whose DuckDB twin is the exact pair set under a
+pinned corpus coincidence that deliberately does not extend to sf1
+(NOTES_r5 measures LSH recall 96.7% there — the documented banding
+trade, not a defect); and queries reading tables the scale generator
 does not produce (events, customer, supplier, part, region, nation).
 
 Writes CORRECTNESS_SCALE_sf1_local.json.
@@ -35,6 +36,13 @@ QUERIES = [
     # documents / embeddings surface
     "doc_profile",
     "doc_exact_dedup",
+    # exact-oracle dedup pair queries (tractable at sf1 in ~25 s each).
+    # The LSH-coincidence oracles (minhash/simhash/incremental/cluster
+    # families) are EXCLUDED by design: their DuckDB twin is the exact
+    # pair set, and the pinned corpus coincidence deliberately does not
+    # extend to sf1 (NOTES_r5 quantifies LSH recall there at 96.7%).
+    "doc_jaccard_pairs",
+    "doc_containment_pairs",
     "tfidf_keywords",
     "pii_redaction",
     "doc_chunking",
@@ -109,13 +117,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    names = [q for q in QUERIES if not only or q in only.split(",")]
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duck_tmp'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CORRECTNESS_SCALE_sf1_local.json",
+    )
+    if only and os.path.exists(art):
+        with open(art) as fh:
+            out.update(json.load(fh))
+    for name in names:
         rec: dict[str, object] = {
             "hash_match": False,
             "spark_rows": None,
@@ -145,9 +163,7 @@ def main() -> None:
         out[name] = rec
         flag = "ok  " if rec["hash_match"] else "FAIL"
         print(f"{flag} {name} {rec}", file=sys.stderr)
-    with open(
-        os.path.join(root, "CORRECTNESS_SCALE_sf1_local.json"), "w"
-    ) as fh:
+    with open(art, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
     n_ok = sum(1 for r in out.values() if r["hash_match"])
