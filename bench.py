@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "streaming_dq_gate",
     "ann_topk_ivf_indexed",
     "streaming_ann_probe",
+    "sketch_rollup_users",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

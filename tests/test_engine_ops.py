@@ -508,3 +508,30 @@ def test_ivf_indexed_matches_inmemory(spark):
     finally:
         for suffix in ("_cells", "_centroids", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+
+
+# --- mergeable HLL sketch rollup ---------------------------------------------
+
+
+def test_hll_rollup_merge_is_partitioning_invariant(spark):
+    """The merged-daily HLL estimate must not depend on how days are
+    grouped into merge batches (union is register-max / set-union —
+    commutative and associative), and must sit within the 5% gate."""
+    df = spark.range(50_000).select(
+        (F.col("id") % 7).alias("day"), (F.col("id") % 4321).alias("user_id")
+    )
+    daily = df.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    est_a = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    # two-level merge: union within two halves first, then across
+    halves = daily.withColumn("h", (F.col("day") % 2)).groupBy("h").agg(
+        F.hll_union_agg("sk").alias("sk")
+    )
+    est_b = halves.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    assert est_a == est_b
+    assert abs(est_a - 4321) * 100 <= 4321 * 5
