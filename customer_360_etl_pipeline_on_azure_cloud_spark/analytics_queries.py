@@ -2031,12 +2031,22 @@ def q_streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHARES orders_quarantine's oracle, and the equality IS the
     batching-invariance statement (also pinned with >= 2 micro-batches
     in tests/test_engine_ops.py).
+
+    Scale shape: quarantined rows are data-proportional, so each batch's
+    quarantine is WRITTEN to a per-batch parquet sink
+    (sink_foreach_batch) and the result is the sink read back — no rows
+    ever accumulate on the driver (the returned plan is a FileScan of
+    the sink, pinned in tests/test_engine_ops.py).
     """
     import os
     import tempfile
 
     from .operators.quality import enforce_rules
-    from .streaming.incremental import run_foreach_batch, stream_file_source
+    from .streaming.incremental import (
+        read_batch_sink,
+        sink_foreach_batch,
+        stream_file_source,
+    )
 
     orders = _t(spark, sf_dir, "orders")
     tmp = tempfile.mkdtemp(prefix="c360_stream_dq_")
@@ -2057,20 +2067,17 @@ def q_streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_file_source(
         spark, arrivals, orders.schema, max_files_per_trigger=1
     )
-    quarantined: list[tuple[int, str]] = []
+    sink = os.path.join(tmp, "quarantine")
 
-    def gate(batch_df: DataFrame, batch_id: int) -> None:
-        bad = enforce_rules(batch_df, rules).filter(
-            F.col("failed_rules") != ""
-        )
-        quarantined.extend(
-            (r["o_orderkey"], r["failed_rules"]) for r in bad.collect()
+    def gate(batch_df: DataFrame) -> DataFrame:
+        return (
+            enforce_rules(batch_df, rules)
+            .filter(F.col("failed_rules") != "")
+            .select("o_orderkey", "failed_rules")
         )
 
-    run_foreach_batch(stream, os.path.join(tmp, "ckpt"), gate)
-    return spark.createDataFrame(
-        quarantined, "o_orderkey long, failed_rules string"
-    )
+    sink_foreach_batch(stream, os.path.join(tmp, "ckpt"), sink, gate)
+    return read_batch_sink(spark, sink).select("o_orderkey", "failed_rules")
 
 
 ANALYTICS_QUERIES["streaming_dq_gate"] = (

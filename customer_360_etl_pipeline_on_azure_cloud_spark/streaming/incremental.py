@@ -95,6 +95,47 @@ def run_foreach_batch(
     q.awaitTermination()
 
 
+def sink_foreach_batch(
+    stream_df: DataFrame,
+    checkpoint: str,
+    sink_path: str,
+    transform,
+) -> None:
+    """The SCALE-SAFE foreachBatch recipe: each micro-batch is pushed
+    through ``transform`` (a DataFrame -> DataFrame function) and the
+    result is WRITTEN to a per-batch parquet directory
+    (``{sink_path}/batch_id={id}``) — never collected to the driver.
+    Per-batch results stay executor-side end to end, so the pattern
+    holds when a batch's output is data-proportional (quarantine rows,
+    near-dup pairs) rather than bounded.
+
+    Exactly-once under retries: a re-delivered micro-batch rewrites its
+    own ``batch_id=`` directory with mode("overwrite") — the canonical
+    idempotent-sink recipe for foreachBatch (batch_id is stable across
+    retries; the checkpoint guarantees each input file lands in exactly
+    one batch_id).
+
+    Read the union of batches back with :func:`read_batch_sink`.
+    """
+    import os
+
+    def cb(batch_df: DataFrame, batch_id: int) -> None:
+        transform(batch_df).write.mode("overwrite").parquet(
+            os.path.join(sink_path, f"batch_id={batch_id}")
+        )
+
+    run_foreach_batch(stream_df, checkpoint, cb)
+
+
+def read_batch_sink(spark: SparkSession, sink_path: str) -> DataFrame:
+    """Union-of-micro-batches view over a :func:`sink_foreach_batch`
+    sink: one partitioned parquet read (the ``batch_id=`` directories
+    become a pruned-away partition column, dropped here). The returned
+    plan is a plain FileScan — downstream consumers see an ordinary
+    distributed table, not driver-held rows."""
+    return spark.read.parquet(sink_path).drop("batch_id")
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

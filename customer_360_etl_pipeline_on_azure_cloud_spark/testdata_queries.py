@@ -1630,7 +1630,13 @@ def q_streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-query top-k depends only on the query and the index, so the
     union over micro-batches equals the one-shot probe and this SHARES
     ann_topk_ivf's oracle summary; the per-batch probe broadcasts only
-    that batch's queries and reads the probed cells' buckets."""
+    that batch's queries and reads the probed cells' buckets.
+
+    Though this query's per-batch output is bounded (|queries| x k),
+    it uses the same scale-safe sink recipe as streaming_dq_gate /
+    streaming_index_dedup — per-batch results parquet-written, read
+    back as one FileScan — so all three registered streaming
+    foreachBatch demos share the pattern a user should copy."""
     import os
     import tempfile
 
@@ -1655,23 +1661,24 @@ def q_streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(arrivals)
 
-    from .streaming.incremental import run_foreach_batch, stream_file_source
+    from .streaming.incremental import (
+        read_batch_sink,
+        sink_foreach_batch,
+        stream_file_source,
+    )
 
     stream = stream_file_source(
         spark, arrivals, emb.schema, max_files_per_trigger=1
     )
-    found: list[tuple[int, int, int]] = []
+    sink = os.path.join(tmp, "topk")
 
-    def probe(batch_df: DataFrame, batch_id: int) -> None:
-        topk = cosine_topk_ivf_indexed(idx, batch_df, k=5, nprobe=6)
-        found.extend(
-            (r["query_id"], r["rk"], r["neighbor_id"]) for r in topk.collect()
+    def probe(batch_df: DataFrame) -> DataFrame:
+        return cosine_topk_ivf_indexed(idx, batch_df, k=5, nprobe=6).select(
+            "query_id", "rk", "neighbor_id"
         )
 
-    run_foreach_batch(stream, os.path.join(tmp, "ckpt"), probe)
-    ivf = spark.createDataFrame(
-        found, "query_id long, rk long, neighbor_id long"
-    )
+    sink_foreach_batch(stream, os.path.join(tmp, "ckpt"), sink, probe)
+    ivf = read_batch_sink(spark, sink).select("query_id", "rk", "neighbor_id")
     exact20 = cosine_topk_bruteforce(emb, queries, k=20)
     return _topk_vs_exact_summary(ivf, exact20)
 

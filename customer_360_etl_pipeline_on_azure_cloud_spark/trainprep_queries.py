@@ -684,12 +684,23 @@ def q_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shot batch result — so this SHARES incremental_corpus_dedup's
     oracle, and the equality IS the exactly-once/batching-invariance
     statement.  Micro-batch delivery (>= 2 batches) is pinned in
-    tests/test_trainprep.py."""
+    tests/test_trainprep.py.
+
+    Scale shape: near-dup pairs are data-proportional on
+    duplicate-heavy corpora, so each batch's pairs are WRITTEN to a
+    per-batch parquet sink (sink_foreach_batch) and the result is the
+    sink read back — no pair rows ever accumulate on the driver (the
+    returned plan is a FileScan of the sink, pinned in
+    tests/test_trainprep.py)."""
     import os
     import tempfile
 
     from .operators.dedup import minhash_index, minhash_lsh_join
-    from .streaming.incremental import run_foreach_batch, stream_file_source
+    from .streaming.incremental import (
+        read_batch_sink,
+        sink_foreach_batch,
+        stream_file_source,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
@@ -709,18 +720,15 @@ def q_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_file_source(
         spark, arrivals, docs.schema, max_files_per_trigger=1
     )
-    found: list[tuple[int, int]] = []
+    sink = os.path.join(tmp, "pairs")
 
-    def probe(batch_df: DataFrame, batch_id: int) -> None:
-        pairs = minhash_lsh_join(
+    def probe(batch_df: DataFrame) -> DataFrame:
+        return minhash_lsh_join(
             batch_df, idx, num_hashes=32, bands=8, verify_threshold_pct=30
         ).select("new_id", "corpus_id")
-        found.extend((r["new_id"], r["corpus_id"]) for r in pairs.collect())
 
-    run_foreach_batch(stream, os.path.join(tmp, "ckpt"), probe)
-    return spark.createDataFrame(
-        found, "new_id long, corpus_id long"
-    )
+    sink_foreach_batch(stream, os.path.join(tmp, "ckpt"), sink, probe)
+    return read_batch_sink(spark, sink).select("new_id", "corpus_id")
 
 
 # --- growing-index daily loop ------------------------------------------------

@@ -307,6 +307,90 @@ def test_enforce_rules_streaming_gate(spark, tmp_path):
     assert set(collected) == one_shot and len(collected) == len(rows)
 
 
+def test_sink_foreach_batch_never_touches_driver(spark, tmp_path):
+    """The scale-safe foreachBatch recipe: per-batch results land in
+    per-batch parquet directories and the read-back plan is a FileScan
+    of the sink — rows never accumulate on the driver, so the pattern
+    holds when batch output is data-proportional.  Also pins the
+    idempotency contract: rewriting a batch_id directory (the retry
+    path) leaves the union unchanged."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.quality import (
+        enforce_rules,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.streaming.incremental import (
+        read_batch_sink,
+        sink_foreach_batch,
+        stream_file_source,
+    )
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    rows = [(i, float(i % 7) - 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, amount double")
+    df.filter(F.col("id") < 20).coalesce(1).write.parquet(str(src / "d1"))
+    df.filter(F.col("id") >= 20).coalesce(1).write.parquet(str(src / "d2"))
+
+    rules = [("amount.positive", F.col("amount") > 0)]
+    stream = stream_file_source(
+        spark, str(src) + "/*", df.schema, max_files_per_trigger=1
+    )
+    sink = str(tmp_path / "sink")
+    sink_foreach_batch(
+        stream,
+        str(tmp_path / "ckpt"),
+        sink,
+        lambda b: enforce_rules(b, rules).filter(F.col("failed_rules") != ""),
+    )
+
+    out = read_batch_sink(spark, sink)
+    files = out.inputFiles()
+    assert files and all("batch_id=" in f for f in files), (
+        "result must be a FileScan of the per-batch sink, not driver rows"
+    )
+    batch_ids = {f.split("batch_id=")[1].split("/")[0] for f in files}
+    assert len(batch_ids) >= 2, "expected >=2 micro-batch directories"
+
+    one_shot = {
+        (r["id"], r["failed_rules"])
+        for r in enforce_rules(df, rules)
+        .filter(F.col("failed_rules") != "")
+        .collect()
+    }
+    got = {(r["id"], r["failed_rules"]) for r in out.select("id", "failed_rules").collect()}
+    assert got == one_shot
+
+    # retry idempotency: re-deliver batch 0's data under the same
+    # batch_id -> overwrite, union unchanged
+    bid = sorted(batch_ids)[0]
+    redelivered = enforce_rules(
+        df.filter(F.col("id") < 20), rules
+    ).filter(F.col("failed_rules") != "")
+    redelivered.write.mode("overwrite").parquet(f"{sink}/batch_id={bid}")
+    again = {
+        (r["id"], r["failed_rules"])
+        for r in read_batch_sink(spark, sink)
+        .select("id", "failed_rules")
+        .collect()
+    }
+    assert again == got
+
+
+def test_registered_streaming_queries_read_from_sink(spark):
+    """The registered streaming foreachBatch demos (the recipe a user
+    copies) must return plans that scan the per-batch sink — the
+    VERDICT r5 driver-collect anti-pattern stays fixed."""
+    from conftest import SF_SMALL
+
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for name in ("streaming_dq_gate", "streaming_index_dedup"):
+        files = qs[name](spark, SF_SMALL).inputFiles()
+        assert files and all("batch_id=" in f for f in files), name
+        bids = {f.split("batch_id=")[1].split("/")[0] for f in files}
+        assert len(bids) >= 2, f"{name}: expected >=2 micro-batches"
+
+
 # --- fixed-point Gram matrix -------------------------------------------------
 
 
