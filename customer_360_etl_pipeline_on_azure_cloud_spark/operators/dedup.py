@@ -455,9 +455,14 @@ def compact_minhash_index(spark, name: str) -> dict[str, int]:
     each table into the SAME bucket spec with exactly one file per
     bucket (``repartition`` on the bucket columns uses the same hash
     family as the bucket layout, so every output task holds whole
-    buckets), then atomically swaps it in via DROP + RENAME.  Probe
-    results are bit-identical before and after (pinned by tests);
-    only the file layout changes.
+    buckets), then swaps it in with a rename-out/rename-in sequence:
+    live table renamed aside to ``{table}__old``, compacted table
+    renamed in, the old copy dropped LAST.  The swap is not atomic —
+    concurrent probes can hit a missing-table window — but a crash at
+    any point leaves a recoverable state: the data always exists under
+    the public name, ``__old``, or ``__compact``; nothing is deleted
+    before its replacement is live.  Probe results are bit-identical
+    before and after (pinned by tests); only the file layout changes.
 
     Returns ``{table: files_after}`` for observability.  Cost: one
     read + one write of the index tables — O(index), never O(corpus),
@@ -487,7 +492,9 @@ def compact_minhash_index(spark, name: str) -> dict[str, int]:
             }
             num_buckets = int(info["Num Buckets"])
             tmp = f"{table}__compact"
+            old = f"{table}__old"
             spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            spark.sql(f"DROP TABLE IF EXISTS {old}")  # stale crash debris
             (
                 spark.table(table)
                 .sortWithinPartitions(*cols)
@@ -496,8 +503,12 @@ def compact_minhash_index(spark, name: str) -> dict[str, int]:
                 .sortBy(*cols)
                 .saveAsTable(tmp)
             )
-            spark.sql(f"DROP TABLE {table}")
+            # rename-out / rename-in / drop-last: recoverable at every
+            # step (see docstring) — never DROP before the replacement
+            # is live under the public name
+            spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
             spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+            spark.sql(f"DROP TABLE {old}")
             out[table] = len(spark.table(table).inputFiles())
     finally:
         spark.conf.set(auto_key, prev_auto)

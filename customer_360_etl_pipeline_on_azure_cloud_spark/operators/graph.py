@@ -223,6 +223,12 @@ def pagerank_fixed(
     """
     from pyspark import StorageLevel
 
+    if iterations < 1:
+        # with 0 rounds the returned frame would be derived straight
+        # from verts, whose checkpoint blocks are freed below — a later
+        # collect() would then find an unrecomputable (truncated-
+        # lineage) frame; and r_0 is just the constant scale div N
+        raise ValueError("pagerank_fixed: iterations must be >= 1")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()

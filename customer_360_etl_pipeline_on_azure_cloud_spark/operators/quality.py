@@ -128,21 +128,36 @@ def check_referential(
     no match in ``parent``.  Same ``(rule, total, violations, passed)``
     row shape as :func:`check_rules`, so audits union cleanly.
 
-    Scale: one left-anti join on the key — the parent side is reduced
-    to its distinct keys first (column pruning keeps the shuffle
-    narrow), and AQE broadcasts it when the key set is small, making
-    the check a map-side filter over the child scan.
+    Scale: ONE scan of the child — a left join against the parent's
+    distinct keys (marked with a presence flag) feeds a single
+    aggregate computing total and violations together as conditional
+    counts, so the child table is never read twice.  The parent side
+    is reduced to its distinct keys first (column pruning keeps the
+    shuffle narrow), and AQE broadcasts it when the key set is small,
+    making the check a map-side probe over the child scan.  A
+    key-missing child row joins nothing (NULL flag) and counts as a
+    violation — including NULL keys, same convention as check_rules.
     """
-    keys = parent.select(
-        *[F.col(p).alias(c) for c, p in on]
-    ).distinct()
-    orphans = child.join(keys, [c for c, _p in on], "left_anti")
-    counts = child.agg(F.count(F.lit(1)).alias("total")).crossJoin(
-        orphans.agg(F.count(F.lit(1)).alias("violations"))
+    join_cols = [c for c, _p in on]
+    keys = (
+        parent.select(*[F.col(p).alias(c) for c, p in on])
+        .distinct()
+        .withColumn("__present", F.lit(1))
+    )
+    counts = (
+        child.join(keys, join_cols, "left")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(
+                F.when(F.col("__present").isNull(), 1).otherwise(0)
+            ).alias("violations"),
+        )
     )
     return counts.select(
         F.lit(rule).alias("rule"),
         "total",
-        F.col("violations").cast("long"),
-        (F.col("violations") == 0).alias("passed"),
+        F.coalesce(F.col("violations"), F.lit(0)).cast("long").alias(
+            "violations"
+        ),
+        (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias("passed"),
     )

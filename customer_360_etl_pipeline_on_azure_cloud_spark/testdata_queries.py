@@ -3032,6 +3032,131 @@ FROM fused QUALIFY fused_rank <= 5
 CORE_QUERIES["hybrid_search_multi"] = (q_hybrid_search_multi, SQL_HYBRID_SEARCH_MULTI)
 
 
+def q_semantic_dedup_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup with the DISTRIBUTED centroid fit
+    (operators/similarity.py kmeans_distributed: k-means||-style
+    hash-derived seeding + integer-exact distributed Lloyd rounds —
+    VERDICT r5 item 2): the whole corpus fits the quantizer instead of
+    a 2000-row driver sample, so n_centroids="auto" keeps scaling k
+    with corpus size past the sample cap (k <= sample_size/2) that
+    bounded the sample fit at ~256k vectors.  Same planted corpus and
+    same exact oracle as semantic_dedup; nprobe=2 closes the
+    cell-boundary miss class, so this row is exact at every SF.
+    Determinism under any partitioning is pinned in
+    tests/test_extensions.py (integer sums, no float accumulation)."""
+    from .operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + 0.02 * F.sin(F.col("vec_id") * 31 + i),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    return semantic_dedup(
+        corpus, threshold=0.9, centroid_fit="distributed", nprobe=2
+    ).select(F.col("id").alias("vec_id"), "component", "is_survivor")
+
+
+CORE_QUERIES["semantic_dedup_distributed"] = (
+    q_semantic_dedup_distributed,
+    SQL_SEMANTIC_DEDUP,
+)
+
+
+def q_incremental_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE across ingest days (VERDICT r5 item 3 —
+    the vector sibling of incremental_index_update): day 0 builds the
+    persisted index from the standing corpus (3/4 of the embeddings),
+    the day's arrivals (the remaining 1/4) are APPENDED with
+    append_ivf_index — assigned to the STORED centroids in one Arrow
+    pass over the batch only, landing as per-bucket file appends; the
+    standing corpus rows are never re-read or re-assigned and the
+    quantizer tables are untouched.  The post-append probe then serves
+    the FULL corpus.
+
+    Restated as the per-query recall summary (5 found, 0 outside the
+    full-corpus exact top-20) so it SHARES ann_topk_ivf's oracle.
+    Probe bit-identity across compact_ivf_index, bucket-spec
+    preservation across append, and the ivf_cell_cohesion drift audit
+    are pinned in tests/test_extensions.py."""
+    from .operators.similarity import (
+        append_ivf_index,
+        cosine_topk_ivf_indexed,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    standing = emb.filter(F.col("vec_id") % 4 != 3)
+    arrivals = emb.filter(F.col("vec_id") % 4 == 3)
+    name = "q_ivf_incr"
+    write_ivf_index(standing, name, n_centroids=16, num_buckets=8)
+    append_ivf_index(arrivals, name)
+    idx = read_ivf_index(spark, name)
+    ivf = cosine_topk_ivf_indexed(idx, queries, k=5, nprobe=8)
+    exact20 = cosine_topk_bruteforce(emb, queries, k=20)
+    return _topk_vs_exact_summary(ivf, exact20)
+
+
+CORE_QUERIES["incremental_ann_index_update"] = (
+    q_incremental_ann_index_update,
+    SQL_ANN_SUMMARY,
+)
+
+
+def q_ivf_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health invariants over the persisted IVF index, restated
+    as violation rows (empty when correct — the simhash_near_dup
+    pattern): after a fresh build over the embeddings corpus, (a) cell
+    populations must sum to exactly the corpus size (no row lost or
+    duplicated by assignment/append), and (b) every cell's mean
+    member-to-centroid cosine (operators/similarity.py
+    ivf_cell_cohesion — the centroid-drift audit) must lie in (-1, 1].
+    One scan of the cells table; the raw corpus is touched only for
+    the size check."""
+    from .operators.similarity import ivf_cell_cohesion, write_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    name = "q_ivf_audit"
+    write_ivf_index(emb, name, n_centroids=16, num_buckets=8)
+    coh = ivf_cell_cohesion(spark, name)
+    n_total = emb.count()
+    bad_mass = (
+        coh.agg(F.sum("n_members").alias("tot"))
+        .filter(F.col("tot") != n_total)
+        .select(
+            F.lit(-1).cast("long").alias("cell"),
+            F.lit("lost_rows").alias("problem"),
+        )
+    )
+    bad_cos = coh.filter(
+        (F.col("mean_cos") <= -1.0) | (F.col("mean_cos") > 1.0)
+        | F.col("mean_cos").isNull()
+    ).select(
+        F.col("cell").cast("long").alias("cell"),
+        F.lit("cohesion_out_of_range").alias("problem"),
+    )
+    return bad_mass.unionByName(bad_cos)
+
+
+SQL_IVF_COHESION_AUDIT = """
+SELECT CAST(NULL AS BIGINT) AS cell, CAST(NULL AS VARCHAR) AS problem
+WHERE FALSE
+"""
+
+CORE_QUERIES["ivf_cohesion_audit"] = (
+    q_ivf_cohesion_audit,
+    SQL_IVF_COHESION_AUDIT,
+)
+
+
 # --- training-prep extension queries (leakage-safe split, Gopher rules,
 # BPE pairs, duplicated passages, unigram-LM perplexity, int8 quant) ---------
 
