@@ -771,6 +771,119 @@ CURATION_QUERIES["source_quality_report"] = (
 )
 
 
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRAINING for the quality classifier (operators/
+    text.py nb_train_weights — VERDICT r5 item 6): the even-doc_id
+    half of the corpus is the labeled set (positive = lang 'en'),
+    every token occurrence maps to its md5 feature bucket, and ONE
+    hash aggregate learns closed-form count-based weights — the
+    centered add-one-smoothed class posterior in integer fixed point,
+    the engine-exact form of Naive-Bayes log-count weights.  The
+    learned table is bounded by feature_mod (2001) rows regardless of
+    corpus size; quality_classifier_trained_score consumes it.  A
+    pure-Python reference on a learnable synthetic corpus is pinned
+    in tests/test_curation.py."""
+    from .operators.text import nb_train_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "__label", F.col("lang") == "en"
+    )
+    return nb_train_weights(labeled, "__label", text_col="text")
+
+
+SQL_QUALITY_CLASSIFIER_TRAIN = """
+WITH tok AS (
+  SELECT (lang = 'en') AS pos,
+         unnest(string_split(trim(text), ' ')) AS t
+  FROM documents WHERE doc_id % 2 = 0
+),
+counts AS (
+  SELECT CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 2001
+           AS feature,
+         CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) FILTER (WHERE NOT pos) AS BIGINT) AS n_neg
+  FROM tok GROUP BY 1
+)
+SELECT feature, n_pos, n_neg,
+       CAST(((n_pos + 1) * 1000000) // (n_pos + n_neg + 2) - 500000
+            AS BIGINT) AS weight
+FROM counts
+"""
+
+CURATION_QUERIES["quality_classifier_train"] = (
+    q_quality_classifier_train,
+    SQL_QUALITY_CLASSIFIER_TRAIN,
+)
+
+
+def q_quality_classifier_trained_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full train -> broadcast -> infer loop: weights learned on
+    the labeled half (quality_classifier_train) score EVERY document
+    through the broadcast map_from_entries lookup
+    (operators/text.py hashed_linear_score_trained) — same
+    zero-shuffle in-row integer fold as quality_classifier_score,
+    with learned weights in place of the md5 surrogate (unseen
+    features coalesce to the exact smoothed weight, 0)."""
+    from .operators.text import (
+        hashed_linear_score_trained,
+        nb_train_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "__label", F.col("lang") == "en"
+    )
+    weights = nb_train_weights(labeled, "__label", text_col="text")
+    return hashed_linear_score_trained(docs, weights).select(
+        "doc_id", "source", "score", "label"
+    )
+
+
+SQL_QUALITY_CLASSIFIER_TRAINED_SCORE = """
+WITH tok AS (
+  SELECT (lang = 'en') AS pos,
+         unnest(string_split(trim(text), ' ')) AS t
+  FROM documents WHERE doc_id % 2 = 0
+),
+counts AS (
+  SELECT CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 2001
+           AS feature,
+         COUNT(*) FILTER (WHERE pos) AS n_pos,
+         COUNT(*) FILTER (WHERE NOT pos) AS n_neg
+  FROM tok GROUP BY 1
+),
+w AS (
+  SELECT feature,
+         ((n_pos + 1) * 1000000) // (n_pos + n_neg + 2) - 500000 AS weight
+  FROM counts
+),
+dtok AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t.t), 1, 8)) AS BIGINT) % 2001 AS f
+  FROM documents d,
+       LATERAL (SELECT unnest(string_split(trim(d.text), ' ')) AS t) t
+),
+s AS (
+  SELECT dtok.doc_id, SUM(COALESCE(w.weight, 0)) AS score
+  FROM dtok LEFT JOIN w ON w.feature = dtok.f
+  GROUP BY dtok.doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+       CASE WHEN COALESCE(s.score, 0) >= 0 THEN 'keep' ELSE 'drop' END
+         AS label
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+
+CURATION_QUERIES["quality_classifier_trained_score"] = (
+    q_quality_classifier_trained_score,
+    SQL_QUALITY_CLASSIFIER_TRAINED_SCORE,
+)
+
+
 def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus Gram matrix in fixed point
     (operators/similarity.py embedding_gram_fixed): the one-scan

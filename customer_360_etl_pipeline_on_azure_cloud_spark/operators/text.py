@@ -680,3 +680,128 @@ def hashed_linear_score(
         "label",
         F.when(F.col("score") >= threshold, "keep").otherwise("drop"),
     )
+
+
+def hashed_feature(tok: Column, feature_mod: int = 2001) -> Column:
+    """Feature-bucket id for a token under the hashing trick — the same
+    portable md5 hasher as :func:`hashed_token_weight`, kept as the
+    nonnegative bucket ``[0, feature_mod)`` (the md5-derived integer is
+    < 2^32, so ``%`` is nonnegative in every engine)."""
+    h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    return h % F.lit(feature_mod)
+
+
+def nb_train_weights(
+    labeled: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    feature_mod: int = 2001,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DISTRIBUTED training for the hashed linear classifier (VERDICT
+    r5 item 6 — closes the inference-only gap of
+    :func:`hashed_linear_score`): closed-form Naive-Bayes-style
+    count-based weights over labeled documents, learned in ONE hash
+    aggregate.
+
+    ``label_col`` is a boolean column (True = positive/keep).  Every
+    token occurrence maps to its hashed feature bucket; one
+    ``groupBy(feature)`` counts positive and negative occurrences
+    (map-side combined — the shuffle is at most ``feature_mod`` rows
+    per partition regardless of corpus size), and the weight is the
+    CENTERED ADD-ONE-SMOOTHED CLASS POSTERIOR in integer fixed point::
+
+        weight = ((n_pos + 1) * scale) div (n_pos + n_neg + 2)
+                 - scale div 2
+
+    i.e. ``scale * (P_hat(pos | f) - 1/2)`` under Laplace smoothing,
+    truncating integer division.  This is the engine-exact form of
+    NB log-count weights: it is a strictly monotone per-feature
+    statistic of the empirical log-odds, but every arithmetic step is
+    integer (float ``ln`` differs across engines in the last ulps, so
+    log-space weights could not be oracle-checked exactly).  An unseen
+    feature's smoothed weight is exactly 0 (``(0+1)*scale div 2 -
+    scale div 2``, scale even), so scoring can coalesce misses to 0
+    and remain faithful to the smoothing.
+
+    Output: ``(feature, n_pos, n_neg, weight)`` — BIGINT only.  The
+    table is bounded by ``feature_mod`` rows (driver/broadcast-sized
+    BY CONSTRUCTION — the hashing trick's point), never by corpus
+    size.
+    """
+    if scale % 2 != 0:
+        raise ValueError("nb_train_weights: scale must be even")
+    tok = labeled.select(
+        F.col(label_col).alias("__pos"),
+        F.explode(tokens(F.col(text_col), " ")).alias("__t"),
+    )
+    counts = (
+        tok.select(
+            hashed_feature(F.col("__t"), feature_mod).alias("feature"),
+            "__pos",
+        )
+        .groupBy("feature")
+        .agg(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("__pos"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_neg"),
+        )
+    )
+    return counts.select(
+        "feature",
+        "n_pos",
+        "n_neg",
+        F.expr(
+            f"((n_pos + 1) * {scale}) div (n_pos + n_neg + 2) "
+            f"- {scale} div 2"
+        ).cast("long").alias("weight"),
+    )
+
+
+def hashed_linear_score_trained(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    feature_mod: int = 2001,
+    threshold: int = 0,
+) -> DataFrame:
+    """Score documents with TRAINED weights (:func:`nb_train_weights`)
+    instead of the md5 surrogate — the full train -> broadcast ->
+    infer loop.
+
+    The weight table collapses to a single map literal
+    (``map_from_entries`` over at most ``feature_mod`` entries) that
+    rides a broadcast one-row cross join, so scoring stays the same
+    zero-shuffle in-row fold as :func:`hashed_linear_score`: tokenize,
+    hash, ``element_at`` the broadcast map (missing feature ->
+    coalesce 0 = the exact smoothed-unseen weight), integer-sum,
+    threshold.  Adds ``score`` (BIGINT) and ``label``.
+    """
+    wmap = weights.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("feature", "weight"))
+        ).alias("__wmap")
+    )
+    score = F.aggregate(
+        tokens(F.col(text_col), " "),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(
+            F.element_at(
+                F.col("__wmap"), hashed_feature(t, feature_mod)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(wmap))
+        .withColumn("score", score)
+        .withColumn(
+            "label",
+            F.when(F.col("score") >= threshold, "keep").otherwise("drop"),
+        )
+        .drop("__wmap")
+    )

@@ -221,6 +221,56 @@ HAVING CAST(SUM(CASE WHEN wkey IN (SELECT wkey FROM shared) THEN 1 ELSE 0 END)
 """
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FINISHED substring-dedup output (operators/dedup.py
+    duplicate_token_spans — VERDICT r5 item 4): per document, the
+    maximal merged 1-based token ranges to REMOVE, where a range
+    covers tokens inside an 8-token window whose text occurs in >= 2
+    distinct documents (within-doc repeats alone never cut).  The
+    exact-oracle restatement of Lee et al. 2022's final step — the
+    gaps-and-islands interval merge runs in-row on Spark (sorted
+    positions + one fold) and as a lag()-window island SQL in DuckDB;
+    a pure-Python third implementation is pinned on random corpora in
+    tests/test_trainprep.py."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.dedup import duplicate_token_spans
+
+    return duplicate_token_spans(docs, window=_PASSAGE_WINDOW)
+
+
+SQL_DUPLICATE_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - {_PASSAGE_WINDOW - 1})) AS pos,
+         unnest(list_transform(
+           generate_series(1, len(t) - {_PASSAGE_WINDOW - 1}),
+           i -> md5(array_to_string(t[i:i + {_PASSAGE_WINDOW - 1}], ' ')))) AS wkey
+  FROM toks WHERE len(t) >= {_PASSAGE_WINDOW}
+), shared AS (
+  SELECT wkey FROM w GROUP BY wkey HAVING COUNT(DISTINCT doc_id) >= 2
+), sp AS (
+  SELECT doc_id, pos FROM w WHERE wkey IN (SELECT wkey FROM shared)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_PASSAGE_WINDOW} THEN 0 ELSE 1 END AS brk
+  FROM sp
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_PASSAGE_WINDOW - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {_PASSAGE_WINDOW - 1} - MIN(pos) + 1 AS BIGINT)
+         AS cut_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
 # --- unigram-LM perplexity ranking -------------------------------------------
 
 _PPL_TOPK = 25
@@ -344,6 +394,7 @@ def build_trainprep_queries(
         "gopher_quality_flags": (q_gopher_quality_flags, _sql_gopher()),
         "bpe_merge_pairs": (q_bpe_merge_pairs, SQL_BPE_MERGE_PAIRS),
         "duplicate_passages": (q_duplicate_passages, SQL_DUPLICATE_PASSAGES),
+        "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
         "doc_lm_perplexity": (q_doc_lm_perplexity, SQL_DOC_LM_PERPLEXITY),
         "embedding_quantization": (
             q_embedding_quantization,

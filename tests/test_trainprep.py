@@ -770,3 +770,74 @@ def test_embedding_quant_matches_pure_python_reference(spark):
         for r in embedding_quant_stats(df).collect()
     }
     assert got == want
+
+
+# --- duplicate token spans (round 6) ----------------------------------------
+
+
+def test_duplicate_token_spans_matches_pure_python(spark):
+    """Third implementation: pure-Python window-hash + interval merge
+    over a random corpus with planted shared passages, compared
+    row-for-row with the Spark operator."""
+    import random
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        duplicate_token_spans,
+    )
+
+    rng = random.Random(42)
+    W = 5
+    shared_a = [f"s{i}" for i in range(9)]          # 9-token shared passage
+    shared_b = [f"t{i}" for i in range(6)]          # 6-token shared passage
+    docs = []
+    for d in range(12):
+        toks = [f"w{d}_{i}" for i in range(rng.randint(3, 30))]
+        if d % 3 == 0:
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + shared_a + toks[at:]
+        if d % 4 == 0:
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + shared_b + toks[at:]
+        if d == 7:  # within-doc repeat only: must NOT cut by itself
+            toks = toks + ["r0", "r1", "r2", "r3", "r4"] * 2
+        docs.append((d, " ".join(toks)))
+
+    # pure-Python reference
+    from collections import defaultdict
+
+    win_docs = defaultdict(set)
+    win_pos = defaultdict(list)
+    for d, text in docs:
+        t = text.split()
+        for i in range(len(t) - W + 1):
+            key = " ".join(t[i : i + W])
+            win_docs[key].add(d)
+            win_pos[d].append((i + 1, key))
+    expected = set()
+    for d, _ in docs:
+        ps = sorted(
+            p for p, key in win_pos[d] if len(win_docs[key]) >= 2
+        )
+        spans = []
+        for p in ps:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], p + W - 1)
+            else:
+                spans.append((p, p + W - 1))
+        for s, e in spans:
+            expected.add((d, s, e, e - s + 1))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.cut_tokens)
+        for r in duplicate_token_spans(df, window=W).collect()
+    }
+    assert got == expected
+    assert expected, "planted passages must produce spans"
+    # the within-doc-repeat-only doc cuts nothing unless it also holds
+    # a cross-doc passage
+    doc7_cross = any(
+        d == 7 for d, s, e, c in expected
+    )
+    repeats_shared = len(win_docs["r0 r1 r2 r3 r4"]) >= 2
+    assert repeats_shared is False or doc7_cross  # repeat key is doc-7-only
