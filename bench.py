@@ -160,6 +160,25 @@ BENCH_QUERIES = [
     "ann_topk_ivf_indexed",
     "streaming_ann_probe",
     "sketch_rollup_users",
+    # round 6: distributed centroid fit, IVF lifecycle, substring spans,
+    # classifier training
+    "semantic_dedup_distributed",
+    "incremental_ann_index_update",
+    "ivf_cohesion_audit",
+    "duplicate_spans",
+    "quality_classifier_train",
+    "quality_classifier_trained_score",
+]
+
+#: Composite queries that pay an in-query index BUILD before the
+#: recurring probe: bench reports build/probe sub-timings for them
+#: (VERDICT r5 item 5). Totals (the gate ratio input) are unchanged.
+PHASED_QUERIES = [
+    "ann_topk_ivf_indexed",
+    "incremental_corpus_dedup_indexed",
+    "incremental_ann_index_update",
+    "streaming_ann_probe",
+    "streaming_index_dedup",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator
@@ -192,8 +211,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/executor pool so query 1 doesn't pay session startup.
+    # Warm the JVM/executor pool so query 1 doesn't pay session startup:
+    # a synthetic job for the scheduler path, then ONE UNRECORDED real
+    # query so parquet readers, codegen, and Arrow paths are hot before
+    # pass 0 — without this a 1-pass run inflates the first registered
+    # query by ~2.4 s of warmup (VERDICT r5 item 7; min-of-N hid it, a
+    # single pass didn't).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        CORE_QUERIES[BENCH_QUERIES[0]][0](spark, sf_dir).collect()
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001 — warmup must never kill the bench
+        pass
 
     # n>=3 passes, report the per-query MIN: this VM shows heavy host
     # steal-time noise (single-shot timings vary 5-30x), and later passes
@@ -208,10 +237,13 @@ def main() -> None:
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
     budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     timings: dict[str, float] = {}
+    subtimings: dict[str, dict[str, float]] = {}
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
     bench_t0 = time.perf_counter()
     passes_done = 0
+    from customer_360_etl_pipeline_on_azure_cloud_spark import phases
+
     for p in range(n_passes):
         if p > 0 and time.perf_counter() - bench_t0 > budget_sec:
             break
@@ -220,6 +252,8 @@ def main() -> None:
                 continue  # failed on an earlier pass; don't retry
             fn, _sql = CORE_QUERIES[name]
             spark.catalog.clearCache()
+            phase_sink: dict[str, float] = {}
+            phases.capture(phase_sink if name in PHASED_QUERIES else None)
             t0 = time.perf_counter()
             # Per-query isolation: one broken query must never zero the
             # whole round's perf signal (r3 lesson — an AnalysisException
@@ -233,8 +267,20 @@ def main() -> None:
                 if name not in timings:
                     errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 continue
+            finally:
+                phases.capture(None)
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            if name in PHASED_QUERIES and "build" in phase_sink:
+                # build = one-time index construction; probe = the
+                # recurring daily cost. Min per component across passes.
+                build = round(phase_sink["build"], 3)
+                probe = round(max(dt - build, 0.0), 3)
+                prev = subtimings.get(name)
+                subtimings[name] = {
+                    "build": min(prev["build"], build) if prev else build,
+                    "probe": min(prev["probe"], probe) if prev else probe,
+                }
             if name not in rows:
                 rows[name] = len(out)
         passes_done = p + 1
@@ -245,6 +291,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "subtimings": subtimings,
         "rows": rows,
         "errors": errors,
         "sf": sf,

@@ -1603,14 +1603,17 @@ def q_ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index,
     )
 
+    from .phases import phase
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     name = "q_ivf_idx"
     # 8 buckets at demo SF (same sizing rule as
     # incremental_corpus_dedup_indexed: per-file overhead dominates tiny
     # buckets); a real corpus sizes buckets to executor-memory-fit cells.
-    write_ivf_index(emb, name, n_centroids=16, num_buckets=8)
-    idx = read_ivf_index(spark, name)
+    with phase("build"):
+        write_ivf_index(emb, name, n_centroids=16, num_buckets=8)
+        idx = read_ivf_index(spark, name)
     ivf = cosine_topk_ivf_indexed(idx, queries, k=5, nprobe=6)
     exact20 = cosine_topk_bruteforce(emb, queries, k=20)
     return _topk_vs_exact_summary(ivf, exact20)
@@ -1646,11 +1649,14 @@ def q_streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index,
     )
 
+    from .phases import phase
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     name = "q_ivf_stream"
-    write_ivf_index(emb, name, n_centroids=16, num_buckets=8)
-    idx = read_ivf_index(spark, name)
+    with phase("build"):
+        write_ivf_index(emb, name, n_centroids=16, num_buckets=8)
+        idx = read_ivf_index(spark, name)
 
     tmp = tempfile.mkdtemp(prefix="c360_stream_ann_")
     arrivals = os.path.join(tmp, "arrivals")
@@ -2791,6 +2797,7 @@ def q_incremental_corpus_dedup_indexed(spark: SparkSession, sf_dir: str) -> Data
     tests/test_extensions.py). Results must be identical to the
     in-memory form, so both queries share one oracle."""
     from .operators.dedup import read_minhash_index, write_minhash_index
+    from .phases import phase
 
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
@@ -2798,10 +2805,11 @@ def q_incremental_corpus_dedup_indexed(spark: SparkSession, sf_dir: str) -> Data
     # num_buckets sizes to the corpus: 8 at bench SF (32 buckets paid 2x
     # in per-file overhead for these row counts, measured 7.2s -> 3.3s);
     # a real corpus sizes buckets to ~executor-memory-fit partitions.
-    write_minhash_index(
-        corpus, "mh_corpus_idx", num_hashes=32, bands=8, num_buckets=8
-    )
-    idx = read_minhash_index(spark, "mh_corpus_idx")
+    with phase("build"):
+        write_minhash_index(
+            corpus, "mh_corpus_idx", num_hashes=32, bands=8, num_buckets=8
+        )
+        idx = read_minhash_index(spark, "mh_corpus_idx")
     return minhash_lsh_join(new, idx, verify_threshold_pct=30).select(
         "new_id", "corpus_id"
     )
@@ -3092,14 +3100,17 @@ def q_incremental_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFram
         write_ivf_index,
     )
 
+    from .phases import phase
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     standing = emb.filter(F.col("vec_id") % 4 != 3)
     arrivals = emb.filter(F.col("vec_id") % 4 == 3)
     name = "q_ivf_incr"
-    write_ivf_index(standing, name, n_centroids=16, num_buckets=8)
-    append_ivf_index(arrivals, name)
-    idx = read_ivf_index(spark, name)
+    with phase("build"):
+        write_ivf_index(standing, name, n_centroids=16, num_buckets=8)
+        append_ivf_index(arrivals, name)
+        idx = read_ivf_index(spark, name)
     ivf = cosine_topk_ivf_indexed(idx, queries, k=5, nprobe=8)
     exact20 = cosine_topk_bruteforce(emb, queries, k=20)
     return _topk_vs_exact_summary(ivf, exact20)

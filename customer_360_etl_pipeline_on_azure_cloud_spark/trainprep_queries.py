@@ -753,10 +753,13 @@ def q_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_file_source,
     )
 
+    from .phases import phase
+
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    idx = minhash_index(corpus)
+    with phase("build"):
+        idx = minhash_index(corpus)
 
     tmp = tempfile.mkdtemp(prefix="c360_stream_idx_")
     arrivals = os.path.join(tmp, "arrivals")
