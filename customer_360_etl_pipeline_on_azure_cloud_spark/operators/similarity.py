@@ -291,8 +291,38 @@ def _hash_uniform(id_col: str, salt: str) -> Column:
     return h / F.lit(float(1 << 32))
 
 
+def _exact_int_sq_dists(Q: np.ndarray, Cq: np.ndarray) -> np.ndarray:
+    """Pairwise squared distances between int64 fixed-point coordinate
+    matrices, EXACT and partitioning-independent.
+
+    When every intermediate fits in 2^53 (|coord| bound checked per
+    batch), the float64 BLAS matmul is exact on these integers — every
+    product and partial sum is an exactly-representable integer, so
+    summation order cannot change the result; otherwise fall back to
+    the (slower, equally exact) int64 matmul.  Either way argmin/min
+    over the result is deterministic under any batch split.
+    """
+    m = float(
+        max(
+            np.abs(Q).max(initial=0),
+            np.abs(Cq).max(initial=0),
+        )
+    )
+    d_ = Q.shape[1]
+    if 3.0 * d_ * m * m < 2.0**53:
+        Qf, Cf = Q.astype(np.float64), Cq.astype(np.float64)
+        return (
+            (Qf**2).sum(axis=1)[:, None]
+            - 2.0 * (Qf @ Cf.T)
+            + (Cf**2).sum(axis=1)[None, :]
+        )
+    return (
+        (Q**2).sum(axis=1)[:, None] - 2 * (Q @ Cq.T) + (Cq**2).sum(axis=1)[None, :]
+    )
+
+
 def _lloyd_stats(
-    e: DataFrame, centroids: np.ndarray, qvec_col: str, vec_col: str
+    e: DataFrame, centroids: np.ndarray, qvec_col: str, scale: int
 ) -> list:
     """One distributed Lloyd round's sufficient statistics: per-cell
     (count, per-dimension fixed-point coordinate sum).
@@ -302,13 +332,14 @@ def _lloyd_stats(
     the map-side combine; the cross-batch merge is a tiny decimal(38,0)
     aggregate (exact, order-independent — integer sums make the round
     deterministic under any partitioning, the property float sums
-    can't give). Driver traffic: k*d numbers per round.
+    can't give). Assignment also runs on the QUANTIZED coordinates
+    (exact distances via _exact_int_sq_dists), so cell membership
+    itself is split-invariant. Driver traffic: k*d numbers per round.
     """
     import pandas as pd
     from pyspark.sql import types as T
 
-    C = centroids.astype(np.float64)
-    c_sq = (C**2).sum(axis=1)
+    Cq = np.rint(centroids.astype(np.float64) * float(scale)).astype(np.int64)
     out_schema = T.StructType(
         [
             T.StructField("cell", T.IntegerType()),
@@ -321,16 +352,12 @@ def _lloyd_stats(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
             Q = np.array([np.asarray(v, dtype=np.int64) for v in pdf[qvec_col]])
-            d = -2.0 * (V @ C.T) + c_sq[None, :]
-            cells = d.argmin(axis=1)
+            cells = _exact_int_sq_dists(Q, Cq).argmin(axis=1)
             present = np.unique(cells)
-            acc = np.zeros((len(C), Q.shape[1]), dtype=np.int64)
+            acc = np.zeros((len(Cq), Q.shape[1]), dtype=np.int64)
             np.add.at(acc, cells, Q)
-            cnt = np.bincount(cells, minlength=len(C))
+            cnt = np.bincount(cells, minlength=len(Cq))
             yield pd.DataFrame(
                 {
                     "cell": present.astype(np.int32),
@@ -442,7 +469,7 @@ def kmeans_distributed(
                 e, k, seed_rounds, oversample, scale, seed
             )
         for _ in range(iters):
-            rows = _lloyd_stats(e, centroids, "qvec", "vec")
+            rows = _lloyd_stats(e, centroids, "qvec", scale)
             new = centroids.copy()
             counts: dict[int, int] = {}
             for r in rows:
@@ -518,7 +545,6 @@ def _min_sq_dist_fixed(e: DataFrame, Cq: np.ndarray) -> DataFrame:
     schema = T.StructType(
         list(e.schema.fields) + [T.StructField("__cost", T.LongType())]
     )
-    c_sq = (Cq**2).sum(axis=1)
 
     def run(batches):
         for pdf in batches:
@@ -527,15 +553,9 @@ def _min_sq_dist_fixed(e: DataFrame, Cq: np.ndarray) -> DataFrame:
                 yield pdf
                 continue
             Q = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
-            # int64 matmul is EXACT here: |q| <= ~2^22, d=64 -> every
-            # term and sum stays far under 2^63
-            D = (
-                (Q**2).sum(axis=1)[:, None]
-                - 2 * (Q @ Cq.T)
-                + c_sq[None, :]
-            )
+            D = _exact_int_sq_dists(Q, Cq)
             pdf = pdf.copy()
-            pdf["__cost"] = D.min(axis=1)
+            pdf["__cost"] = D.min(axis=1).astype(np.int64)
             yield pdf
 
     return e.mapInPandas(run, schema)
@@ -550,7 +570,6 @@ def _nearest_fixed(e: DataFrame, Cq: np.ndarray) -> DataFrame:
     schema = T.StructType(
         list(e.schema.fields) + [T.StructField("__seed", T.IntegerType())]
     )
-    c_sq = (Cq**2).sum(axis=1)
 
     def run(batches):
         for pdf in batches:
@@ -559,7 +578,7 @@ def _nearest_fixed(e: DataFrame, Cq: np.ndarray) -> DataFrame:
                 yield pdf
                 continue
             Q = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
-            D = -2 * (Q @ Cq.T) + c_sq[None, :]  # int64-exact; |q|^2 row-constant
+            D = _exact_int_sq_dists(Q, Cq)
             pdf = pdf.copy()
             pdf["__seed"] = D.argmin(axis=1).astype(np.int32)
             yield pdf
@@ -1031,6 +1050,7 @@ def semantic_dedup(
     algorithm: str = "hash_min",
     nprobe: int = 1,
     centroid_fit: str = "sample",
+    centroid_fit_opts: dict | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication [Abbas et al. 2023,
     arXiv:2303.09540]: k-means-cluster the embeddings (the same coarse
@@ -1076,7 +1096,11 @@ def semantic_dedup(
             n_centroids = min(n_centroids, max(16, sample_size // 2))
     if centroid_fit == "distributed":
         centroids = kmeans_distributed(
-            df, k=int(n_centroids), id_col=id_col, vec_col=vec_col
+            df,
+            k=int(n_centroids),
+            id_col=id_col,
+            vec_col=vec_col,
+            **(centroid_fit_opts or {}),
         )
     elif centroid_fit == "sample":
         sample_rows = (

@@ -3066,8 +3066,15 @@ def q_semantic_dedup_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = base.unionByName(planted)
+    # 3 Lloyd rounds / 2 seed rounds: the fit is JOB-count-bound at demo
+    # SF (each round is one small Spark job); cluster quality for the
+    # planted corpus saturates well before the 5/3 defaults.
     return semantic_dedup(
-        corpus, threshold=0.9, centroid_fit="distributed", nprobe=2
+        corpus,
+        threshold=0.9,
+        centroid_fit="distributed",
+        nprobe=2,
+        centroid_fit_opts={"iters": 3, "seed_rounds": 2},
     ).select(F.col("id").alias("vec_id"), "component", "is_survivor")
 
 

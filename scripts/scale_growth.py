@@ -65,6 +65,13 @@ QUERIES = [
     "embedding_gram",
     "basket_rules",
     "ann_topk_ivf_indexed",
+    # round-6 surface: distributed centroid fit, IVF lifecycle,
+    # substring cut spans, classifier training
+    "semantic_dedup_distributed",
+    "incremental_ann_index_update",
+    "duplicate_spans",
+    "quality_classifier_train",
+    "quality_classifier_trained_score",
 ]
 
 
@@ -93,10 +100,14 @@ def main() -> None:
     names = [q for q in QUERIES if not only or q in only.split(",")]
     out: dict[str, dict] = {}
     prior = {}
-    prior_path = os.path.join(root, "SCALE_r5.json")
-    if only and os.path.exists(prior_path):
-        with open(prior_path) as fh:
-            prior = json.load(fh)
+    # subset runs merge into the current round's artifact (falling back
+    # to the previous round's as the base)
+    for cand in ("SCALE_r6.json", "SCALE_r5.json"):
+        prior_path = os.path.join(root, cand)
+        if only and os.path.exists(prior_path):
+            with open(prior_path) as fh:
+                prior = json.load(fh)
+            break
     for name in names:
         fn, _sql = CORE_QUERIES[name]
         rec: dict[str, float | int | str] = {}
@@ -121,7 +132,7 @@ def main() -> None:
         print(name, rec, flush=True)
 
     merged = {**prior, **out} if prior else out
-    with open(os.path.join(root, "SCALE_r5.json"), "w") as fh:
+    with open(os.path.join(root, "SCALE_r6.json"), "w") as fh:
         json.dump(merged, fh, indent=1)
         fh.write("\n")
 
