@@ -929,6 +929,27 @@ def duplicate_token_spans(
     only; span bounds are 1-based inclusive token positions and
     ``cut_tokens = span_end - span_start + 1``.
     """
+    per_doc = _merged_span_arrays(
+        df, id_col, text_col, window, max_docs_per_window
+    )
+    return per_doc.select("doc_id", F.explode("spans").alias("sp")).select(
+        "doc_id",
+        F.col("sp.s").alias("span_start"),
+        F.col("sp.e").alias("span_end"),
+        (F.col("sp.e") - F.col("sp.s") + 1).alias("cut_tokens"),
+    )
+
+
+def _merged_span_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    max_docs_per_window: int | None,
+) -> DataFrame:
+    """``(doc_id, spans array<struct<s,e>>)`` — the merged cut spans of
+    :func:`duplicate_token_spans` kept per-doc (rows only for docs with
+    >= 1 shared window)."""
     from .text import tokens
     from .util import spread
 
@@ -988,14 +1009,62 @@ def duplicate_token_spans(
             )
         ),
     )
-    return (
-        per_doc.select("doc_id", F.explode(spans).alias("sp"))
-        .select(
-            "doc_id",
-            F.col("sp.s").alias("span_start"),
-            F.col("sp.e").alias("span_end"),
-            (F.col("sp.e") - F.col("sp.s") + 1).alias("cut_tokens"),
-        )
+    return per_doc.select("doc_id", spans.alias("spans"))
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    max_docs_per_window: int | None = None,
+) -> DataFrame:
+    """APPLY the substring-dedup cut (the last step of Lee et al.
+    2022): remove every :func:`duplicate_token_spans` range from every
+    document and return the cleaned corpus.
+
+    One row per input document: ``(doc_id, n_tokens_before,
+    n_tokens_after, clean_text)`` — documents without shared passages
+    pass through untouched (`n_after == n_before`).  The span table is
+    tiny relative to the corpus (rows only for exposed docs), so the
+    attach is a broadcast-eligible left join; the removal itself is
+    in-row array algebra — tokens keep their 1-based position, a token
+    survives iff NO span covers it, and the survivors re-join with
+    single spaces (the tokenizer's inverse up to whitespace runs,
+    which token-level dedup treats as equivalent).
+    """
+    from .text import tokens
+
+    spans_df = _merged_span_arrays(
+        df, id_col, text_col, window, max_docs_per_window
+    )
+    t = tokens(text_col)
+    joined = df.select(F.col(id_col).alias("doc_id"), t.alias("__t")).join(
+        spans_df, "doc_id", "left"
+    )
+    sp = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__t"),
+            lambda x, i: F.struct(
+                x.alias("tok"), (i + 1).cast("long").alias("p")
+            ),
+        ),
+        lambda s: ~F.exists(
+            sp,
+            lambda r: (s.getField("p") >= r.getField("s"))
+            & (s.getField("p") <= r.getField("e")),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("__t").cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s.getField("tok"))
+        ).alias("clean_text"),
     )
 
 

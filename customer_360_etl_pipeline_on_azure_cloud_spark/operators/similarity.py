@@ -402,8 +402,16 @@ def _weighted_kmeans_lite(
         chosen.append(nxt)
         d2 = np.minimum(d2, ((cand - cand[nxt]) ** 2).sum(axis=1))
     centroids = cand[chosen].copy()
+    c_sq_cand = (cand**2).sum(axis=1)
     for _ in range(iters):
-        d = ((cand[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        # matmul distance form: an n x k matrix, never the n x k x d
+        # broadcast cube (k-means|| candidate sets reach tens of
+        # thousands of rows at large k — the cube would be tens of GB)
+        d = (
+            c_sq_cand[:, None]
+            - 2.0 * (cand @ centroids.T)
+            + (centroids**2).sum(axis=1)[None, :]
+        )
         assign = d.argmin(axis=1)
         for c in range(k):
             m = assign == c

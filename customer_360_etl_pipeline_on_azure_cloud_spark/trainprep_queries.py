@@ -271,6 +271,72 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the substring-dedup cut (operators/dedup.py
+    remove_duplicate_spans — the actual corpus-cleaning output of Lee
+    et al. 2022): every duplicate_spans range removed from every
+    document, unexposed documents passing through untouched.  One row
+    per document with before/after token counts and the cleaned text;
+    the oracle rebuilds the cleaned text in DuckDB with the same
+    islands CTE + NOT EXISTS positional filter + ordered string_agg,
+    so the text column itself is hash-compared cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(docs, window=_PASSAGE_WINDOW)
+
+
+SQL_SUBSTRING_DEDUP_APPLY = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - {_PASSAGE_WINDOW - 1})) AS pos,
+         unnest(list_transform(
+           generate_series(1, len(t) - {_PASSAGE_WINDOW - 1}),
+           i -> md5(array_to_string(t[i:i + {_PASSAGE_WINDOW - 1}], ' ')))) AS wkey
+  FROM toks WHERE len(t) >= {_PASSAGE_WINDOW}
+), shared AS (
+  SELECT wkey FROM w GROUP BY wkey HAVING COUNT(DISTINCT doc_id) >= 2
+), sp AS (
+  SELECT doc_id, pos FROM w WHERE wkey IN (SELECT wkey FROM shared)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_PASSAGE_WINDOW} THEN 0 ELSE 1 END AS brk
+  FROM sp
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_PASSAGE_WINDOW - 1} AS e
+  FROM isl GROUP BY doc_id, island
+), tokpos AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS pos
+  FROM toks
+), kept AS (
+  SELECT tp.doc_id, tp.tok, tp.pos
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s AND s.e
+  )
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_after,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens_before,
+       COALESCE(a.n_after, 0) AS n_tokens_after,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
 # --- unigram-LM perplexity ranking -------------------------------------------
 
 _PPL_TOPK = 25
@@ -395,6 +461,10 @@ def build_trainprep_queries(
         "bpe_merge_pairs": (q_bpe_merge_pairs, SQL_BPE_MERGE_PAIRS),
         "duplicate_passages": (q_duplicate_passages, SQL_DUPLICATE_PASSAGES),
         "duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
+        "substring_dedup_apply": (
+            q_substring_dedup_apply,
+            SQL_SUBSTRING_DEDUP_APPLY,
+        ),
         "doc_lm_perplexity": (q_doc_lm_perplexity, SQL_DOC_LM_PERPLEXITY),
         "embedding_quantization": (
             q_embedding_quantization,

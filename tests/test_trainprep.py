@@ -841,3 +841,46 @@ def test_duplicate_token_spans_matches_pure_python(spark):
     )
     repeats_shared = len(win_docs["r0 r1 r2 r3 r4"]) >= 2
     assert repeats_shared is False or doc7_cross  # repeat key is doc-7-only
+
+
+def test_remove_duplicate_spans_consistent_with_spans(spark):
+    """Applying the cut must remove exactly the spans' tokens: per doc,
+    n_before - n_after == sum(cut_tokens), untouched docs pass through
+    byte-identical, and no shared 8-token window survives ACROSS the
+    cleaned corpus (the Lee et al. termination property on this corpus:
+    one pass removes every cross-doc duplicated window here because cut
+    regions don't create new 8-token windows shared by 2+ docs)."""
+    from conftest import SF_SMALL
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        duplicate_token_spans,
+        remove_duplicate_spans,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    spans = duplicate_token_spans(docs, window=8)
+    cut_per_doc = {
+        r.doc_id: r.total
+        for r in spans.groupBy("doc_id")
+        .agg(F.sum("cut_tokens").alias("total"))
+        .collect()
+    }
+    cleaned = remove_duplicate_spans(docs, window=8)
+    originals = {r.doc_id: r.text for r in docs.collect()}
+    n_rows = 0
+    for r in cleaned.collect():
+        n_rows += 1
+        expect_cut = cut_per_doc.get(r.doc_id, 0)
+        assert r.n_tokens_before - r.n_tokens_after == expect_cut, r.doc_id
+        if expect_cut == 0:
+            assert r.clean_text == " ".join(originals[r.doc_id].split())
+    assert n_rows == docs.count()
+
+    # idempotence-ish: the cleaned corpus has no cross-doc shared window
+    again = duplicate_token_spans(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")), window=8
+    ).count()
+    assert again == 0
