@@ -967,8 +967,12 @@ def _merged_span_arrays(
         F.col(id_col).alias("doc_id"), F.posexplode(wins).alias("p0", "wkey")
     ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "wkey")
 
+    # countDistinct, not collect_list: a boilerplate window's member
+    # LIST would be the one unbounded per-group structure here; the
+    # distinct count aggregates with bounded state no matter how hot
+    # the window
     members = w.groupBy("wkey").agg(
-        F.size(F.array_distinct(F.collect_list("doc_id"))).alias("n_docs")
+        F.countDistinct("doc_id").alias("n_docs")
     )
     shared = members.filter(F.col("n_docs") >= 2)
     if max_docs_per_window is not None:

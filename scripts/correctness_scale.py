@@ -89,6 +89,14 @@ QUERIES = [
     "dq_expectations",
     "orders_quarantine",
     "streaming_dq_gate",
+    # round-6 surface (exact oracles tractable at sf1)
+    "duplicate_spans",
+    "substring_dedup_apply",
+    "quality_classifier_train",
+    "quality_classifier_trained_score",
+    "semantic_dedup_distributed",
+    "incremental_ann_index_update",
+    "ivf_cohesion_audit",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")

@@ -70,6 +70,7 @@ QUERIES = [
     "semantic_dedup_distributed",
     "incremental_ann_index_update",
     "duplicate_spans",
+    "substring_dedup_apply",
     "quality_classifier_train",
     "quality_classifier_trained_score",
 ]
