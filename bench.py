@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "incremental_ann_index_update",
     "ivf_cohesion_audit",
     "duplicate_spans",
+    "substring_dedup_apply",
     "quality_classifier_train",
     "quality_classifier_trained_score",
 ]
@@ -179,6 +180,7 @@ PHASED_QUERIES = [
     "incremental_ann_index_update",
     "streaming_ann_probe",
     "streaming_index_dedup",
+    "ivf_cohesion_audit",
 ]
 
 #: Queries whose DEFINITION changed since the frozen BENCH_r0 denominator

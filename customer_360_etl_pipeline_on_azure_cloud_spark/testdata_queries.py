@@ -3140,10 +3140,12 @@ def q_ivf_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan of the cells table; the raw corpus is touched only for
     the size check."""
     from .operators.similarity import ivf_cell_cohesion, write_ivf_index
+    from .phases import phase
 
     emb = _t(spark, sf_dir, "embeddings")
     name = "q_ivf_audit"
-    write_ivf_index(emb, name, n_centroids=16, num_buckets=8)
+    with phase("build"):
+        write_ivf_index(emb, name, n_centroids=16, num_buckets=8)
     coh = ivf_cell_cohesion(spark, name)
     n_total = emb.count()
     bad_mass = (
