@@ -217,12 +217,21 @@ def cosine_topk_lsh(
 def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.ndarray:
     """Deterministic Lloyd's k-means on a driver-side sample — the coarse
     quantizer for IVF. A sample of a few thousand vectors is enough to
-    place centroids; the full corpus never leaves the cluster."""
+    place centroids; the full corpus never leaves the cluster.
+
+    Distances use the n x k matmul form, never the n x k x d broadcast
+    cube (at the max sample/cap sizes the cube transiently allocated
+    ~1 GB on the driver)."""
     k = min(k, len(sample))  # degenerate corpora: never ask for more
     rng = np.random.RandomState(seed)  # centroids than sample rows
     centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    s_sq = (sample**2).sum(axis=1)
     for _ in range(iters):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        d = (
+            s_sq[:, None]
+            - 2.0 * (sample @ centroids.T)
+            + (centroids**2).sum(axis=1)[None, :]
+        )
         assign = d.argmin(axis=1)
         for c in range(k):
             members = sample[assign == c]
@@ -1101,7 +1110,19 @@ def semantic_dedup(
         n_total = df.count()
         n_centroids = max(16, -(-n_total // target_cell_size))  # ceil div
         if centroid_fit == "sample":
-            n_centroids = min(n_centroids, max(16, sample_size // 2))
+            cap = max(16, sample_size // 2)
+            if n_centroids > cap:
+                import warnings
+
+                warnings.warn(
+                    f"semantic_dedup: auto n_centroids {n_centroids} hit "
+                    f"the driver-sample cap {cap} (sample_size // 2) — "
+                    "cells will exceed target_cell_size and per-cell "
+                    "pair work grows quadratically; raise sample_size "
+                    "or use centroid_fit='distributed' (no cap)",
+                    stacklevel=2,
+                )
+            n_centroids = min(n_centroids, cap)
     if centroid_fit == "distributed":
         centroids = kmeans_distributed(
             df,

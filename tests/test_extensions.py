@@ -724,3 +724,25 @@ def test_pagerank_fixed_rejects_zero_iterations(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="iterations"):
         pagerank_fixed(edges, iterations=0)
+
+
+def test_semantic_dedup_warns_at_sample_cap(spark):
+    """Hitting the driver-sample centroid cap must WARN and point at the
+    uncapped distributed fit — silent cell-size growth is the quadratic
+    trap the auto sizing exists to prevent."""
+    import numpy as np
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(8)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.warns(UserWarning, match="distributed"):
+        # auto k = ceil(300/2) = 150 > cap = 100//2 = 50
+        semantic_dedup(
+            df, target_cell_size=2, sample_size=100, threshold=0.99
+        ).collect()
