@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "substring_dedup_apply",
     "quality_classifier_train",
     "quality_classifier_trained_score",
+    "doc_bigram_perplexity",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

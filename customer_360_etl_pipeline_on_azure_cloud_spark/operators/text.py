@@ -588,6 +588,108 @@ def unigram_nll(
     )
 
 
+def bigram_nll(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus'
+    own INTERPOLATED BIGRAM language model — one modeling step past
+    :func:`unigram_nll` toward the CCNet recipe, still entirely
+    self-contained (no external LM artifact):
+
+        p(w_i | w_{i-1}) = 0.5 * c(w_{i-1} w_i) / c(w_{i-1})
+                         + 0.5 * c(w_i) / N
+
+    (fixed Jelinek-Mercer interpolation with the corpus unigram as the
+    backoff, so unseen-in-context tokens never zero out).  High
+    ``avg_nll`` = the document's token TRANSITIONS are corpus-rare —
+    catches shuffled/garbled text that unigram perplexity (a pure
+    bag-of-words score) cannot, since a permuted document has
+    identical unigram nll but broken bigrams.
+
+    Plan shape: the bigram count table aggregates map-side and joins
+    back SHUFFLED on (l, r) — bigram vocabulary is corpus-sized, so
+    unlike the unigram table it is never broadcast; both unigram
+    lookups and the corpus total ride broadcasts.  Scoring positions
+    are the n-1 adjacent pairs, carried with their in-document
+    position so the log-prob sum folds in PINNED order.
+
+    Cross-engine exactness: each lp is one fixed IEEE tree
+    (div, mul, div, mul, add, ln — replayed operation-for-operation by
+    the DuckDB oracle) and the per-document sum is the pinned-order
+    fold, so ``avg_nll`` is bit-identical cross-engine (the
+    unigram_nll / bm25 technique).
+
+    Output: ``(doc_id, n_bigrams, avg_nll DOUBLE)`` — documents with
+    fewer than 2 tokens have no bigram and emit no row.
+    """
+    from .util import spread
+
+    df = spread(df)
+    t = tokens(text_col)
+    n = F.size(t)
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.element_at(t, i).alias("l"),
+                        F.element_at(t, i + 1).alias("r"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<pos:int,l:string,r:string>>"
+                )
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.pos", "p.l", "p.r")
+
+    tok = df.select(F.explode(t).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("n_total"))
+    big = pairs.groupBy("l", "r").agg(F.count(F.lit(1)).alias("cb"))
+
+    ul = uni.select(F.col("w").alias("l"), F.col("cnt").alias("cl"))
+    ur = uni.select(F.col("w").alias("r"), F.col("cnt").alias("cr"))
+    scored = (
+        pairs.join(big, ["l", "r"])
+        .join(F.broadcast(ul), "l")
+        .join(F.broadcast(ur), "r")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                F.lit(0.5)
+                * (F.col("cb").cast("double") / F.col("cl").cast("double"))
+                + F.lit(0.5)
+                * (
+                    F.col("cr").cast("double")
+                    / F.col("n_total").cast("double")
+                )
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (
+            -F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                    lambda s: s["lp"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_nll"),
+    )
+
+
 def pmi_pairs(
     df: DataFrame, text_col: str = "text", min_count: int = 5
 ) -> DataFrame:

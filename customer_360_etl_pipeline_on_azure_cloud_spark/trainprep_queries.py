@@ -391,6 +391,68 @@ FROM sc QUALIFY ppl_rank <= {_PPL_TOPK}
 """
 
 
+def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus' most perplexing documents under its own INTERPOLATED
+    BIGRAM LM (operators/text.py bigram_nll — 0.5 * bigram MLE + 0.5 *
+    unigram backoff): one modeling step past doc_lm_perplexity, and
+    sensitive to token ORDER (a permuted document keeps its unigram
+    score but breaks its transitions).  Same exactness scheme: each
+    log-prob is one fixed IEEE tree replayed by the oracle, the
+    per-doc sum folds in pinned position order, and the emitted
+    ranking is BIGINT-only."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.text import bigram_nll
+
+    scored = bigram_nll(docs)
+    top = scored.orderBy(F.col("avg_nll").desc(), "doc_id").limit(_PPL_TOPK)
+    w = Window.orderBy(F.col("avg_nll").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        "n_bigrams",
+        F.row_number().over(w).cast("long").alias("ppl_rank"),
+    )
+
+
+SQL_DOC_BIGRAM_PERPLEXITY = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM uni
+), pairs AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - 1)) AS pos,
+         unnest(t[1:len(t) - 1]) AS l,
+         unnest(t[2:len(t)]) AS r
+  FROM toks WHERE len(t) >= 2
+), big AS (
+  SELECT l, r, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs GROUP BY l, r
+), per AS (
+  SELECT p.doc_id, p.pos,
+         ln(0.5 * (big.cb::DOUBLE / ul.cnt::DOUBLE)
+            + 0.5 * (ur.cnt::DOUBLE / tot.n_total::DOUBLE)) AS lp
+  FROM pairs p
+  JOIN big ON big.l = p.l AND big.r = p.r
+  JOIN uni ul ON ul.w = p.l
+  JOIN uni ur ON ur.w = p.r
+  CROSS JOIN tot
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         -list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY pos)),
+                      (a, b) -> a + b) / COUNT(*)::DOUBLE AS avg_nll
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(ROW_NUMBER() OVER (ORDER BY avg_nll DESC, doc_id) AS BIGINT)
+         AS ppl_rank
+FROM agg QUALIFY ppl_rank <= {_PPL_TOPK}
+"""
+
+
 # --- int8 embedding quantization audit ---------------------------------------
 
 
@@ -466,6 +528,10 @@ def build_trainprep_queries(
             SQL_SUBSTRING_DEDUP_APPLY,
         ),
         "doc_lm_perplexity": (q_doc_lm_perplexity, SQL_DOC_LM_PERPLEXITY),
+        "doc_bigram_perplexity": (
+            q_doc_bigram_perplexity,
+            SQL_DOC_BIGRAM_PERPLEXITY,
+        ),
         "embedding_quantization": (
             q_embedding_quantization,
             SQL_EMBEDDING_QUANTIZATION,

@@ -97,6 +97,7 @@ QUERIES = [
     "semantic_dedup_distributed",
     "incremental_ann_index_update",
     "ivf_cohesion_audit",
+    "doc_bigram_perplexity",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")

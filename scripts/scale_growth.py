@@ -73,6 +73,7 @@ QUERIES = [
     "substring_dedup_apply",
     "quality_classifier_train",
     "quality_classifier_trained_score",
+    "doc_bigram_perplexity",
 ]
 
 

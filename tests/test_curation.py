@@ -186,3 +186,56 @@ def test_nb_train_weights_matches_pure_python_and_learns(spark):
     total = scored.count()
     assert total == 50
     assert wrong == 0, f"separable corpus must classify cleanly ({wrong}/{total} wrong)"
+
+
+def test_bigram_nll_detects_shuffled_text(spark):
+    """The property unigram perplexity cannot have: permuting a
+    document's tokens leaves its unigram nll unchanged but must RAISE
+    its bigram nll (transitions break).  Built on a corpus of repeated
+    natural word order plus one shuffled copy."""
+    import random
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+        bigram_nll,
+        unigram_nll,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog".split()
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):  # fluent docs: same transitions everywhere
+        rows.append((i, " ".join(base * 3)))
+    shuffled = base * 3
+    rng.shuffle(shuffled)
+    rows.append((99, " ".join(shuffled)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uni = {r.doc_id: r.avg_nll for r in unigram_nll(df).collect()}
+    big = {r.doc_id: r.avg_nll for r in bigram_nll(df).collect()}
+    # unigram: shuffled doc has the SAME bag of words as doc 0
+    assert abs(uni[99] - uni[0]) < 1e-12
+    # bigram: broken transitions must score strictly worse
+    assert big[99] > big[0] + 0.5
+
+
+def test_bigram_nll_hand_computed(spark):
+    """Tiny corpus, hand-replayed interpolated bigram model."""
+    import math
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+        bigram_nll,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    # counts: unigrams a:3 b:3 N=6; bigrams: (a,b):3, (b,a):1
+    def lp(cb, cl, cr):
+        return math.log(0.5 * (cb / cl) + 0.5 * (cr / 6))
+
+    d1 = -(lp(3, 3, 3) + lp(1, 3, 3) + lp(3, 3, 3)) / 3
+    d2 = -lp(3, 3, 3) / 1
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll) for r in bigram_nll(df).collect()}
+    assert got[1][0] == 3 and got[2][0] == 1
+    assert abs(got[1][1] - d1) < 1e-12
+    assert abs(got[2][1] - d2) < 1e-12
