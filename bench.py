@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "quality_classifier_train",
     "quality_classifier_trained_score",
     "doc_bigram_perplexity",
+    "winnowing_dedup_pairs",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -1072,6 +1072,135 @@ def remove_duplicate_spans(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints [Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm]: hash every k-token gram, slide a
+    ``window`` of consecutive gram hashes, and select the RIGHTMOST
+    MINIMUM of each window.  Winnowing guarantees (a) any shared run
+    of >= window+k-1 tokens yields at least one shared fingerprint
+    (the detection guarantee substring search needs) and (b) expected
+    density 2/(window+1) — a tunable, position-robust subsample of the
+    gram set, unlike fixed-stride sampling which insertion shifts
+    break (the same robustness argument as CDC chunking).
+
+    Everything is IN-ROW array algebra (one narrow map, zero
+    shuffles): gram hashes via the repo's portable md5 idiom (the
+    selection compares HASH VALUES, so the hash must order identically
+    cross-engine — md5, never xxhash64), window minima via a nested
+    fold, duplicate selections collapsed (adjacent windows often pick
+    the same gram — that collapse IS the compression).
+
+    Output: ``(doc_id, pos, fp)`` — 1-based gram position and the
+    fingerprint hash, distinct per doc.
+    """
+    from .text import tokens
+    from .util import spread
+
+    df = spread(df)
+    t = tokens(text_col)
+    n = F.size(t)
+    md5_long = lambda c: F.conv(  # noqa: E731 — the repo's portable-hash idiom
+        F.substring(F.md5(c), 1, 8), 16, 10
+    ).cast("long")
+    grams = F.when(
+        n >= F.lit(k),
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: md5_long(F.concat_ws(" ", F.slice(t, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = df.select(F.col(id_col).alias("doc_id"), grams.alias("__hs"))
+    hs = F.col("__hs")
+    L = F.size(hs)
+    init = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(None).cast("bigint").alias("fp"),
+    )
+    sel = F.transform(
+        F.sequence(F.lit(1), L - F.lit(window - 1)),
+        lambda j: F.aggregate(
+            F.sequence(j, j + F.lit(window - 1)),
+            init,
+            lambda acc, p: F.when(
+                acc["fp"].isNull() | (F.element_at(hs, p) <= acc["fp"]),
+                F.struct(
+                    p.cast("long").alias("pos"),
+                    F.element_at(hs, p).alias("fp"),
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    return (
+        g.filter(L >= window)
+        .select("doc_id", F.explode(F.array_distinct(sel)).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .distinct()
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    — the MOSS candidate-pair stage as a corpus query, the fourth
+    lexical dedup modality next to Jaccard shingles, MinHash banding,
+    and SimHash blocking.  Winnowing's guarantee makes it the
+    PLAGIARISM/EXCERPT shape: any shared run of >= window+k-1 tokens
+    forces a shared fingerprint, at ~2/(window+1) of the full
+    shingle-join's key volume.
+
+    Plan: one narrow fingerprint map (see :func:`winnow_fingerprints`),
+    then a shared-fingerprint equi-join + pair count — the same
+    physical shape (and the same hot-key hazard and ``max_df``
+    stop-fingerprint contract) as ``jaccard_pairs``: fingerprints in
+    more than ``max_df`` docs are dropped as boilerplate, and omitting
+    the cap warns.
+
+    Output: ``(id_a, id_b, n_shared)`` with id_a < id_b, BIGINT only.
+    """
+    import warnings
+
+    if max_df is None:
+        warnings.warn(
+            "winnowing_pairs called without max_df: a boilerplate "
+            "fingerprint shared by d documents contributes d^2 join "
+            "rows. Pass max_df=<cap> for corpus-scale runs.",
+            stacklevel=2,
+        )
+    fps = winnow_fingerprints(df, id_col, text_col, k, window).select(
+        "doc_id", "fp"
+    ).distinct()
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.countDistinct("doc_id").alias("d"))
+            .filter(F.col("d") > max_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def cdc_chunk_stats(
     df: DataFrame,
     id_col: str = "doc_id",

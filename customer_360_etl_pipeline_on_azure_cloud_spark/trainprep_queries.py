@@ -337,6 +337,72 @@ FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
 """
 
 
+_WINNOW_K, _WINNOW_W, _WINNOW_MS = 5, 4, 2
+
+
+def q_winnowing_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing dedup (operators/dedup.py winnowing_pairs
+    — Schleimer et al. 2003): k-gram hashes -> rightmost-min-per-window
+    fingerprint selection (guaranteed to catch any shared run of
+    >= window+k-1 tokens at ~2/(window+1) the shingle-join volume) ->
+    shared-fingerprint pair counting.  The fourth lexical dedup
+    modality beside exact Jaccard, MinHash banding, and SimHash
+    blocking; md5 gram hashes so the min-selection orders identically
+    cross-engine, making the oracle exact."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.dedup import winnowing_pairs
+
+    return winnowing_pairs(
+        docs,
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        min_shared=_WINNOW_MS,
+        max_df=50,
+    )
+
+
+SQL_WINNOWING_DEDUP_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), kg AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - {_WINNOW_K - 1})) AS pos,
+         unnest(list_transform(
+           generate_series(1, len(t) - {_WINNOW_K - 1}),
+           i -> CAST(concat('0x', substr(md5(
+                  array_to_string(t[i:i + {_WINNOW_K - 1}], ' ')), 1, 8))
+                AS BIGINT))) AS h
+  FROM toks WHERE len(t) >= {_WINNOW_K}
+), win AS (
+  SELECT doc_id, pos AS j,
+         MIN(h) OVER w AS wmin,
+         COUNT(*) OVER w AS cnt
+  FROM kg
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+), sel AS (
+  SELECT kg.doc_id, MAX(kg.pos) AS pos, win.wmin AS fp
+  FROM win JOIN kg ON kg.doc_id = win.doc_id
+       AND kg.pos BETWEEN win.j AND win.j + {_WINNOW_W - 1}
+       AND kg.h = win.wmin
+  WHERE win.cnt = {_WINNOW_W}
+  GROUP BY kg.doc_id, win.j, win.wmin
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM sel
+), kept AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (
+    SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 50
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_WINNOW_MS}
+"""
+
+
 # --- unigram-LM perplexity ranking -------------------------------------------
 
 _PPL_TOPK = 25
@@ -531,6 +597,10 @@ def build_trainprep_queries(
         "doc_bigram_perplexity": (
             q_doc_bigram_perplexity,
             SQL_DOC_BIGRAM_PERPLEXITY,
+        ),
+        "winnowing_dedup_pairs": (
+            q_winnowing_dedup_pairs,
+            SQL_WINNOWING_DEDUP_PAIRS,
         ),
         "embedding_quantization": (
             q_embedding_quantization,

@@ -98,6 +98,7 @@ QUERIES = [
     "incremental_ann_index_update",
     "ivf_cohesion_audit",
     "doc_bigram_perplexity",
+    "winnowing_dedup_pairs",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")

@@ -74,6 +74,7 @@ QUERIES = [
     "quality_classifier_train",
     "quality_classifier_trained_score",
     "doc_bigram_perplexity",
+    "winnowing_dedup_pairs",
 ]
 
 

@@ -746,3 +746,61 @@ def test_semantic_dedup_warns_at_sample_cap(spark):
         semantic_dedup(
             df, target_cell_size=2, sample_size=100, threshold=0.99
         ).collect()
+
+
+def test_winnowing_guarantee_and_pure_python(spark):
+    """Winnowing's detection guarantee (Schleimer et al. 2003): any
+    shared token run of length >= window + k - 1 must yield at least
+    one shared fingerprint.  Also pins the full selection against a
+    pure-Python reference (rightmost min per window, md5 gram hashes)."""
+    import hashlib
+    import random
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnowing_pairs,
+    )
+
+    K, W = 5, 4
+    rng = random.Random(11)
+    shared = [f"s{i}" for i in range(K + W - 1)]  # exactly the guarantee length
+    docs = []
+    for d in range(8):
+        toks = [f"w{d}_{i}" for i in range(rng.randint(10, 25))]
+        if d in (2, 5):  # plant the shared run in two docs
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + shared + toks[at:]
+        docs.append((d, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def md5l(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def ref_fps(text):
+        t = text.split()
+        hs = [md5l(" ".join(t[i : i + K])) for i in range(len(t) - K + 1)]
+        out = set()
+        for j in range(len(hs) - W + 1):
+            best_p, best_v = None, None
+            for p in range(j, j + W):
+                if best_v is None or hs[p] <= best_v:
+                    best_p, best_v = p, hs[p]
+            out.add((best_p + 1, best_v))
+        return out
+
+    expected = {
+        (d, p, fp) for d, text in docs for (p, fp) in ref_fps(text)
+        if len(text.split()) - K + 1 >= W
+    }
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(df, k=K, window=W).collect()
+    }
+    assert got == expected
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnowing_pairs(df, k=K, window=W, min_shared=1, max_df=8)
+        .collect()
+    }
+    assert (2, 5) in pairs, "guarantee: shared run >= W+K-1 must be caught"
