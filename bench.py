@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "quality_classifier_trained_score",
     "doc_bigram_perplexity",
     "winnowing_dedup_pairs",
+    "streaming_quality_gate",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -884,6 +884,75 @@ CURATION_QUERIES["quality_classifier_trained_score"] = (
 )
 
 
+def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED quality gate AT INGEST RATE — the composition a
+    corpus pipeline actually deploys, assembled from this round's
+    pieces: weights learned once on the labeled half
+    (operators/text.py nb_train_weights), document arrivals delivered
+    as >= 2 file-source micro-batches, each batch scored with the
+    broadcast-map trained classifier (hashed_linear_score_trained) and
+    WRITTEN to the per-batch parquet sink (sink_foreach_batch — no
+    driver-side accumulation), result = the sink read back.
+
+    Scoring is a pure per-row function of the (fixed) weights, so the
+    union over micro-batches equals the one-shot batch result and this
+    SHARES quality_classifier_trained_score's exact oracle — the
+    equality is the batching-invariance statement, same contract as
+    streaming_dq_gate."""
+    import os
+    import tempfile
+
+    from .operators.text import (
+        hashed_linear_score_trained,
+        nb_train_weights,
+    )
+    from .streaming.incremental import (
+        read_batch_sink,
+        sink_foreach_batch,
+        stream_file_source,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "__label", F.col("lang") == "en"
+    )
+    # train ONCE, not once per micro-batch: the learned table is
+    # feature_mod-bounded by construction (<= 2001 rows), so pinning it
+    # as a local frame is the legit bounded-broadcast pattern
+    trained = nb_train_weights(labeled, "__label", text_col="text")
+    weights = spark.createDataFrame(trained.collect(), trained.schema)
+
+    tmp = tempfile.mkdtemp(prefix="c360_stream_gate_")
+    arrivals = os.path.join(tmp, "arrivals")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+    docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+
+    stream = stream_file_source(
+        spark, arrivals, docs.schema, max_files_per_trigger=1
+    )
+    sink = os.path.join(tmp, "scored")
+
+    def gate(batch_df: DataFrame) -> DataFrame:
+        return hashed_linear_score_trained(batch_df, weights).select(
+            "doc_id", "source", "score", "label"
+        )
+
+    sink_foreach_batch(stream, os.path.join(tmp, "ckpt"), sink, gate)
+    return read_batch_sink(spark, sink).select(
+        "doc_id", "source", "score", "label"
+    )
+
+
+CURATION_QUERIES["streaming_quality_gate"] = (
+    q_streaming_quality_gate,
+    SQL_QUALITY_CLASSIFIER_TRAINED_SCORE,
+)
+
+
 def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus Gram matrix in fixed point
     (operators/similarity.py embedding_gram_fixed): the one-scan

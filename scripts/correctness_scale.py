@@ -99,6 +99,7 @@ QUERIES = [
     "ivf_cohesion_audit",
     "doc_bigram_perplexity",
     "winnowing_dedup_pairs",
+    "streaming_quality_gate",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")

@@ -75,6 +75,7 @@ QUERIES = [
     "quality_classifier_trained_score",
     "doc_bigram_perplexity",
     "winnowing_dedup_pairs",
+    "streaming_quality_gate",
 ]
 
 

@@ -619,3 +619,17 @@ def test_hll_rollup_merge_is_partitioning_invariant(spark):
     ).collect()[0]["e"]
     assert est_a == est_b
     assert abs(est_a - 4321) * 100 <= 4321 * 5
+
+
+def test_streaming_quality_gate_reads_from_sink(spark):
+    """The trained-classifier streaming gate composes the round-6
+    pieces and must keep the scale-safe plan: result is a FileScan of
+    the per-batch sink, >= 2 micro-batches."""
+    from conftest import SF_SMALL
+
+    import __spark_entry__ as em
+
+    files = em.queries()["streaming_quality_gate"](spark, SF_SMALL).inputFiles()
+    assert files and all("batch_id=" in f for f in files)
+    bids = {f.split("batch_id=")[1].split("/")[0] for f in files}
+    assert len(bids) >= 2
