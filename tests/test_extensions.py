@@ -804,3 +804,16 @@ def test_winnowing_guarantee_and_pure_python(spark):
         .collect()
     }
     assert (2, 5) in pairs, "guarantee: shared run >= W+K-1 must be caught"
+
+
+def test_winnowing_pairs_warns_without_cap(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        winnowing_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+        ["doc_id", "text"],
+    )
+    with pytest.warns(UserWarning, match="max_df"):
+        winnowing_pairs(docs, min_shared=1)
