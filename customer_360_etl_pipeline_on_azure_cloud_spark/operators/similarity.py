@@ -464,6 +464,17 @@ def kmeans_distributed(
 
     `init` overrides seeding with explicit centroids (the equality pin
     vs `_kmeans_lite` in tests/test_extensions.py uses this).
+
+    Driver-side bound (documented, not hidden): the seeding reduction
+    holds ~seed_rounds*oversample candidate vectors and runs a greedy
+    weighted k-means++ over them — O(k * candidates * d) driver flops.
+    At the defaults (oversample = 2k) that is O(k^2 d): practical to
+    k ~ tens of thousands of cells (k=2500 measured at 62 s cold /
+    23 s warm in KMEANS_BIGK_r6.json), far past the old sample cap.
+    For k beyond that, pass a smaller `oversample` or seed
+    hierarchically (coarse fit -> per-cell refit); the Lloyd rounds
+    themselves scale as one corpus pass + a k*d aggregate per round
+    at ANY k the driver can hold as the broadcast centroid matrix.
     """
     if k < 1:
         raise ValueError("kmeans_distributed: k must be >= 1")

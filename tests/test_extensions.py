@@ -817,3 +817,40 @@ def test_winnowing_pairs_warns_without_cap(spark):
     )
     with pytest.warns(UserWarning, match="max_df"):
         winnowing_pairs(docs, min_shared=1)
+
+
+def test_exact_int_sq_dists_paths_agree():
+    """The float64 fast path (used when every intermediate provably
+    fits in 2^53) must be EXACTLY the int64 matmul's answer inside the
+    bound, and the fallback must engage (and stay exact vs big-int
+    Python) beyond it."""
+    import numpy as np
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        _exact_int_sq_dists,
+    )
+
+    rng = np.random.RandomState(2)
+    # in-bound: typical fixed-point magnitudes (scale 2^20, |x| ~ 4)
+    Q = rng.randint(-(4 << 20), 4 << 20, size=(40, 64)).astype(np.int64)
+    C = rng.randint(-(4 << 20), 4 << 20, size=(7, 64)).astype(np.int64)
+    fast = _exact_int_sq_dists(Q, C)
+    slow = (
+        (Q**2).sum(axis=1)[:, None] - 2 * (Q @ C.T) + (C**2).sum(axis=1)[None, :]
+    )
+    assert np.array_equal(np.asarray(fast, dtype=np.int64), slow)
+    # python big-int ground truth on a few entries
+    for i, j in ((0, 0), (13, 3), (39, 6)):
+        ref = sum((int(a) - int(b)) ** 2 for a, b in zip(Q[i], C[j]))
+        assert int(fast[i, j]) == ref
+
+    # out-of-bound magnitudes: 3*d*m^2 >= 2^53 forces the int64 branch
+    m = int((2.0**53 / (3 * 4)) ** 0.5) + 10
+    Q2 = rng.randint(m - 5, m + 5, size=(6, 4)).astype(np.int64)
+    C2 = rng.randint(-m - 5, -m + 5, size=(3, 4)).astype(np.int64)
+    D2 = _exact_int_sq_dists(Q2, C2)
+    assert D2.dtype == np.int64  # fallback path returns ints directly
+    for i in range(6):
+        for j in range(3):
+            ref = sum((int(a) - int(b)) ** 2 for a, b in zip(Q2[i], C2[j]))
+            assert int(D2[i, j]) == ref
