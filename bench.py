@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "doc_bigram_perplexity",
     "winnowing_dedup_pairs",
     "streaming_quality_gate",
+    "corpus_curation_report",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

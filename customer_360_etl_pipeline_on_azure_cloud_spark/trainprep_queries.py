@@ -337,6 +337,114 @@ FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
 """
 
 
+def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation budget a corpus owner actually reads:
+    exact dedup (md5(text) groups, min-doc_id survivor — the standard
+    first pass) THEN substring-dedup span removal on the survivors
+    (operators/dedup.py remove_duplicate_spans — Lee et al. order:
+    exact first, then substring), accounted per source:
+
+      (source, n_docs_raw, n_docs_kept, tokens_raw, tokens_kept,
+       tokens_after_cut)
+
+    — how many documents and tokens each source contributes before
+    dedup, after exact dedup, and after the passage cut; the direct
+    input to per-source mixture weighting (source_mixture_plan).  All
+    BIGINT; every stage is exactly SQL-expressible, so the WHOLE
+    pipeline composition is one oracle-checked row set."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.dedup import remove_duplicate_spans
+
+    keep = docs.groupBy(F.md5(F.col("text")).alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = docs.join(keep.select("doc_id"), "doc_id")
+    cleaned = remove_duplicate_spans(surv).select(
+        "doc_id", "n_tokens_before", "n_tokens_after"
+    )
+    kept = surv.select("doc_id", "source").join(cleaned, "doc_id")
+    raw = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_raw"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("tokens_raw"),
+    )
+    after = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens_before").cast("long").alias("tokens_kept"),
+        F.sum("n_tokens_after").cast("long").alias("tokens_after_cut"),
+    )
+    return raw.join(after, "source", "left").select(
+        "source",
+        "n_docs_raw",
+        F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+        "tokens_raw",
+        F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        F.coalesce("tokens_after_cut", F.lit(0)).alias("tokens_after_cut"),
+    )
+
+
+SQL_CORPUS_CURATION_REPORT = f"""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), surv AS (
+  SELECT d.* FROM documents d JOIN keep USING (doc_id)
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM surv
+), w AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - {_PASSAGE_WINDOW - 1})) AS pos,
+         unnest(list_transform(
+           generate_series(1, len(t) - {_PASSAGE_WINDOW - 1}),
+           i -> md5(array_to_string(t[i:i + {_PASSAGE_WINDOW - 1}], ' ')))) AS wkey
+  FROM toks WHERE len(t) >= {_PASSAGE_WINDOW}
+), shared AS (
+  SELECT wkey FROM w GROUP BY wkey HAVING COUNT(DISTINCT doc_id) >= 2
+), sp AS (
+  SELECT doc_id, pos FROM w WHERE wkey IN (SELECT wkey FROM shared)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_PASSAGE_WINDOW} THEN 0 ELSE 1 END AS brk
+  FROM sp
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_PASSAGE_WINDOW - 1} AS e
+  FROM isl GROUP BY doc_id, island
+), cut AS (
+  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_cut
+  FROM spans GROUP BY doc_id
+), kept AS (
+  SELECT s.source,
+         CAST(len(t.t) AS BIGINT) AS n_before,
+         CAST(len(t.t) AS BIGINT) - COALESCE(cut.n_cut, 0) AS n_after
+  FROM surv s JOIN toks t USING (doc_id)
+  LEFT JOIN cut USING (doc_id)
+), after AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+         CAST(SUM(n_before) AS BIGINT) AS tokens_kept,
+         CAST(SUM(n_after) AS BIGINT) AS tokens_after_cut
+  FROM kept GROUP BY source
+), raw AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS tokens_raw
+  FROM documents GROUP BY source
+)
+SELECT raw.source, raw.n_docs_raw,
+       COALESCE(after.n_docs_kept, 0) AS n_docs_kept,
+       raw.tokens_raw,
+       COALESCE(after.tokens_kept, 0) AS tokens_kept,
+       COALESCE(after.tokens_after_cut, 0) AS tokens_after_cut
+FROM raw LEFT JOIN after USING (source)
+"""
+
+
 _WINNOW_K, _WINNOW_W, _WINNOW_MS = 5, 4, 2
 
 
@@ -601,6 +709,10 @@ def build_trainprep_queries(
         "winnowing_dedup_pairs": (
             q_winnowing_dedup_pairs,
             SQL_WINNOWING_DEDUP_PAIRS,
+        ),
+        "corpus_curation_report": (
+            q_corpus_curation_report,
+            SQL_CORPUS_CURATION_REPORT,
         ),
         "embedding_quantization": (
             q_embedding_quantization,

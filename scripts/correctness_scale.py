@@ -100,6 +100,7 @@ QUERIES = [
     "doc_bigram_perplexity",
     "winnowing_dedup_pairs",
     "streaming_quality_gate",
+    "corpus_curation_report",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")
