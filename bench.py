@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     # round 6: distributed centroid fit, IVF lifecycle, substring spans,
     # classifier training
     "semantic_dedup_distributed",
+    "semantic_dedup_hierarchical",
     "incremental_ann_index_update",
     "ivf_cohesion_audit",
     "duplicate_spans",

@@ -471,8 +471,9 @@ def kmeans_distributed(
     At the defaults (oversample = 2k) that is O(k^2 d): practical to
     k ~ tens of thousands of cells (k=2500 measured at 62 s cold /
     23 s warm in KMEANS_BIGK_r6.json), far past the old sample cap.
-    For k beyond that, pass a smaller `oversample` or seed
-    hierarchically (coarse fit -> per-cell refit); the Lloyd rounds
+    For k beyond that, pass a smaller `oversample` or use
+    :func:`kmeans_hierarchical` (coarse fit -> per-cell executor-side
+    refit, no driver-side reduction at all); the Lloyd rounds here
     themselves scale as one corpus pass + a k*d aggregate per round
     at ANY k the driver can hold as the broadcast centroid matrix.
     """
@@ -614,6 +615,107 @@ def _nearest_fixed(e: DataFrame, Cq: np.ndarray) -> DataFrame:
     return e.mapInPandas(run, schema)
 
 
+def kmeans_hierarchical(
+    df: DataFrame,
+    k: int,
+    k_coarse: int | None = None,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+    coarse_opts: dict | None = None,
+) -> np.ndarray:
+    """Two-level distributed centroid fit — the documented escape from
+    :func:`kmeans_distributed`'s driver-side seeding reduction (whose
+    weighted k-means++ holds ~seed_rounds*oversample candidate vectors
+    and runs O(k * candidates * d) driver flops, practical to k ~ tens
+    of thousands of cells).  Here NO per-point work happens on the
+    driver at large k:
+
+      1. a COARSE kmeans_distributed fit places k_coarse cells
+         (default ceil(sqrt(k)) — its own seeding reduction is
+         O(k_coarse^2 * d) = O(k * d), trivial at any k),
+      2. ONE exact fixed-point assignment pass splits the corpus into
+         coarse cells (shuffle keyed on cell),
+      3. every cell refits its own ceil(k / k_coarse) sub-centroids
+         locally inside ``applyInPandas`` — fully parallel across
+         cells, executor-side.
+
+    The driver touches only the final <= k x d centroid matrix.  Total
+    centroids = sum over non-empty cells of min(k_fine, |cell|) — k is
+    an upper bound, the usual IVF quantizer contract.  Memory: each
+    refit holds ONE cell (~N/k_coarse vectors); for corpora where that
+    exceeds executor memory, raise ``k_coarse`` (more, smaller cells)
+    — the knob trades coarse-fit cost against per-cell footprint.
+
+    Determinism contract (the registry requirement): the coarse
+    centroids are kmeans_distributed's (every cross-partition reduction
+    exact); cell membership runs on the QUANTIZED coordinates through
+    _exact_int_sq_dists (exact, ties to the lowest cell id), so it is
+    split-invariant; each refit receives its ENTIRE group in one pandas
+    frame (the applyInPandas contract), sorts it by id, and runs the
+    pure-numpy seeded _kmeans_lite — a pure function of the cell's
+    member set.  The result is bit-identical under any partitioning /
+    AQE split (pinned in tests/test_extensions.py).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if k < 1:
+        raise ValueError("kmeans_hierarchical: k must be >= 1")
+    if k_coarse is None:
+        k_coarse = max(1, int(np.ceil(np.sqrt(float(k)))))
+    k_coarse = min(k_coarse, k)
+    k_fine = -(-k // k_coarse)  # ceil div: per-cell sub-centroid budget
+
+    coarse = kmeans_distributed(
+        df,
+        k=k_coarse,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=scale,
+        **(coarse_opts or {}),
+    )
+    Cq = np.rint(coarse.astype(np.float64) * float(scale)).astype(np.int64)
+
+    e = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        _quantized(vec_col, scale).alias("qvec"),
+    )
+    assigned = _nearest_fixed(e, Cq)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def refit(pdf):
+        pdf = pdf.sort_values("id")  # pure function of the member SET
+        M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        cent = _kmeans_lite(M, k=k_fine, iters=iters)
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(cent), int(pdf["__seed"].iloc[0]), dtype=np.int32),
+                "sub": np.arange(len(cent), dtype=np.int32),
+                "centroid": [row for row in cent],
+            }
+        )
+
+    rows = (
+        assigned.groupBy("__seed")
+        .applyInPandas(refit, out_schema)
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["cell"], r["sub"]))
+    return np.array(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in rows]
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -639,10 +741,17 @@ def cosine_topk_ivf(
     driver-side sample (deterministic seed) — at 100 TB that sample is
     still a few thousand rows, but it caps n_centroids at
     sample_size/2; ``centroid_fit="distributed"`` fits with
-    :func:`kmeans_distributed` (whole-corpus fit, no cap).
+    :func:`kmeans_distributed` (whole-corpus fit, no cap);
+    ``centroid_fit="hierarchical"`` fits with
+    :func:`kmeans_hierarchical` (whole-corpus two-level fit, no
+    driver-side seeding reduction — the large-k path).
     """
     if centroid_fit == "distributed":
         centroids = kmeans_distributed(
+            corpus, k=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    elif centroid_fit == "hierarchical":
+        centroids = kmeans_hierarchical(
             corpus, k=n_centroids, id_col=id_col, vec_col=vec_col
         )
     elif centroid_fit == "sample":
@@ -802,6 +911,10 @@ def write_ivf_index(
                 fs.delete(path, True)
     if centroid_fit == "distributed":
         centroids = kmeans_distributed(
+            corpus, k=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    elif centroid_fit == "hierarchical":
+        centroids = kmeans_hierarchical(
             corpus, k=n_centroids, id_col=id_col, vec_col=vec_col
         )
     elif centroid_fit == "sample":
@@ -1110,7 +1223,12 @@ def semantic_dedup(
     (k-means|| seeding + integer-exact distributed Lloyd): no sample
     cap — ``n_centroids="auto"`` then scales k with the corpus
     indefinitely, keeping cell size (and with it per-cell pair work)
-    constant at any corpus size. Both fits are deterministic.
+    constant at any corpus size. ``"hierarchical"`` fits with
+    :func:`kmeans_hierarchical` (two-level whole-corpus fit): also
+    uncapped, and additionally free of kmeans_distributed's
+    O(k * candidates * d) driver-side seeding reduction — the path for
+    k beyond tens of thousands of cells. All three fits are
+    deterministic.
 
     Output: (id, component, is_survivor) — the dedup_survivors shape.
     """
@@ -1136,6 +1254,14 @@ def semantic_dedup(
             n_centroids = min(n_centroids, cap)
     if centroid_fit == "distributed":
         centroids = kmeans_distributed(
+            df,
+            k=int(n_centroids),
+            id_col=id_col,
+            vec_col=vec_col,
+            **(centroid_fit_opts or {}),
+        )
+    elif centroid_fit == "hierarchical":
+        centroids = kmeans_hierarchical(
             df,
             k=int(n_centroids),
             id_col=id_col,

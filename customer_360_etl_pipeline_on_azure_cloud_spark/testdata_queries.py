@@ -3084,6 +3084,51 @@ CORE_QUERIES["semantic_dedup_distributed"] = (
 )
 
 
+def q_semantic_dedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup with the TWO-LEVEL hierarchical centroid fit
+    (operators/similarity.py kmeans_hierarchical): a coarse
+    kmeans_distributed fit places ceil(sqrt(k)) cells, then every cell
+    refits its own sub-centroids executor-side inside applyInPandas —
+    the large-k path that removes kmeans_distributed's remaining
+    driver-side bound (the O(k * candidates * d) weighted seeding
+    reduction).  The driver touches only the final k x d matrix, so k
+    is bounded by the broadcast centroid matrix alone (millions of
+    cells).  Same planted corpus and same exact oracle as
+    semantic_dedup; nprobe=2 closes the cell-boundary miss class, so
+    this row is exact at every SF.  Bit-identity of the fit under any
+    partitioning is pinned in tests/test_extensions.py (exact
+    fixed-point cell membership + per-cell pure-function refit)."""
+    from .operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + 0.02 * F.sin(F.col("vec_id") * 31 + i),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    # 2 coarse seed rounds / 2 coarse Lloyd rounds: the coarse fit only
+    # places sqrt(k) cells; per-cell refits do the real quantizer work.
+    return semantic_dedup(
+        corpus,
+        threshold=0.9,
+        centroid_fit="hierarchical",
+        nprobe=2,
+        centroid_fit_opts={"coarse_opts": {"iters": 2, "seed_rounds": 2}},
+    ).select(F.col("id").alias("vec_id"), "component", "is_survivor")
+
+
+CORE_QUERIES["semantic_dedup_hierarchical"] = (
+    q_semantic_dedup_hierarchical,
+    SQL_SEMANTIC_DEDUP,
+)
+
+
 def q_incremental_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index MAINTENANCE across ingest days (VERDICT r5 item 3 —
     the vector sibling of incremental_index_update): day 0 builds the

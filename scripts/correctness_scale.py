@@ -95,6 +95,7 @@ QUERIES = [
     "quality_classifier_train",
     "quality_classifier_trained_score",
     "semantic_dedup_distributed",
+    "semantic_dedup_hierarchical",
     "incremental_ann_index_update",
     "ivf_cohesion_audit",
     "doc_bigram_perplexity",

@@ -24,6 +24,7 @@ from customer_360_etl_pipeline_on_azure_cloud_spark.session import get_spark  # 
 from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (  # noqa: E402
     _assign_centroids,
     kmeans_distributed,
+    kmeans_hierarchical,
 )
 
 
@@ -56,20 +57,49 @@ def main() -> None:
     deterministic = bool(np.array_equal(c1, c2))
 
     e = emb.select("vec_id", emb["embedding"].cast("array<double>").alias("v"))
-    assigned = _assign_centroids(e, c1, "v", nprobe=1)
     import pyspark.sql.functions as F
 
-    pops = (
-        assigned.select(F.element_at("__cells", 1).alias("cell"))
-        .groupBy("cell")
-        .count()
-        .agg(
-            F.count(F.lit(1)).alias("non_empty_cells"),
-            F.max("count").alias("max_cell"),
-            F.expr("percentile_approx(count, 0.5)").alias("p50_cell"),
+    def cell_stats(cents):
+        assigned = _assign_centroids(e, cents, "v", nprobe=1)
+        return (
+            assigned.select(F.element_at("__cells", 1).alias("cell"))
+            .groupBy("cell")
+            .count()
+            .agg(
+                F.count(F.lit(1)).alias("non_empty_cells"),
+                F.max("count").alias("max_cell"),
+                F.expr("percentile_approx(count, 0.5)").alias("p50_cell"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
+
+    def quant_err(cents):
+        """Mean squared distance to the nearest centroid — the quantizer
+        quality both fits compete on."""
+        rows = emb.select(emb["embedding"].cast("array<double>")).collect()
+        V = np.array([np.asarray(r[0]) for r in rows])
+        tot, bs = 0.0, 4096
+        for i in range(0, len(V), bs):
+            b = V[i : i + bs]
+            d = (
+                (b**2).sum(1)[:, None]
+                - 2.0 * (b @ cents.T)
+                + (cents**2).sum(1)[None, :]
+            )
+            tot += d.min(axis=1).sum()
+        return tot / len(V)
+
+    pops = cell_stats(c1)
+
+    # hierarchical fit at the SAME k: the large-k path with NO
+    # driver-side seeding reduction (coarse sqrt(k) cells distributed,
+    # per-cell refits executor-side in applyInPandas)
+    t0 = time.perf_counter()
+    h1 = kmeans_hierarchical(emb, k=k)
+    hier_fit_sec = time.perf_counter() - t0
+    h2 = kmeans_hierarchical(emb.repartition(17), k=k)
+    hier_det = bool(np.array_equal(h1, h2))
+    hpops = cell_stats(h1)
 
     payload = {
         "corpus_rows": n,
@@ -84,6 +114,18 @@ def main() -> None:
         "non_empty_cells": int(pops["non_empty_cells"]),
         "max_cell_population": int(pops["max_cell"]),
         "median_cell_population": int(pops["p50_cell"]),
+        "mean_sq_quant_err": round(float(quant_err(c1)), 6),
+        "hierarchical": {
+            "k": k,
+            "fit_sec": round(hier_fit_sec, 2),
+            "bit_exact_deterministic": hier_det,
+            "centroids": int(h1.shape[0]),
+            "non_empty_cells": int(hpops["non_empty_cells"]),
+            "max_cell_population": int(hpops["max_cell"]),
+            "median_cell_population": int(hpops["p50_cell"]),
+            "mean_sq_quant_err": round(float(quant_err(h1)), 6),
+            "driver_seeding_reduction": "none (per-cell executor refits)",
+        },
     }
     with open(os.path.join(root, "KMEANS_BIGK_r6.json"), "w") as fh:
         json.dump(payload, fh, indent=1)

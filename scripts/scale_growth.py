@@ -68,6 +68,7 @@ QUERIES = [
     # round-6 surface: distributed centroid fit, IVF lifecycle,
     # substring cut spans, classifier training
     "semantic_dedup_distributed",
+    "semantic_dedup_hierarchical",
     "incremental_ann_index_update",
     "duplicate_spans",
     "substring_dedup_apply",

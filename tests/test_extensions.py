@@ -620,6 +620,56 @@ def test_kmeans_distributed_k_above_sample_cap(spark):
     assert len(np.unique(np.round(ck, 3), axis=0)) == 150
 
 
+def test_kmeans_hierarchical_deterministic_under_partitioning(spark):
+    """Same registry requirement for the two-level fit: the coarse fit
+    is integer-exact, cell membership is exact fixed-point (ties to the
+    lowest cell), and each per-cell refit sorts its group by id before
+    the pure-numpy fit — so the whole result is a pure function of the
+    data set, bit-identical under any split."""
+    import numpy as np
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        kmeans_hierarchical,
+    )
+
+    _, df = _blobs(spark)
+    c1 = kmeans_hierarchical(df, k=6, coarse_opts={"iters": 3, "seed_rounds": 2})
+    c2 = kmeans_hierarchical(
+        df.repartition(7), k=6, coarse_opts={"iters": 3, "seed_rounds": 2}
+    )
+    assert np.array_equal(c1, c2)
+    assert c1.shape[1] == 8 and 1 <= c1.shape[0] <= 6
+
+
+def test_kmeans_hierarchical_separates_blobs(spark):
+    """Quality pin: with k = the true blob count the two-level fit
+    recovers one centroid inside each blob (every point's nearest
+    centroid is in its own blob's ball), and k is an upper bound —
+    tiny cells emit fewer sub-centroids rather than duplicates."""
+    import numpy as np
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        kmeans_hierarchical,
+    )
+
+    pts, df = _blobs(spark)
+    cents = kmeans_hierarchical(
+        df, k=3, k_coarse=3, coarse_opts={"iters": 5, "seed_rounds": 2}
+    )
+    assert cents.shape == (3, 8)
+    truth = np.array([[5.0] * 8, [-5.0] * 8, [0.0] * 4 + [8.0] * 4])
+    # each true center has exactly one fitted centroid within 0.5
+    d = ((truth[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2) ** 0.5
+    assert (d.min(axis=1) < 0.5).all()
+    assert len(set(d.argmin(axis=1))) == 3
+    # upper-bound contract: k beyond the corpus size cannot duplicate
+    few = df.limit(4)
+    c_few = kmeans_hierarchical(
+        few, k=10, k_coarse=2, coarse_opts={"iters": 2, "seed_rounds": 1}
+    )
+    assert c_few.shape[0] <= 10
+
+
 def test_write_ivf_index_rejects_append(spark, emb):
     from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
         write_ivf_index,
