@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "ivf_cohesion_audit",
     "duplicate_spans",
     "substring_dedup_apply",
+    "decontamination_apply",
     "quality_classifier_train",
     "quality_classifier_trained_score",
     "doc_bigram_perplexity",

@@ -282,6 +282,88 @@ CURATION_QUERIES["contamination_check"] = (
 )
 
 
+def q_decontamination_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY eval-set decontamination at SPAN level (operators/dedup.py
+    remove_contaminated_spans): every corpus token covered by a word
+    3-gram that also occurs in the benchmark set (every 97th document,
+    as in contamination_check) is cut, overlapping hits merged into
+    maximal ranges first — so a lightly contaminated document keeps
+    its clean remainder instead of being dropped whole.  The
+    completion of contamination_check the same way substring_dedup
+    _apply completes duplicate_passages: flags -> surgical cut.
+
+    Plan: benchmark 3-gram vocabulary distinct + BROADCAST (eval sets
+    are MBs); corpus side is one posexplode + broadcast semi-join +
+    ONE per-doc shuffle for the in-row interval merge; the cut itself
+    is in-row array algebra.  The oracle rebuilds every cleaned text
+    in DuckDB (islands CTE + positional NOT EXISTS + ordered
+    string_agg) — the clean_text column is hash-compared
+    byte-for-byte."""
+    from .operators.dedup import remove_contaminated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return remove_contaminated_spans(corpus, bench, n=3)
+
+
+SQL_DECONTAMINATION_APPLY = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - 2)) AS pos,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> array_to_string(t[i:i + 2], ' '))) AS gram
+  FROM toks WHERE len(t) >= 3
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), sp AS (
+  SELECT doc_id, pos FROM g
+  WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM bench)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= 3 THEN 0 ELSE 1 END AS brk
+  FROM sp
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 2 AS e
+  FROM isl GROUP BY doc_id, island
+), tokpos AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS pos
+  FROM toks WHERE doc_id % 97 <> 0
+), kept AS (
+  SELECT tp.doc_id, tp.tok, tp.pos
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s AND s.e
+  )
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_after,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens_before,
+       COALESCE(a.n_after, 0) AS n_tokens_after,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+WHERE t.doc_id % 97 <> 0
+"""
+
+CURATION_QUERIES["decontamination_apply"] = (
+    q_decontamination_apply,
+    SQL_DECONTAMINATION_APPLY,
+)
+
+
 # --- numeric correlation matrix ---------------------------------------------
 
 #: (label, pair) entries for the lineitem correlation report.

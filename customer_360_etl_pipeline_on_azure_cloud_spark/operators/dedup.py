@@ -984,11 +984,21 @@ def _merged_span_arrays(
     per_doc = hits.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("pos")).alias("ps")
     )
+    return per_doc.select("doc_id", _fold_spans("ps", window).alias("spans"))
+
+
+def _fold_spans(ps_col: str, window: int) -> Column:
+    """The gaps-and-islands interval merge as ONE in-row fold: given a
+    SORTED array of 1-based window-start positions (each covering
+    ``window`` tokens), produce the maximal merged
+    ``array<struct<s,e>>`` spans.  Positions are sorted and the window
+    length constant, so the running span end is monotone and a single
+    left-to-right pass suffices — no applyInPandas, no Python."""
     wlit = F.lit(window).cast("long")
     empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
     last = F.element_at  # alias for brevity in the fold below
-    spans = F.aggregate(
-        F.col("ps"),
+    return F.aggregate(
+        F.col(ps_col),
         empty,
         lambda acc, p: F.when(
             (F.size(acc) == F.lit(0))
@@ -1013,7 +1023,6 @@ def _merged_span_arrays(
             )
         ),
     )
-    return per_doc.select("doc_id", spans.alias("spans"))
 
 
 def remove_duplicate_spans(
@@ -1037,11 +1046,22 @@ def remove_duplicate_spans(
     single spaces (the tokenizer's inverse up to whitespace runs,
     which token-level dedup treats as equivalent).
     """
-    from .text import tokens
-
     spans_df = _merged_span_arrays(
         df, id_col, text_col, window, max_docs_per_window
     )
+    return _apply_span_cut(df, spans_df, id_col, text_col)
+
+
+def _apply_span_cut(
+    df: DataFrame, spans_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared cut application: remove every ``(doc_id, spans)`` range
+    from every document (left join — the span table has rows only for
+    exposed docs, so unexposed documents pass through untouched; the
+    removal is in-row array algebra — a token survives iff NO span
+    covers its 1-based position)."""
+    from .text import tokens
+
     t = tokens(text_col)
     joined = df.select(F.col(id_col).alias("doc_id"), t.alias("__t")).join(
         spans_df, "doc_id", "left"
@@ -1070,6 +1090,105 @@ def remove_duplicate_spans(
             " ", F.transform(kept, lambda s: s.getField("tok"))
         ).alias("clean_text"),
     )
+
+
+def contaminated_token_spans(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Per corpus document, the maximal merged 1-based token ranges
+    covered by any word ``n``-gram that ALSO occurs in the benchmark
+    set ``bench`` — the span form of eval-set decontamination.  Where
+    ``contamination_report`` flags whole documents by overlap ratio,
+    this emits the precise positions to surgically cut, so a lightly
+    contaminated document keeps its clean remainder instead of being
+    dropped (the span-level decontamination recipe, e.g. the
+    PaLM/GPT-3 eval-overlap procedures).
+
+    Plan: the benchmark n-gram vocabulary is eval-set-sized (MBs) →
+    built once, distinct, and BROADCAST; the corpus side is one
+    posexplode of n-gram hashes + the broadcast semi-join + the same
+    per-doc in-row interval merge as :func:`duplicate_token_spans`
+    (sorted positions, one fold).  ONE corpus-side shuffle (the
+    per-doc groupBy); the corpus is never self-joined.
+
+    Output: ``(doc_id, span_start, span_end, cut_tokens)`` — BIGINT
+    only; bounds are 1-based inclusive token positions.
+    """
+    per_doc = _contaminated_span_arrays(
+        df, bench, id_col, text_col, n, bench_text_col
+    )
+    return per_doc.select("doc_id", F.explode("spans").alias("sp")).select(
+        "doc_id",
+        F.col("sp.s").alias("span_start"),
+        F.col("sp.e").alias("span_end"),
+        (F.col("sp.e") - F.col("sp.s") + 1).alias("cut_tokens"),
+    )
+
+
+def _contaminated_span_arrays(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    bench_text_col: str | None,
+) -> DataFrame:
+    """``(doc_id, spans array<struct<s,e>>)`` for corpus positions whose
+    n-gram occurs in the benchmark vocabulary (rows only for hit docs)."""
+    from .text import tokens
+
+    def gram_rows(frame: DataFrame, idc: str, txt: str) -> DataFrame:
+        t = tokens(txt)
+        size = F.size(t)
+        keys = F.when(
+            size >= F.lit(n),
+            F.transform(
+                F.sequence(F.lit(1), size - F.lit(n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return frame.select(
+            F.col(idc).alias("doc_id"), F.posexplode(keys).alias("p0", "gkey")
+        ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "gkey")
+
+    vocab = (
+        gram_rows(bench, id_col, bench_text_col or text_col)
+        .select("gkey")
+        .distinct()
+    )
+    hits = gram_rows(df, id_col, text_col).join(
+        F.broadcast(vocab), "gkey"
+    ).select("doc_id", "pos")
+    per_doc = hits.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    return per_doc.select("doc_id", _fold_spans("ps", n).alias("spans"))
+
+
+def remove_contaminated_spans(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """APPLY the decontamination cut: remove every
+    :func:`contaminated_token_spans` range from every corpus document
+    and return the cleaned corpus — ``(doc_id, n_tokens_before,
+    n_tokens_after, clean_text)``, documents with no benchmark overlap
+    passing through untouched.  Same shape contract as
+    :func:`remove_duplicate_spans` (the two cuts compose: dedup first,
+    then decontaminate, is the conventional order)."""
+    spans_df = _contaminated_span_arrays(
+        df, bench, id_col, text_col, n, bench_text_col
+    )
+    return _apply_span_cut(df, spans_df, id_col, text_col)
 
 
 def winnow_fingerprints(

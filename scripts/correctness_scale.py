@@ -92,6 +92,7 @@ QUERIES = [
     # round-6 surface (exact oracles tractable at sf1)
     "duplicate_spans",
     "substring_dedup_apply",
+    "decontamination_apply",
     "quality_classifier_train",
     "quality_classifier_trained_score",
     "semantic_dedup_distributed",

@@ -72,6 +72,7 @@ QUERIES = [
     "incremental_ann_index_update",
     "duplicate_spans",
     "substring_dedup_apply",
+    "decontamination_apply",
     "quality_classifier_train",
     "quality_classifier_trained_score",
     "doc_bigram_perplexity",

@@ -239,3 +239,106 @@ def test_bigram_nll_hand_computed(spark):
     assert got[1][0] == 3 and got[2][0] == 1
     assert abs(got[1][1] - d1) < 1e-12
     assert abs(got[2][1] - d2) < 1e-12
+
+
+def test_decontamination_spans_match_pure_python(spark):
+    """Third implementation: pure-Python benchmark n-gram lookup +
+    interval merge over a random corpus with planted benchmark
+    overlaps, compared row-for-row with the Spark operator."""
+    import random
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        contaminated_token_spans,
+    )
+
+    rng = random.Random(7)
+    N = 3
+    eval_q = [f"q{i}" for i in range(7)]   # a 7-token benchmark question
+    eval_r = [f"r{i}" for i in range(4)]   # a 4-token benchmark answer
+    bench_docs = [(100, " ".join(eval_q)), (101, " ".join(eval_r + ["pad"]))]
+    corpus_docs = []
+    for d in range(10):
+        toks = [f"c{d}_{i}" for i in range(rng.randint(2, 25))]
+        if d % 2 == 0:  # plant the question
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + eval_q + toks[at:]
+        if d % 5 == 0:  # plant the answer too (overlapping merges)
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + eval_r + toks[at:]
+        corpus_docs.append((d, " ".join(toks)))
+
+    vocab = set()
+    for _, text in bench_docs:
+        t = text.split()
+        for i in range(len(t) - N + 1):
+            vocab.add(" ".join(t[i : i + N]))
+    expected = set()
+    for d, text in corpus_docs:
+        t = text.split()
+        ps = [
+            i + 1
+            for i in range(len(t) - N + 1)
+            if " ".join(t[i : i + N]) in vocab
+        ]
+        spans = []
+        for p in ps:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], p + N - 1)
+            else:
+                spans.append((p, p + N - 1))
+        for s, e in spans:
+            expected.add((d, s, e, e - s + 1))
+    assert expected, "planted overlaps must produce spans"
+
+    corpus = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.cut_tokens)
+        for r in contaminated_token_spans(corpus, bench, n=N).collect()
+    }
+    assert got == expected
+
+
+def test_remove_contaminated_spans_cuts_exactly(spark):
+    """Applying the decontamination cut removes exactly the spans'
+    tokens; clean docs pass through whitespace-normalized-identical;
+    and the cleaned corpus re-scans to ZERO contaminated positions
+    (termination: cutting cannot create a benchmark 3-gram here
+    because surviving tokens are corpus-unique words)."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        contaminated_token_spans,
+        remove_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "x0 x1 x2 x3 x4")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "a0 a1 x0 x1 x2 x3 x4 a2 a3"),  # planted benchmark run
+            (1, "b0 b1 b2 b3"),                  # clean
+            (2, "x0 x1 x2 c0 x2 x3 x4"),         # two disjoint partial hits
+        ],
+        "doc_id long, text string",
+    )
+    spans = contaminated_token_spans(corpus, bench, n=3)
+    cut = {
+        r.doc_id: r.total
+        for r in spans.groupBy("doc_id")
+        .agg(F.sum("cut_tokens").alias("total"))
+        .collect()
+    }
+    cleaned = remove_contaminated_spans(corpus, bench, n=3)
+    rows = {r.doc_id: r for r in cleaned.collect()}
+    assert len(rows) == 3
+    for d in rows:
+        r = rows[d]
+        assert r.n_tokens_before - r.n_tokens_after == cut.get(d, 0)
+    assert rows[1].clean_text == "b0 b1 b2 b3"
+    assert "x0 x1 x2" not in " " + rows[0].clean_text + " "
+    again = contaminated_token_spans(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")),
+        bench,
+        n=3,
+    ).count()
+    assert again == 0

@@ -311,6 +311,29 @@ def test_contamination_benchmark_is_broadcast(spark):
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
 
 
+def test_decontamination_vocab_is_broadcast(spark):
+    # the benchmark n-gram vocabulary is eval-set-sized: both its
+    # semi-join onto the corpus grams and the span attach must be
+    # broadcast joins — the corpus is never sort-merge-joined
+    from pyspark.sql import functions as F
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        remove_contaminated_spans,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+    spark.catalog.clearCache()
+    d = load_table(spark, SF_SMALL, "documents")
+    out = remove_contaminated_spans(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
 def test_cdc_chunking_is_shuffle_free_narrow_map(spark):
     # content-defined chunking is pure in-row array algebra: the only
     # allowed Exchange is spread()'s round-robin rebalance of a
