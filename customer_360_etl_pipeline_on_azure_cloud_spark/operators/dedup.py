@@ -1321,11 +1321,12 @@ def winnowing_pairs(
     from .util import finalize
 
     # persist: the fingerprint table feeds three consumers (the hot-
-    # fingerprint count branch + both sides of the self-join);
-    # unpersisted, the md5-per-gram + window-min fold — the expensive
-    # narrow map — would be evaluated three times (measured 4.5 s ->
-    # 1.9 s at sf0.1). finalize() materializes the small pair result
-    # and releases the persist.
+    # fingerprint count branch + both sides of the self-join). Spark's
+    # ReuseExchange often dedups the identical distinct-subtrees anyway,
+    # but that is a physical-planner coincidence — the persist makes the
+    # single evaluation a contract (and survives plan shapes where the
+    # subtrees stop being byte-identical). finalize() materializes the
+    # small pair result and releases the persist.
     fps = (
         winnow_fingerprints(df, id_col, text_col, k, window)
         .select("doc_id", "fp")

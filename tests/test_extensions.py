@@ -904,3 +904,23 @@ def test_exact_int_sq_dists_paths_agree():
         for j in range(3):
             ref = sum((int(a) - int(b)) ** 2 for a, b in zip(Q2[i], C2[j]))
             assert int(D2[i, j]) == ref
+
+
+def test_winnowing_rightmost_tie_selection(spark):
+    """Equal hashes inside a window (repeated grams) must select the
+    RIGHTMOST minimum — the Schleimer et al. tie rule the int64
+    encoding (h * 2^31 + (2^31 - 1 - pos)) exists to preserve."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame([(1, "z z z z")], "doc_id long, text string")
+    got = {
+        (r.pos, r.fp)
+        for r in winnow_fingerprints(df, k=1, window=3).collect()
+    }
+    import hashlib
+
+    h = int(hashlib.md5(b"z").hexdigest()[:8], 16)
+    # windows [1..3] and [2..4]: all hashes equal -> rightmost pos wins
+    assert got == {(3, h), (4, h)}
