@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "winnowing_dedup_pairs",
     "streaming_quality_gate",
     "corpus_curation_report",
+    "histogram_rollup_quantiles",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

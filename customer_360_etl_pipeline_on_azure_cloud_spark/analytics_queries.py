@@ -2156,3 +2156,81 @@ ANALYTICS_QUERIES["sketch_rollup_users"] = (
     q_sketch_rollup_users,
     SQL_SKETCH_ROLLUP_USERS,
 )
+
+
+def q_histogram_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HISTOGRAM-sketch quantile rollup (operators/aggregates
+    histogram_sketch / histogram_quantiles) — the quantile sibling of
+    sketch_rollup_users: order totals bin into per-day fixed-width
+    integer histograms (<= 64 rows/day in CENTS), and monthly + overall
+    p50/p90/p99 come from MERGING those sketches (bin-wise count sums)
+    — the raw orders table is scanned exactly once, and yesterday's
+    sketch rows never need recomputation when today's close.
+
+    Unlike HLL blobs or percentile_approx state, the sketch is plain
+    BIGINT rows, so the whole pipeline — binning, merge, the
+    cross-multiplied ceil(q*total/100) bin selection — is replayed
+    exactly by the oracle (no violation-set weakening).  Error is
+    bounded by one bin width ($10,000 here) by construction; the
+    emitted [bin_lo, bin_hi) brackets the true quantile.
+
+    Scale: one map-side-combined aggregate over the scan; every later
+    stage runs over O(scopes * nbins) sketch rows no matter how much
+    raw data they summarize."""
+    from .operators.aggregates import histogram_quantiles, histogram_sketch
+
+    LO, HI, NB = 0, 64_000_000, 64  # cents; width = 1,000,000 exactly
+    orders = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        money_cents("o_totalprice").alias("c"),
+    )
+    daily = histogram_sketch(orders, "c", ["day"], LO, HI, NB)
+    # both period scopes come from MERGING the daily sketch rows —
+    # the raw table is never re-read
+    monthly = (
+        daily.groupBy(F.substring("day", 1, 7).alias("scope"), "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    overall = (
+        daily.groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("ALL").alias("scope"), "bin", "cnt")
+    )
+    h = monthly.unionByName(overall)
+    return histogram_quantiles(h, ["scope"], [50, 90, 99], LO, HI, NB)
+
+
+SQL_HISTOGRAM_ROLLUP_QUANTILES = """
+WITH b AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS scope,
+         LEAST(63, GREATEST(0,
+           CAST(FLOOR(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                      * 64 / 64000000) AS BIGINT))) AS bin
+  FROM orders
+), sk AS (
+  SELECT scope, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
+  UNION ALL
+  SELECT 'ALL', bin, CAST(COUNT(*) AS BIGINT) FROM b GROUP BY 2
+), cum AS (
+  SELECT scope, bin,
+         CAST(SUM(cnt) OVER (PARTITION BY scope ORDER BY bin) AS BIGINT)
+           AS cum_le,
+         CAST(SUM(cnt) OVER (PARTITION BY scope) AS BIGINT) AS total
+  FROM sk
+), q(q_pct) AS (VALUES (50), (90), (99)),
+hit AS (
+  SELECT scope, q_pct, bin, cum_le, total,
+         ROW_NUMBER() OVER (PARTITION BY scope, q_pct ORDER BY bin) AS rk
+  FROM cum CROSS JOIN q
+  WHERE cum_le * 100 >= q_pct * total
+)
+SELECT scope, CAST(q_pct AS INT) AS q_pct, bin,
+       bin * 1000000 AS bin_lo, (bin + 1) * 1000000 AS bin_hi,
+       cum_le, total
+FROM hit WHERE rk = 1
+"""
+
+ANALYTICS_QUERIES["histogram_rollup_quantiles"] = (
+    q_histogram_rollup_quantiles,
+    SQL_HISTOGRAM_ROLLUP_QUANTILES,
+)

@@ -211,3 +211,107 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.select(
         F.explode(F.array(*per_col)).alias("p")
     ).select("p.column", "p.n_rows", "p.n_null", "p.n_distinct")
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: Column | str,
+    group_cols: Sequence[str],
+    lo: int,
+    hi: int,
+    nbins: int,
+) -> DataFrame:
+    """Per-group fixed-width integer histogram — the MERGEABLE quantile
+    sketch: ``(group..., bin, cnt)`` with at most ``nbins`` rows per
+    group, where ``bin = clamp(floor((v - lo) * nbins / (hi - lo)),
+    0, nbins - 1)`` over an INTEGER value column (use
+    ``functions.scalar.money_cents`` for money).
+
+    Unlike ``percentile_approx`` state, these sketches merge by PLAIN
+    integer addition (sum counts bin-wise), so a per-day sketch table
+    replaces re-scanning history for any period quantile — the same
+    stop-rescanning contract as the HLL rollup, with a deterministic,
+    engine-exact state (every downstream number is arithmetic on
+    BIGINT counts, so an external SQL engine replays it bit-for-bit,
+    which no serialized-sketch-blob format allows).  Quantile error is
+    bounded by one bin width by construction.
+
+    One map-side-combined aggregate over the scan; values outside
+    [lo, hi) clamp into the edge bins (keep them, or widen [lo, hi)).
+    ``hi - lo`` should divide evenly by ``nbins`` so bin edges are
+    themselves exact integers.
+    """
+    if not nbins >= 1 or not hi > lo:
+        raise ValueError("histogram_sketch: need nbins >= 1 and hi > lo")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    span = hi - lo
+    raw = F.floor((v - F.lit(lo)) * F.lit(nbins) / F.lit(span)).cast("long")
+    bin_ = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), raw))
+    return (
+        df.select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    scope_cols: Sequence[str],
+    q_pcts: Sequence[int],
+    lo: int,
+    hi: int,
+    nbins: int,
+) -> DataFrame:
+    """Quantiles from merged histogram sketches: for each scope group
+    and each integer percentile ``q``, the FIRST bin whose cumulative
+    count reaches ``ceil(q * total / 100)`` — pure BIGINT arithmetic
+    (the ceil is the cross-multiplied ``100 * cum >= q * total``), so
+    the result is deterministic and exactly replayable cross-engine.
+
+    Input is the ``histogram_sketch`` row shape after any bin-wise
+    count merge; per scope the window runs over at most ``nbins`` rows,
+    so the quantile stage costs O(scopes * nbins) regardless of how
+    much raw data the sketches summarize.
+
+    Output: ``(scope..., q_pct, bin, bin_lo, bin_hi, cum_le, total)``
+    — ``[bin_lo, bin_hi)`` brackets the true quantile (error <= one
+    bin width), ``cum_le`` is the cumulative count through the bin.
+    """
+    from pyspark.sql import Window
+
+    scope = list(scope_cols)
+    span = hi - lo
+    w_cum = (
+        Window.partitionBy(*scope)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*scope)
+    cum = hist.select(
+        *scope,
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum_le"),
+        F.sum("cnt").over(w_tot).alias("total"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(int(q)) for q in q_pcts])
+    ).alias("q_pct")
+    hit = cum.select(*scope, "bin", "cum_le", "total", qs).filter(
+        F.col("cum_le") * 100 >= F.col("q_pct") * F.col("total")
+    )
+    w_first = Window.partitionBy(*scope, "q_pct").orderBy("bin")
+    return (
+        hit.withColumn("rk", F.row_number().over(w_first))
+        .filter(F.col("rk") == 1)
+        .select(
+            *scope,
+            "q_pct",
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(span // nbins)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(span // nbins)).alias(
+                "bin_hi"
+            ),
+            "cum_le",
+            "total",
+        )
+    )

@@ -97,6 +97,7 @@ QUERIES = [
     "quality_classifier_trained_score",
     "semantic_dedup_distributed",
     "semantic_dedup_hierarchical",
+    "histogram_rollup_quantiles",
     "incremental_ann_index_update",
     "ivf_cohesion_audit",
     "doc_bigram_perplexity",

@@ -69,6 +69,7 @@ QUERIES = [
     # substring cut spans, classifier training
     "semantic_dedup_distributed",
     "semantic_dedup_hierarchical",
+    "histogram_rollup_quantiles",
     "incremental_ann_index_update",
     "duplicate_spans",
     "substring_dedup_apply",

@@ -633,3 +633,68 @@ def test_streaming_quality_gate_reads_from_sink(spark):
     assert files and all("batch_id=" in f for f in files)
     bids = {f.split("batch_id=")[1].split("/")[0] for f in files}
     assert len(bids) >= 2
+
+
+# --- mergeable histogram-sketch quantiles -----------------------------------
+
+
+def test_histogram_sketch_merge_equals_direct(spark):
+    """The mergeability contract: summing per-day sketch counts bin-wise
+    must equal sketching the whole period directly — plain integer
+    addition, no sketch-state subtleties."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.aggregates import (
+        histogram_sketch,
+    )
+
+    rows = [(f"d{i % 3}", (i * 37) % 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, "day string, v long")
+    daily = histogram_sketch(df, "v", ["day"], 0, 1000, 10)
+    merged = {
+        r.bin: r.s
+        for r in daily.groupBy("bin").agg(F.sum("cnt").alias("s")).collect()
+    }
+    direct = {
+        r.bin: r.cnt
+        for r in histogram_sketch(
+            df.withColumn("g", F.lit("all")), "v", ["g"], 0, 1000, 10
+        ).collect()
+    }
+    assert merged == direct
+    assert sum(merged.values()) == 200
+
+
+def test_histogram_quantiles_bracket_exact_percentile(spark):
+    """The emitted [bin_lo, bin_hi) must contain the exact q-th
+    percentile (nearest-rank definition) — the one-bin-width error
+    bound the operator promises — and a hand-computed tiny case pins
+    the ceil arithmetic."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.aggregates import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    vals = [rng.randrange(0, 10_000) for _ in range(500)]
+    df = spark.createDataFrame(
+        [("all", v) for v in vals], "g string, v long"
+    )
+    sk = histogram_sketch(df, "v", ["g"], 0, 10_000, 25)
+    out = histogram_quantiles(sk, ["g"], [50, 90, 99], 0, 10_000, 25)
+    got = {r.q_pct: (r.bin_lo, r.bin_hi, r.cum_le, r.total) for r in out.collect()}
+    s = sorted(vals)
+    for q in (50, 90, 99):
+        lo, hi, cum, total = got[q]
+        assert total == 500
+        exact = s[-(-q * 500 // 100) - 1]  # nearest-rank: ceil(q*n/100)-th
+        assert lo <= exact < hi, (q, lo, exact, hi)
+
+    # hand case: 4 values, p50 -> ceil(0.5*4)=2nd value's bin
+    tiny = spark.createDataFrame(
+        [("g", 5), ("g", 15), ("g", 25), ("g", 35)], "g string, v long"
+    )
+    tq = histogram_quantiles(
+        histogram_sketch(tiny, "v", ["g"], 0, 40, 4), ["g"], [50], 0, 40, 4
+    ).collect()[0]
+    assert (tq.bin, tq.bin_lo, tq.bin_hi, tq.cum_le, tq.total) == (1, 10, 20, 2, 4)
