@@ -238,11 +238,17 @@ def histogram_sketch(
 
     One map-side-combined aggregate over the scan; values outside
     [lo, hi) clamp into the edge bins (keep them, or widen [lo, hi)).
-    ``hi - lo`` should divide evenly by ``nbins`` so bin edges are
-    themselves exact integers.
+    ``hi - lo`` must divide evenly by ``nbins`` (validated) so bin
+    edges are themselves exact integers.
     """
     if not nbins >= 1 or not hi > lo:
         raise ValueError("histogram_sketch: need nbins >= 1 and hi > lo")
+    if (hi - lo) % nbins != 0:
+        raise ValueError(
+            "histogram_sketch: hi - lo must divide evenly by nbins so "
+            "bin edges are exact integers (histogram_quantiles derives "
+            "bin_lo/bin_hi from the integer width)"
+        )
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     span = hi - lo
     raw = F.floor((v - F.lit(lo)) * F.lit(nbins) / F.lit(span)).cast("long")
@@ -279,6 +285,15 @@ def histogram_quantiles(
     """
     from pyspark.sql import Window
 
+    if (hi - lo) % nbins != 0:
+        raise ValueError(
+            "histogram_quantiles: hi - lo must divide evenly by nbins"
+        )
+    if not all(1 <= int(q) <= 100 for q in q_pcts):
+        raise ValueError(
+            "histogram_quantiles: q_pcts must be integer percentiles in "
+            "[1, 100] (q=0 has no nearest-rank element)"
+        )
     scope = list(scope_cols)
     span = hi - lo
     w_cum = (

@@ -698,3 +698,19 @@ def test_histogram_quantiles_bracket_exact_percentile(spark):
         histogram_sketch(tiny, "v", ["g"], 0, 40, 4), ["g"], [50], 0, 40, 4
     ).collect()[0]
     assert (tq.bin, tq.bin_lo, tq.bin_hi, tq.cum_le, tq.total) == (1, 10, 20, 2, 4)
+
+
+def test_histogram_sketch_validates_inputs(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.aggregates import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="divide evenly"):
+        histogram_sketch(df, "v", ["g"], 0, 1000, 7)
+    sk = histogram_sketch(df, "v", ["g"], 0, 1000, 10)
+    with pytest.raises(ValueError, match="divide evenly"):
+        histogram_quantiles(sk, ["g"], [50], 0, 1000, 7)
+    with pytest.raises(ValueError, match="\\[1, 100\\]"):
+        histogram_quantiles(sk, ["g"], [0], 0, 1000, 10)
