@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "basket_rules",
     "streaming_dq_gate",
     "ann_topk_ivf_indexed",
+    "ann_topk_pq",
     "streaming_ann_probe",
     "sketch_rollup_users",
     # round 6: distributed centroid fit, IVF lifecycle, substring spans,

@@ -1488,3 +1488,226 @@ def _gram_arrow(df: DataFrame, fp_col: str) -> DataFrame:
 
     partials = df.mapInPandas(run, schema)
     return partials.groupBy("i", "j").agg(F.sum("p").alias("gram_fp"))
+
+
+# --- product quantization (PQ / ADC with exact refinement) ------------------
+
+
+def pq_codebooks(
+    sample: np.ndarray, m: int, ksub: int, iters: int = 10
+) -> np.ndarray:
+    """Per-subspace k-means codebooks for product quantization [Jégou
+    et al. 2011, TPAMI]: split d dims into ``m`` contiguous subvectors
+    and fit ``ksub`` centroids in each — returns ``(m, ksub, d/m)``.
+    Deterministic (seeded :func:`_kmeans_lite` per subspace over the
+    same sample order)."""
+    n, d = sample.shape
+    if d % m != 0:
+        raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [
+            _kmeans_lite(
+                np.ascontiguousarray(sample[:, j * dsub : (j + 1) * dsub]),
+                k=ksub,
+                iters=iters,
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int | str = "auto",
+    sample_size: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via PRODUCT QUANTIZATION with exact
+    refinement — the FAISS-style compressed-domain scan, DataFrame-
+    shaped, completing the ANN family (brute force / SRP-LSH / IVF /
+    PQ):
+
+      1. codebooks from a deterministic sample (m subspaces x ksub
+         centroids over L2-normalized vectors, so L2 ranks like
+         cosine: ||a-b||^2 = 2 - 2cos on the unit sphere),
+      2. ENCODE: one Arrow pass maps each corpus vector to m small
+         codes — m bytes of quantized state per vector instead of
+         d*8, the ~64x memory compression that lets a 100 TB vector
+         corpus live scan-resident where raw vectors cannot,
+      3. ADC scan: per query a tiny (m x ksub) lookup table of
+         partial squared distances is built driver-side (queries are
+         a bounded set — the scalar-broadcast pattern); scoring the
+         corpus is pure table-gather adds over the codes, and each
+         Arrow batch emits only its local top-``shortlist`` per query
+         (map-side top-k: rows out are O(batches * queries *
+         shortlist), never corpus-sized),
+      4. REFINE: the per-query shortlist joins back to the raw
+         vectors (shortlist-sized, not corpus-sized) and exact
+         cosine re-ranks to the final top-k.
+
+    Determinism: codebooks and codes are pure functions of the data
+    (seeded fits, argmin ties to the lowest code); ADC scores are a
+    fixed-order 8-term float64 sum per row; every selection —
+    local batch top-R, global top-R, final top-k — orders by
+    (score, neighbor_id), a total order, so the result is identical
+    under any batch/partition split (the distributed top-k
+    invariant: a global top-R over per-batch top-Rs equals the top-R
+    over all rows).
+
+    Output: ``(query_id, rk, neighbor_id)`` — same shape as
+    :func:`cosine_topk_bruteforce`.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if shortlist == "auto":
+        # the ADC ranking error on structure-free (worst-case) data needs
+        # a shortlist that scales with the corpus: 5% keeps the refined
+        # top-k inside the exact top-20 on pure noise at every tested
+        # scale (real corpora with neighbor structure need far less)
+        shortlist = max(100, -(-corpus.count() // 20))
+    sample_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    if not sample_rows:
+        raise ValueError("pq_topk: empty corpus")
+    S = np.array([np.asarray(r[1], dtype=np.float64) for r in sample_rows])
+    norms = np.linalg.norm(S, axis=1)
+    S = S / np.where(norms == 0, 1.0, norms)[:, None]
+    d = S.shape[1]
+    dsub = d // m
+    books = pq_codebooks(S, m, ksub)  # (m, ksub, dsub)
+
+    code_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    b_sq = (books**2).sum(axis=2)  # (m, ksub)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            nrm = np.linalg.norm(V, axis=1)
+            V = V / np.where(nrm == 0, 1.0, nrm)[:, None]
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                sub = V[:, j * dsub : (j + 1) * dsub]
+                dist = (
+                    -2.0 * (sub @ books[j].T) + b_sq[j][None, :]
+                )  # + ||sub||^2 is rank-constant per row
+                codes[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].astype("int64"),
+                    "codes": list(codes),
+                }
+            )
+
+    coded = corpus.mapInPandas(encode, code_schema)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("pq_topk: empty queries")
+    q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1)
+    Q = Q / np.where(qn == 0, 1.0, qn)[:, None]
+    # per-query ADC tables: T[q, j, c] = ||q_j - book[j][c]||^2
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    ((Q[:, j * dsub : (j + 1) * dsub][qi] - books[j]) ** 2).sum(
+                        axis=1
+                    )
+                    for j in range(m)
+                ]
+            )
+            for qi in range(len(Q))
+        ]
+    )  # (nq, m, ksub)
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+    R = shortlist
+    excl = exclude_self
+
+    def adc_scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cols = np.arange(m)
+            out_q, out_i, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                s = tables[qi][cols[None, :], C].sum(axis=1)  # (n,)
+                mask = ids != q_ids[qi] if excl else np.ones(len(ids), bool)
+                sm, im = s[mask], ids[mask]
+                # local top-R by (score, id): lexsort is stable+total
+                order = np.lexsort((im, sm))[:R]
+                out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+                out_i.append(im[order])
+                out_s.append(sm[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_i),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    cand = coded.mapInPandas(adc_scan, adc_schema)
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cand.withColumn("__r", F.row_number().over(w_r))
+        .filter(F.col("__r") <= R)
+        .select("query_id", "neighbor_id")
+    )
+
+    nvec = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__vec").alias("nvec"),
+        F.col("__norm").alias("nnorm"),
+    )
+    qvec = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("qvec"),
+        F.col("__norm").alias("qnorm"),
+    )
+    refined = (
+        short.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "cos",
+            dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rk", F.row_number().over(w_k).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id")
+    )

@@ -3288,3 +3288,29 @@ _tail = [n for n in CORE_QUERIES if n not in set(DRIVER_WINDOW)]
 _snapshot = dict(CORE_QUERIES)
 CORE_QUERIES.clear()
 CORE_QUERIES.update({n: _snapshot[n] for n in (*DRIVER_WINDOW, *_tail)})
+
+
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, COMPRESSED-DOMAIN path (operators/similarity
+    pq_topk — Jégou et al. 2011 product quantization): per-subspace
+    codebooks quantize each vector to m=8 small codes (~64x less
+    scan-resident state than raw vectors), the ADC scan scores the
+    corpus by pure table-gather adds with map-side per-batch top-R,
+    and the per-query shortlist is re-ranked by the exact cosine.
+    Completes the ANN family: brute force / SRP-LSH / IVF / PQ.
+
+    Restated as the per-query recall summary (5 found, 0 outside the
+    full-corpus exact top-20) so it SHARES ann_topk_lsh/ivf's oracle.
+    Every selection orders by (score, neighbor_id) — a total order —
+    so the result is identical under any batch/partition split
+    (pinned in tests/test_extensions.py along with recall vs exact)."""
+    from .operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = pq_topk(emb, queries, k=5)
+    exact20 = cosine_topk_bruteforce(emb, queries, k=20)
+    return _topk_vs_exact_summary(approx, exact20)
+
+
+CORE_QUERIES["ann_topk_pq"] = (q_ann_topk_pq, SQL_ANN_SUMMARY)

@@ -98,6 +98,7 @@ QUERIES = [
     "semantic_dedup_distributed",
     "semantic_dedup_hierarchical",
     "histogram_rollup_quantiles",
+    "ann_topk_pq",
     "incremental_ann_index_update",
     "ivf_cohesion_audit",
     "doc_bigram_perplexity",

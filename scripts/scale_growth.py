@@ -65,6 +65,7 @@ QUERIES = [
     "embedding_gram",
     "basket_rules",
     "ann_topk_ivf_indexed",
+    "ann_topk_pq",
     # round-6 surface: distributed centroid fit, IVF lifecycle,
     # substring cut spans, classifier training
     "semantic_dedup_distributed",

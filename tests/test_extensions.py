@@ -924,3 +924,55 @@ def test_winnowing_rightmost_tie_selection(spark):
     h = int(hashlib.md5(b"z").hexdigest()[:8], 16)
     # windows [1..3] and [2..4]: all hashes equal -> rightmost pos wins
     assert got == {(3, h), (4, h)}
+
+
+def test_ann_pq_recall_and_split_invariance(emb):
+    """PQ/ADC with exact refinement: recall@5 vs brute force on the
+    uniform-noise worst case, every refined result inside the exact
+    top-20 (the registered summary's claim), and bit-identical output
+    under a different partitioning (total-order selections)."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pq_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = {
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in pq_topk(emb, queries, k=5).collect()
+    }
+    pairs = {(q, n) for q, _, n in approx}
+    exact5 = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    exact20 = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=20).collect()
+    }
+    assert len(approx) == 50
+    assert pairs <= exact20
+    recall = len(pairs & exact5) / len(exact5)
+    assert recall >= 0.5, f"PQ refined recall too low: {recall}"
+    again = {
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in pq_topk(emb.repartition(13), queries, k=5).collect()
+    }
+    assert approx == again
+
+
+def test_pq_codebooks_shape_and_determinism():
+    import numpy as np
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    S = rng.randn(300, 64)
+    b1 = pq_codebooks(S, m=8, ksub=16)
+    b2 = pq_codebooks(S.copy(), m=8, ksub=16)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(S, m=7, ksub=16)
