@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "streaming_dq_gate",
     "ann_topk_ivf_indexed",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "streaming_ann_probe",
     "sketch_rollup_users",
     # round 6: distributed centroid fit, IVF lifecycle, substring spans,

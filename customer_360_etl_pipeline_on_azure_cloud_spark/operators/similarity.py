@@ -1711,3 +1711,201 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "neighbor_id")
     )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int | str = "auto",
+    sample_size: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """The full FAISS IVFPQ construction [Jégou et al. 2011],
+    DataFrame-shaped: a coarse quantizer partitions the corpus into
+    cells, each vector's RESIDUAL (v - centroid) is product-quantized
+    to m codes, and a query ADC-scans only its ``nprobe`` nearest
+    cells — composing :func:`cosine_topk_ivf`'s candidate pruning
+    with :func:`pq_topk`'s compressed-domain scoring:
+
+      * cell pruning cuts candidates to ~nprobe/n_centroids of the
+        corpus BEFORE any scoring,
+      * residual PQ (codebooks fit on sample residuals, which are
+        smaller and better centered than raw vectors — the reason
+        IVFPQ encodes residuals) scores those candidates from m-byte
+        codes via per-(query, cell) lookup tables,
+      * the per-query shortlist re-ranks by exact cosine.
+
+    ADC tables are (nq * nprobe) x m x ksub doubles built driver-side
+    from the bounded query set (scalar-broadcast pattern); the scan is
+    one Arrow pass over the CELL-PRUNED code rows with map-side
+    per-batch top-R, so shuffle rows are O(batches * queries * R).
+    Determinism: all assignments are row-local argmins with
+    fixed-order inputs, scores are fixed-order m-term float64 sums,
+    and every selection orders by (score, neighbor_id) — output is
+    bit-identical under any partitioning (pytest-pinned).
+
+    Output: ``(query_id, rk, neighbor_id)``.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sample_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    if not sample_rows:
+        raise ValueError("cosine_topk_ivfpq: empty corpus")
+    if shortlist == "auto":
+        shortlist = max(100, -(-corpus.count() // 20))
+    S = np.array([np.asarray(r[1], dtype=np.float64) for r in sample_rows])
+    nrm = np.linalg.norm(S, axis=1)
+    S = S / np.where(nrm == 0, 1.0, nrm)[:, None]
+    d = S.shape[1]
+    if d % m != 0:
+        raise ValueError(f"cosine_topk_ivfpq: dim {d} not divisible by m={m}")
+    dsub = d // m
+    cents = _kmeans_lite(S, k=n_centroids)  # coarse quantizer (normalized)
+    c_sq = (cents**2).sum(axis=1)
+    assign_s = (-2.0 * (S @ cents.T) + c_sq[None, :]).argmin(axis=1)
+    books = pq_codebooks(S - cents[assign_s], m, ksub)  # residual codebooks
+    b_sq = (books**2).sum(axis=2)
+
+    code_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n_ = np.linalg.norm(V, axis=1)
+            V = V / np.where(n_ == 0, 1.0, n_)[:, None]
+            cell = (-2.0 * (V @ cents.T) + c_sq[None, :]).argmin(axis=1)
+            R_ = V - cents[cell]
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                sub = R_[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (-2.0 * (sub @ books[j].T) + b_sq[j][None, :]).argmin(
+                    axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    "cell": cell.astype(np.int32),
+                    "neighbor_id": pdf[id_col].astype("int64"),
+                    "codes": list(codes),
+                }
+            )
+
+    coded = corpus.mapInPandas(encode, code_schema)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("cosine_topk_ivfpq: empty queries")
+    q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1)
+    Q = Q / np.where(qn == 0, 1.0, qn)[:, None]
+    qcells = np.argsort(-2.0 * (Q @ cents.T) + c_sq[None, :], axis=1)[:, :nprobe]
+    # per (query, probed cell) residual ADC table: T[j, c] =
+    # ||(q - centroid)_j - book[j][c]||^2
+    tabmap = {}
+    for qi in range(len(Q)):
+        for cell in qcells[qi]:
+            res = Q[qi] - cents[cell]
+            tabmap[(qi, int(cell))] = np.stack(
+                [
+                    ((res[j * dsub : (j + 1) * dsub] - books[j]) ** 2).sum(axis=1)
+                    for j in range(m)
+                ]
+            )
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+    R_cap = int(shortlist)
+    excl = exclude_self
+    probes = {}
+    for qi in range(len(Q)):
+        for cell in qcells[qi]:
+            probes.setdefault(int(cell), []).append(qi)
+
+    def adc_scan(batches):
+        cols = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_q, out_i, out_s = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                qis = probes.get(int(cell))
+                if not qis:
+                    continue
+                C = np.array(list(grp["codes"]), dtype=np.int64)
+                ids = grp["neighbor_id"].to_numpy(dtype=np.int64)
+                for qi in qis:
+                    s = tabmap[(qi, int(cell))][cols[None, :], C].sum(axis=1)
+                    mask = ids != q_ids[qi] if excl else np.ones(len(ids), bool)
+                    sm, im = s[mask], ids[mask]
+                    order = np.lexsort((im, sm))[:R_cap]
+                    out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+                    out_i.append(im[order])
+                    out_s.append(sm[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_i),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    cand = coded.mapInPandas(adc_scan, adc_schema)
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cand.withColumn("__r", F.row_number().over(w_r))
+        .filter(F.col("__r") <= R_cap)
+        .select("query_id", "neighbor_id")
+    )
+    nvec = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__vec").alias("nvec"),
+        F.col("__norm").alias("nnorm"),
+    )
+    qvec = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("qvec"),
+        F.col("__norm").alias("qnorm"),
+    )
+    refined = (
+        short.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "cos",
+            dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rk", F.row_number().over(w_k).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id")
+    )

@@ -3314,3 +3314,29 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORE_QUERIES["ann_topk_pq"] = (q_ann_topk_pq, SQL_ANN_SUMMARY)
+
+
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL FAISS IVFPQ construction (operators/similarity
+    cosine_topk_ivfpq — Jégou et al. 2011): coarse cells prune
+    candidates to ~nprobe/n_centroids of the corpus BEFORE scoring,
+    residual product-quantization scores the survivors from m-byte
+    codes via per-(query, cell) ADC tables, exact cosine re-ranks the
+    shortlist — the composition of ann_topk_ivf's pruning with
+    ann_topk_pq's compressed-domain scan, and the construction that
+    serves billion-vector corpora in practice.
+
+    Restated as the per-query recall summary (5 found, 0 outside the
+    full-corpus exact top-20), sharing the ANN family's oracle.
+    Split-invariance and recall vs brute force are pinned in
+    tests/test_extensions.py."""
+    from .operators.similarity import cosine_topk_ivfpq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = cosine_topk_ivfpq(emb, queries, k=5, n_centroids=16, nprobe=6)
+    exact20 = cosine_topk_bruteforce(emb, queries, k=20)
+    return _topk_vs_exact_summary(approx, exact20)
+
+
+CORE_QUERIES["ann_topk_ivfpq"] = (q_ann_topk_ivfpq, SQL_ANN_SUMMARY)

@@ -99,6 +99,7 @@ QUERIES = [
     "semantic_dedup_hierarchical",
     "histogram_rollup_quantiles",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "incremental_ann_index_update",
     "ivf_cohesion_audit",
     "doc_bigram_perplexity",

@@ -66,6 +66,7 @@ QUERIES = [
     "basket_rules",
     "ann_topk_ivf_indexed",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     # round-6 surface: distributed centroid fit, IVF lifecycle,
     # substring cut spans, classifier training
     "semantic_dedup_distributed",

@@ -976,3 +976,39 @@ def test_pq_codebooks_shape_and_determinism():
     assert np.array_equal(b1, b2)
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebooks(S, m=7, ksub=16)
+
+
+def test_ann_ivfpq_recall_and_split_invariance(emb):
+    """IVFPQ (cells -> residual-PQ ADC -> exact refine): recall@5 vs
+    brute force on uniform noise, every result inside the exact
+    top-20, bit-identical under a different partitioning."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivfpq,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = {
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in cosine_topk_ivfpq(
+            emb, queries, k=5, n_centroids=16, nprobe=6
+        ).collect()
+    }
+    pairs = {(q, n) for q, _, n in approx}
+    exact5 = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    exact20 = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=20).collect()
+    }
+    assert len(approx) == 50 and pairs <= exact20
+    assert len(pairs & exact5) / len(exact5) >= 0.5
+    again = {
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in cosine_topk_ivfpq(
+            emb.repartition(11), queries, k=5, n_centroids=16, nprobe=6
+        ).collect()
+    }
+    assert approx == again
