@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "ann_topk_ivf_indexed",
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    "ann_topk_ivfpq_indexed",
     "streaming_ann_probe",
     "sketch_rollup_users",
     # round 6: distributed centroid fit, IVF lifecycle, substring spans,
@@ -185,6 +186,7 @@ BENCH_QUERIES = [
 #: (VERDICT r5 item 5). Totals (the gate ratio input) are unchanged.
 PHASED_QUERIES = [
     "ann_topk_ivf_indexed",
+    "ann_topk_ivfpq_indexed",
     "incremental_corpus_dedup_indexed",
     "incremental_ann_index_update",
     "streaming_ann_probe",

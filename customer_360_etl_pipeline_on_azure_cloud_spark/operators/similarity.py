@@ -1017,8 +1017,24 @@ def compact_ivf_index(spark, name: str) -> dict[str, int]:
     ``__compact``; nothing deleted before its replacement is live).
     Centroids and meta are single-write tables and never need
     compaction.  Returns ``{table: files_after}``."""
+    return _compact_cell_table(spark, f"{name}_cells")
+
+
+def compact_ivfpq_index(spark, name: str) -> dict[str, int]:
+    """Compact ``{name}_codes`` after :func:`append_ivfpq_index`
+    batches — the identical one-file-per-bucket, zero-shuffle,
+    recoverable-swap recipe as :func:`compact_ivf_index` (probe
+    bit-identity across compaction is test-pinned).  Quantizer tables
+    are single-write and never need compaction."""
+    return _compact_cell_table(spark, f"{name}_codes")
+
+
+def _compact_cell_table(spark, table: str) -> dict[str, int]:
+    """One-file-per-bucket rewrite of a cell-bucketed table with the
+    rename-out/rename-in/drop-last swap (crash at any step leaves the
+    data live under the public name, ``__old``, or ``__compact``)."""
     out: dict[str, int] = {}
-    table, cols = f"{name}_cells", ["cell"]
+    cols = ["cell"]
     auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     prev_auto = spark.conf.get(auto_key, "true")
     spark.conf.set(auto_key, "false")
@@ -1713,69 +1729,55 @@ def pq_topk(
     )
 
 
-def cosine_topk_ivfpq(
+def _ivfpq_fit(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    m: int = 8,
-    ksub: int = 16,
-    shortlist: int | str = "auto",
-    sample_size: int = 2000,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    exclude_self: bool = True,
-) -> DataFrame:
-    """The full FAISS IVFPQ construction [Jégou et al. 2011],
-    DataFrame-shaped: a coarse quantizer partitions the corpus into
-    cells, each vector's RESIDUAL (v - centroid) is product-quantized
-    to m codes, and a query ADC-scans only its ``nprobe`` nearest
-    cells — composing :func:`cosine_topk_ivf`'s candidate pruning
-    with :func:`pq_topk`'s compressed-domain scoring:
-
-      * cell pruning cuts candidates to ~nprobe/n_centroids of the
-        corpus BEFORE any scoring,
-      * residual PQ (codebooks fit on sample residuals, which are
-        smaller and better centered than raw vectors — the reason
-        IVFPQ encodes residuals) scores those candidates from m-byte
-        codes via per-(query, cell) lookup tables,
-      * the per-query shortlist re-ranks by exact cosine.
-
-    ADC tables are (nq * nprobe) x m x ksub doubles built driver-side
-    from the bounded query set (scalar-broadcast pattern); the scan is
-    one Arrow pass over the CELL-PRUNED code rows with map-side
-    per-batch top-R, so shuffle rows are O(batches * queries * R).
-    Determinism: all assignments are row-local argmins with
-    fixed-order inputs, scores are fixed-order m-term float64 sums,
-    and every selection orders by (score, neighbor_id) — output is
-    bit-identical under any partitioning (pytest-pinned).
-
-    Output: ``(query_id, rk, neighbor_id)``.
-    """
-    import pandas as pd
-    from pyspark.sql import types as T
-
+    n_centroids: int,
+    m: int,
+    ksub: int,
+    sample_size: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit the IVFPQ quantizer pair from the deterministic ordered
+    sample: coarse centroids over L2-normalized vectors + RESIDUAL
+    product-quantization codebooks (residuals v - centroid are
+    smaller and better centered than raw vectors — the reason IVFPQ
+    encodes them).  Returns ``(centroids (k, d), books (m, ksub,
+    d/m))``."""
     sample_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
     )
     if not sample_rows:
-        raise ValueError("cosine_topk_ivfpq: empty corpus")
-    if shortlist == "auto":
-        shortlist = max(100, -(-corpus.count() // 20))
+        raise ValueError("ivfpq: empty corpus")
     S = np.array([np.asarray(r[1], dtype=np.float64) for r in sample_rows])
     nrm = np.linalg.norm(S, axis=1)
     S = S / np.where(nrm == 0, 1.0, nrm)[:, None]
     d = S.shape[1]
     if d % m != 0:
-        raise ValueError(f"cosine_topk_ivfpq: dim {d} not divisible by m={m}")
-    dsub = d // m
-    cents = _kmeans_lite(S, k=n_centroids)  # coarse quantizer (normalized)
+        raise ValueError(f"ivfpq: dim {d} not divisible by m={m}")
+    cents = _kmeans_lite(S, k=n_centroids)
     c_sq = (cents**2).sum(axis=1)
     assign_s = (-2.0 * (S @ cents.T) + c_sq[None, :]).argmin(axis=1)
-    books = pq_codebooks(S - cents[assign_s], m, ksub)  # residual codebooks
-    b_sq = (books**2).sum(axis=2)
+    books = pq_codebooks(S - cents[assign_s], m, ksub)
+    return cents, books
 
+
+def _ivfpq_encode(
+    corpus: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One Arrow pass: ``(cell, neighbor_id, codes)`` — each vector
+    assigned to its nearest coarse cell, its residual quantized to m
+    codes (row-local argmins: split-invariant)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m, _, dsub = books.shape
+    c_sq = (cents**2).sum(axis=1)
+    b_sq = (books**2).sum(axis=2)
     code_schema = T.StructType(
         [
             T.StructField("cell", T.IntegerType()),
@@ -1796,9 +1798,9 @@ def cosine_topk_ivfpq(
             codes = np.empty((len(V), m), dtype=np.int32)
             for j in range(m):
                 sub = R_[:, j * dsub : (j + 1) * dsub]
-                codes[:, j] = (-2.0 * (sub @ books[j].T) + b_sq[j][None, :]).argmin(
-                    axis=1
-                )
+                codes[:, j] = (
+                    -2.0 * (sub @ books[j].T) + b_sq[j][None, :]
+                ).argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "cell": cell.astype(np.int32),
@@ -1807,19 +1809,44 @@ def cosine_topk_ivfpq(
                 }
             )
 
-    coded = corpus.mapInPandas(encode, code_schema)
+    return corpus.mapInPandas(encode, code_schema)
 
+
+def _ivfpq_probe(
+    coded: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+    cell_filter: bool = False,
+) -> DataFrame:
+    """ADC-scan the probed cells' code rows (map-side per-batch top-R)
+    and refine the per-query shortlist with the exact cosine against
+    ``corpus`` (the raw-vector store — PQ indexes deliberately do not
+    hold raw vectors).  ``cell_filter=True`` pushes a ``cell IN
+    (probed)`` predicate into the coded scan — on a cell-bucketed
+    index table that enables bucket pruning."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m, _, dsub = books.shape
+    c_sq = (cents**2).sum(axis=1)
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
-        raise ValueError("cosine_topk_ivfpq: empty queries")
+        raise ValueError("ivfpq: empty queries")
     q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qn = np.linalg.norm(Q, axis=1)
     Q = Q / np.where(qn == 0, 1.0, qn)[:, None]
     qcells = np.argsort(-2.0 * (Q @ cents.T) + c_sq[None, :], axis=1)[:, :nprobe]
-    # per (query, probed cell) residual ADC table: T[j, c] =
-    # ||(q - centroid)_j - book[j][c]||^2
     tabmap = {}
+    probes: dict[int, list[int]] = {}
     for qi in range(len(Q)):
         for cell in qcells[qi]:
             res = Q[qi] - cents[cell]
@@ -1829,6 +1856,12 @@ def cosine_topk_ivfpq(
                     for j in range(m)
                 ]
             )
+            probes.setdefault(int(cell), []).append(qi)
+
+    if cell_filter:
+        coded = coded.filter(
+            F.col("cell").isin([int(c) for c in probes])
+        )
 
     adc_schema = T.StructType(
         [
@@ -1839,10 +1872,6 @@ def cosine_topk_ivfpq(
     )
     R_cap = int(shortlist)
     excl = exclude_self
-    probes = {}
-    for qi in range(len(Q)):
-        for cell in qcells[qi]:
-            probes.setdefault(int(cell), []).append(qi)
 
     def adc_scan(batches):
         cols = np.arange(m)
@@ -1908,4 +1937,227 @@ def cosine_topk_ivfpq(
         refined.withColumn("rk", F.row_number().over(w_k).cast("long"))
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "neighbor_id")
+    )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int | str = "auto",
+    sample_size: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """The full FAISS IVFPQ construction [Jégou et al. 2011],
+    DataFrame-shaped: a coarse quantizer partitions the corpus into
+    cells, each vector's RESIDUAL (v - centroid) is product-quantized
+    to m codes, and a query ADC-scans only its ``nprobe`` nearest
+    cells — composing :func:`cosine_topk_ivf`'s candidate pruning
+    with :func:`pq_topk`'s compressed-domain scoring:
+
+      * cell pruning cuts candidates to ~nprobe/n_centroids of the
+        corpus BEFORE any scoring,
+      * residual PQ (codebooks fit on sample residuals, which are
+        smaller and better centered than raw vectors — the reason
+        IVFPQ encodes residuals) scores those candidates from m-byte
+        codes via per-(query, cell) lookup tables,
+      * the per-query shortlist re-ranks by exact cosine.
+
+    ADC tables are (nq * nprobe) x m x ksub doubles built driver-side
+    from the bounded query set (scalar-broadcast pattern); the scan is
+    one Arrow pass over the CELL-PRUNED code rows with map-side
+    per-batch top-R, so shuffle rows are O(batches * queries * R).
+    Determinism: all assignments are row-local argmins with
+    fixed-order inputs, scores are fixed-order m-term float64 sums,
+    and every selection orders by (score, neighbor_id) — output is
+    bit-identical under any partitioning (pytest-pinned).
+
+    For a standing corpus, persist the codes once with
+    :func:`write_ivfpq_index` and probe with
+    :func:`cosine_topk_ivfpq_indexed` (bit-identical, test-pinned).
+
+    Output: ``(query_id, rk, neighbor_id)``.
+    """
+    if shortlist == "auto":
+        shortlist = max(100, -(-corpus.count() // 20))
+    cents, books = _ivfpq_fit(
+        corpus, n_centroids, m, ksub, sample_size, id_col, vec_col
+    )
+    coded = _ivfpq_encode(corpus, cents, books, id_col, vec_col)
+    return _ivfpq_probe(
+        coded, cents, books, corpus, queries, k, nprobe, int(shortlist),
+        id_col, vec_col, exclude_self,
+    )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    name: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    num_buckets: int = 8,
+    sample_size: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVFPQ index as managed tables — the compressed
+    sibling of :func:`write_ivf_index`:
+
+    * ``{name}_codes``     (cell, neighbor_id, codes), bucketed by
+      cell — m ints per vector instead of raw doubles+norms, the
+      ~64x smaller standing state that makes a billion-vector index
+      scan-resident; the probed-cell filter enables bucket pruning;
+    * ``{name}_centroids`` (cell, centroid) — the coarse quantizer;
+    * ``{name}_books``     (subspace, code, centroid) — the m*ksub
+      residual codebook rows;
+    * ``{name}_meta``      construction parameters, so probes can't
+      silently mix quantizers.
+
+    Raw vectors are deliberately NOT stored (the point of PQ);
+    :func:`cosine_topk_ivfpq_indexed` takes the raw-vector table for
+    its exact refinement step.  As with the IVF index, a fresh build
+    fits fresh data-dependent quantizers, so only ``mode="overwrite"``
+    is valid; daily arrivals go through :func:`append_ivfpq_index`
+    (stored quantizers reused), and ``compact_ivf_index``'s swap
+    recipe applies to ``{name}_codes`` unchanged.
+    """
+    from .skew import write_bucketed
+
+    spark = corpus.sparkSession
+    if mode != "overwrite":
+        raise ValueError(
+            "write_ivfpq_index: only mode='overwrite' is valid — a "
+            "fresh build fits fresh quantizers; append daily arrivals "
+            "with append_ivfpq_index instead"
+        )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for t in (
+        f"{name}_codes", f"{name}_centroids", f"{name}_books", f"{name}_meta"
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        path = spark._jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{t.lower()}")
+        fs = path.getFileSystem(hconf)
+        if fs.exists(path):
+            fs.delete(path, True)
+    cents, books = _ivfpq_fit(
+        corpus, n_centroids, m, ksub, sample_size, id_col, vec_col
+    )
+    coded = _ivfpq_encode(corpus, cents, books, id_col, vec_col)
+    write_bucketed(
+        coded, f"{name}_codes",
+        bucket_by="cell", num_buckets=num_buckets, sort_by="cell", mode=mode,
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).write.mode(mode).saveAsTable(f"{name}_centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).write.mode(mode).saveAsTable(f"{name}_books")
+    spark.createDataFrame(
+        [(len(cents), int(books.shape[0]), int(books.shape[1]), sample_size)],
+        "n_centroids int, m int, ksub int, sample_size int",
+    ).write.mode(mode).saveAsTable(f"{name}_meta")
+
+
+def read_ivfpq_index(spark, name: str):
+    """Open a persisted IVFPQ index: returns ``(codes DataFrame,
+    centroids ndarray, books ndarray, meta Row)``.  Both quantizers
+    are driver-sized by construction (n_centroids x d + m x ksub x
+    d/m doubles)."""
+    metas = spark.table(f"{name}_meta").collect()
+    if len(metas) != 1:
+        raise ValueError(
+            f"read_ivfpq_index: {name}_meta has {len(metas)} rows — "
+            "corrupted (a valid index has exactly one; "
+            "append_ivfpq_index never adds meta rows)"
+        )
+    meta = metas[0]
+    cents = np.array(
+        [
+            list(r.centroid)
+            for r in sorted(
+                spark.table(f"{name}_centroids").collect(),
+                key=lambda r: r.cell,
+            )
+        ]
+    )
+    brows = sorted(
+        spark.table(f"{name}_books").collect(),
+        key=lambda r: (r.subspace, r.code),
+    )
+    dsub = len(brows[0].centroid)
+    books = np.array([list(r.centroid) for r in brows]).reshape(
+        meta.m, meta.ksub, dsub
+    )
+    return spark.table(f"{name}_codes"), cents, books, meta
+
+
+def append_ivfpq_index(
+    new_vectors: DataFrame,
+    name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append daily arrivals to a persisted IVFPQ index: the STORED
+    coarse centroids and residual codebooks are reused — arrivals are
+    encoded in one Arrow pass over the batch only and land in
+    ``{name}_codes`` as a per-bucket file append.  Standing code rows
+    are never re-read or re-encoded, and the quantizer tables are
+    untouched, so every probe before and after sees the SAME
+    quantizers (the append_ivf_index contract, compressed form)."""
+    from .skew import write_bucketed
+
+    spark = new_vectors.sparkSession
+    _, cents, books, _meta = read_ivfpq_index(spark, name)
+    describe = spark.sql(f"DESCRIBE FORMATTED {name}_codes").collect()
+    info = {r.col_name.strip(): (r.data_type or "").strip() for r in describe}
+    num_buckets = int(info["Num Buckets"])
+    coded = _ivfpq_encode(new_vectors, cents, books, id_col, vec_col)
+    write_bucketed(
+        coded, f"{name}_codes",
+        bucket_by="cell", num_buckets=num_buckets, sort_by="cell",
+        mode="append",
+    )
+
+
+def cosine_topk_ivfpq_indexed(
+    name: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int | str = "auto",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a persisted IVFPQ index: same semantics (and bit-identical
+    results when the index was built from ``corpus`` — test-pinned) as
+    :func:`cosine_topk_ivfpq`, without re-fitting or re-encoding
+    anything.  ``corpus`` here is the RAW-VECTOR store consulted only
+    by the exact refinement join (shortlist-sized row set); the scan
+    side touches only the cell-bucketed code rows, with the
+    probed-cell predicate pushed into the scan for bucket pruning."""
+    spark = corpus.sparkSession
+    coded, cents, books, _meta = read_ivfpq_index(spark, name)
+    if shortlist == "auto":
+        shortlist = max(100, -(-coded.count() // 20))
+    return _ivfpq_probe(
+        coded, cents, books, corpus, queries, k, nprobe, int(shortlist),
+        id_col, vec_col, exclude_self, cell_filter=True,
     )

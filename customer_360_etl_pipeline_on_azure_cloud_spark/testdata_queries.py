@@ -3340,3 +3340,45 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORE_QUERIES["ann_topk_ivfpq"] = (q_ann_topk_ivfpq, SQL_ANN_SUMMARY)
+
+
+def q_ann_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ index LIFECYCLE (operators/similarity write_ivfpq_index /
+    append_ivfpq_index / cosine_topk_ivfpq_indexed): day 0 builds the
+    persisted compressed index from the standing corpus (3/4 of the
+    embeddings — m-byte residual codes bucketed by coarse cell, raw
+    vectors deliberately NOT stored), the day's arrivals are APPENDED
+    under the STORED quantizers (one Arrow pass over the batch only,
+    per-bucket file appends, quantizer tables untouched), and the
+    post-append probe ADC-scans the probed cells' code buckets before
+    exact-cosine refinement against the raw table.  The compressed
+    sibling of incremental_ann_index_update.
+
+    Restated as the per-query recall summary, sharing the ANN family
+    oracle.  Probe bit-identity to the in-memory form, bit-identity
+    across compact_ivfpq_index, and append coverage are pinned in
+    tests/test_extensions.py."""
+    from .operators.similarity import (
+        append_ivfpq_index,
+        cosine_topk_ivfpq_indexed,
+        write_ivfpq_index,
+    )
+    from .phases import phase
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    standing = emb.filter(F.col("vec_id") % 4 != 3)
+    arrivals = emb.filter(F.col("vec_id") % 4 == 3)
+    name = "q_ivfpq_incr"
+    with phase("build"):
+        write_ivfpq_index(standing, name, n_centroids=16)
+        append_ivfpq_index(arrivals, name)
+    with phase("probe"):
+        approx = cosine_topk_ivfpq_indexed(name, emb, queries, k=5, nprobe=8)
+        exact20 = cosine_topk_bruteforce(emb, queries, k=20)
+        return _topk_vs_exact_summary(approx, exact20)
+
+
+CORE_QUERIES["ann_topk_ivfpq_indexed"] = (q_ann_topk_ivfpq_indexed, SQL_ANN_SUMMARY)

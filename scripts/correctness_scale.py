@@ -100,6 +100,7 @@ QUERIES = [
     "histogram_rollup_quantiles",
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    "ann_topk_ivfpq_indexed",
     "incremental_ann_index_update",
     "ivf_cohesion_audit",
     "doc_bigram_perplexity",

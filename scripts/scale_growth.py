@@ -67,6 +67,7 @@ QUERIES = [
     "ann_topk_ivf_indexed",
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    "ann_topk_ivfpq_indexed",
     # round-6 surface: distributed centroid fit, IVF lifecycle,
     # substring cut spans, classifier training
     "semantic_dedup_distributed",

@@ -1012,3 +1012,72 @@ def test_ann_ivfpq_recall_and_split_invariance(emb):
         ).collect()
     }
     assert approx == again
+
+
+def test_ivfpq_index_lifecycle(spark, emb):
+    """Persisted IVFPQ: indexed probe bit-identical to the in-memory
+    form when built from the same corpus; append encodes arrivals
+    under the STORED quantizers (quantizer tables untouched, probe
+    serves the full corpus); compaction leaves the probe bit-identical
+    with one file per bucket; a fresh build rejects mode='append'."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        append_ivfpq_index,
+        compact_ivfpq_index,
+        cosine_topk_ivfpq,
+        cosine_topk_ivfpq_indexed,
+        write_ivfpq_index,
+    )
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = e.filter(F.col("vec_id") < 10)
+    mem = sorted(
+        map(tuple, cosine_topk_ivfpq(e, queries, k=5, n_centroids=16, nprobe=6).collect())
+    )
+    write_ivfpq_index(e, "t_pytest_ivfpq", n_centroids=16)
+    idx = sorted(
+        map(
+            tuple,
+            cosine_topk_ivfpq_indexed(
+                "t_pytest_ivfpq", e, queries, k=5, nprobe=6
+            ).collect(),
+        )
+    )
+    assert idx == mem
+
+    with pytest.raises(ValueError, match="append_ivfpq_index"):
+        write_ivfpq_index(e, "t_pytest_ivfpq", mode="append")
+
+    standing = e.filter(F.col("vec_id") % 4 != 3)
+    arrivals = e.filter(F.col("vec_id") % 4 == 3)
+    write_ivfpq_index(standing, "t_pytest_ivfpq2", n_centroids=16)
+    books_before = sorted(
+        map(tuple, spark.table("t_pytest_ivfpq2_books").collect())
+    )
+    append_ivfpq_index(arrivals, "t_pytest_ivfpq2")
+    assert (
+        sorted(map(tuple, spark.table("t_pytest_ivfpq2_books").collect()))
+        == books_before
+    )
+    coded = spark.table("t_pytest_ivfpq2_codes")
+    assert coded.count() == e.count()
+    pre = sorted(
+        map(
+            tuple,
+            cosine_topk_ivfpq_indexed(
+                "t_pytest_ivfpq2", e, queries, k=5, nprobe=8
+            ).collect(),
+        )
+    )
+    res = compact_ivfpq_index(spark, "t_pytest_ivfpq2")
+    post = sorted(
+        map(
+            tuple,
+            cosine_topk_ivfpq_indexed(
+                "t_pytest_ivfpq2", e, queries, k=5, nprobe=8
+            ).collect(),
+        )
+    )
+    assert post == pre
+    assert res["t_pytest_ivfpq2_codes"] <= 8  # one file per bucket
