@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "streaming_quality_gate",
     "corpus_curation_report",
     "histogram_rollup_quantiles",
+    "source_kl_divergence",
+    "training_shard_manifest",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

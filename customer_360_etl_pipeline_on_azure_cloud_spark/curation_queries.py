@@ -1073,3 +1073,153 @@ FROM prods GROUP BY i, j
 """
 
 CURATION_QUERIES["embedding_gram"] = (q_embedding_gram, SQL_EMBEDDING_GRAM)
+
+
+# --- per-source distribution drift (KL divergence vs the corpus) ------------
+
+
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: KL(P_source || P_corpus) in
+    nats for every source, plus the integer mass/vocabulary counts the
+    divergence derives from.  This is the mixture-monitoring metric a
+    corpus build tracks per ingest wave — a source whose divergence
+    jumps is drifting away from the blend the model was tuned on, and
+    the per-source rows feed directly into reweighting decisions
+    (source_mixture_plan consumes the same per-source aggregates).
+
+    KL sums over the SOURCE's support only (p_s(w) = 0 terms vanish in
+    the limit), so no smoothing constant enters and every input is an
+    integer count: term_w = (c_sw/n_s) * (ln c_sw + ln N - ln C_w -
+    ln n_s).
+
+    Plan shape: one explode feeds a (source, token) hash aggregate
+    (partial map-side combine); the corpus count table re-aggregates
+    FROM those rows (no second corpus scan) and is vocabulary-sized ->
+    broadcast; per-source totals and the corpus total ride broadcasts
+    too, so the only corpus-proportional shuffle is the first
+    aggregate.  Per-source state is bounded by the vocabulary (low
+    millions even at 100 TB — same bound the unigram-LM broadcast
+    relies on), not by the corpus.
+
+    Cross-engine exactness: ``ln`` is NOT bit-portable (the JVM's
+    fdlibm log and glibc's differ by 1 ulp on many integer inputs —
+    ln(3) among them, measured in this container), so the divergence
+    double stays INTERNAL: the emitted column is ``drift_rank``
+    (BIGINT, KL desc with source tiebreak) — the doc_lm_perplexity
+    scheme.  The pinned-order fold (array_sort + left fold == DuckDB
+    list_reduce over an ORDER BY w list) still makes each engine's
+    sum deterministic under any partitioning, and inter-source KL
+    gaps (~1e-3 nats on this corpus) dwarf ulp noise, so the rank is
+    engine-stable.  A pure-Python third implementation is pinned in
+    tests/test_curation.py.
+    """
+    from .operators.text import source_kl_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_kl_rank(docs, group_col="source", text_col="text")
+
+
+SQL_SOURCE_KL_DIVERGENCE = """
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), sc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY source, w
+), corp AS (
+  SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM sc GROUP BY w
+), ns AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_terms
+  FROM sc GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(cw) AS BIGINT) AS n FROM corp
+), terms AS (
+  SELECT sc.source, sc.w,
+         (sc.c::DOUBLE / ns.n_tokens::DOUBLE)
+           * (ln(sc.c::DOUBLE) + ln(tot.n::DOUBLE)
+              - ln(corp.cw::DOUBLE) - ln(ns.n_tokens::DOUBLE)) AS term
+  FROM sc
+  JOIN corp ON sc.w = corp.w
+  JOIN ns ON sc.source = ns.source
+  CROSS JOIN tot
+), agg AS (
+  SELECT source,
+         list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY w)),
+                     (a, b) -> a + b) AS kl_nat
+  FROM terms GROUP BY source
+)
+SELECT ns.source, ns.n_tokens, ns.vocab_terms,
+       CAST(ROW_NUMBER() OVER (ORDER BY agg.kl_nat DESC, ns.source)
+            AS BIGINT) AS drift_rank
+FROM ns JOIN agg ON ns.source = agg.source
+"""
+
+CURATION_QUERIES["source_kl_divergence"] = (
+    q_source_kl_divergence,
+    SQL_SOURCE_KL_DIVERGENCE,
+)
+
+
+# --- deterministic epoch-shuffle shard manifest ------------------------------
+
+_SHARD_EPOCH = 1
+_N_SHARDS = 8
+
+
+def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch shuffling as a manifest: every document gets a
+    deterministic pseudo-random 32-bit key from md5(epoch || doc_id),
+    the key's residue picks one of N shards, and rank within the shard
+    is the key order — so each epoch is a different, reproducible
+    global permutation and a trainer can stream shard s of epoch e
+    with no coordination beyond (e, s).  This is the "global shuffle"
+    step between packing and training that a naive pipeline does with
+    ORDER BY rand() (non-reproducible, one total sort).
+
+    Plan shape: the key and shard are narrow in-row expressions; the
+    only shuffle is the per-shard rank window — a sort of 1/N of the
+    corpus per shard, which at 100 TB is the honest (and
+    embarrassingly parallel) cost of materializing within-shard order.
+    Per-epoch re-manifest touches only this column set, never the
+    text.
+
+    Exactness: md5-derived keys are engine-portable (the repo's gate
+    idiom), ranks are BIGINT, ties impossible (key collisions broken
+    by doc_id).  Epoch-permutation, coverage, and contiguity
+    properties are pinned in tests/test_curation.py.
+    """
+    from .operators.sampling import shard_manifest
+    from .operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("ntok")
+    )
+    return shard_manifest(
+        docs,
+        "doc_id",
+        epoch=_SHARD_EPOCH,
+        n_shards=_N_SHARDS,
+        carry_cols=("ntok",),
+    )
+
+
+SQL_TRAINING_SHARD_MANIFEST = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok,
+         CAST(concat('0x',
+              substr(md5(CAST(doc_id AS VARCHAR) || 'epoch{_SHARD_EPOCH}:'),
+                     1, 8)) AS BIGINT) AS k
+  FROM documents
+)
+SELECT doc_id, CAST(k % {_N_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY k % {_N_SHARDS}
+                               ORDER BY k, doc_id) AS BIGINT) AS pos_in_shard,
+       ntok
+FROM d
+"""
+
+CURATION_QUERIES["training_shard_manifest"] = (
+    q_training_shard_manifest,
+    SQL_TRAINING_SHARD_MANIFEST,
+)

@@ -189,3 +189,40 @@ def leakage_safe_split(
         "id", "component"
     )
     return split_assign(comp, "component", fractions, salt=salt)
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    epoch: int = 1,
+    n_shards: int = 8,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Deterministic epoch-shuffle manifest: md5(key || "epoch{e}:")
+    yields a 32-bit sort key; its residue mod ``n_shards`` is the
+    shard, and rank within the shard (key order, key_col tiebreak) is
+    the read position — so every epoch is a fresh, reproducible global
+    permutation and a trainer streams shard s of epoch e with no
+    coordination beyond (e, s).  Replaces the non-reproducible ORDER
+    BY rand() global shuffle.
+
+    Scale: key/shard are narrow in-row expressions; the only shuffle
+    is the per-shard rank window — a sort of 1/n_shards of the corpus
+    per shard, embarrassingly parallel across shards.  Re-manifesting
+    an epoch touches only (key, carry) columns, never the payload.
+
+    Exactness: the md5 gate is engine-portable (module docstring);
+    ranks are BIGINT; ties impossible (hash collisions broken by the
+    key itself).
+    """
+    from pyspark.sql import Window
+
+    d = df.select(key_col, *carry_cols).withColumn(
+        "__k", gate_int(F.col(key_col), salt=f"epoch{epoch}:")
+    )
+    w = Window.partitionBy("shard").orderBy("__k", key_col)
+    return (
+        d.withColumn("shard", (F.col("__k") % n_shards).cast("long"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .select(key_col, "shard", "pos_in_shard", *carry_cols)
+    )

@@ -907,3 +907,79 @@ def hashed_linear_score_trained(
         )
         .drop("__wmap")
     )
+
+
+def source_kl_rank(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group token-distribution drift: KL(P_group || P_corpus) in
+    nats, emitted as a BIGINT rank (KL desc, group tiebreak) plus the
+    integer mass/vocabulary counts it derives from.  The mixture-
+    monitoring metric a corpus build tracks per ingest wave.
+
+    KL sums over the GROUP's support only (p_g(w) = 0 terms vanish in
+    the limit), so no smoothing constant enters and every input is an
+    integer count: term_w = (c_gw/n_g) * (ln c_gw + ln N - ln C_w -
+    ln n_g).
+
+    Plan shape: one explode feeds a (group, token) hash aggregate
+    (map-side combine); the corpus count table re-aggregates FROM
+    those rows (no second corpus scan) and is vocabulary-sized ->
+    broadcast, as are the per-group totals and the corpus total, so
+    the only corpus-proportional shuffle is the first aggregate.
+    Per-group state is bounded by the vocabulary (low millions even at
+    100 TB — the unigram-LM broadcast's bound), not by the corpus.
+
+    Exactness: ``ln`` is NOT bit-portable across engines (the JVM's
+    fdlibm log and glibc's differ by 1 ulp on many integer inputs, ln(3)
+    among them — measured), so the divergence double stays INTERNAL and
+    only the rank crosses; the pinned-order fold (array_sort + left
+    fold == DuckDB list_reduce over an ORDER BY w list) keeps each
+    engine's sum deterministic under any partitioning, and inter-group
+    KL gaps dwarf ulp noise.
+    """
+    from pyspark.sql import Window
+
+    from .util import finalize
+
+    tok = df.select(
+        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("w")
+    )
+    sc = finalize(tok.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c")))
+    corp = sc.groupBy("w").agg(F.sum("c").alias("cw"))
+    ns = sc.groupBy("g").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab_terms")
+    )
+    tot = corp.agg(F.sum("cw").alias("n"))
+    term = (F.col("c").cast("double") / F.col("n_tokens").cast("double")) * (
+        F.log(F.col("c").cast("double"))
+        + F.log(F.col("n").cast("double"))
+        - F.log(F.col("cw").cast("double"))
+        - F.log(F.col("n_tokens").cast("double"))
+    )
+    terms = (
+        sc.join(F.broadcast(corp), "w")
+        .join(F.broadcast(ns.select("g", "n_tokens")), "g")
+        .crossJoin(F.broadcast(tot))
+        .select("g", "w", term.alias("term"))
+    )
+    agg = terms.groupBy("g").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("kl_nat")
+    )
+    w = Window.orderBy(F.col("kl_nat").desc(), "g")
+    return (
+        ns.join(agg, "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab_terms").cast("long").alias("vocab_terms"),
+            F.row_number().over(w).cast("long").alias("drift_rank"),
+        )
+    )

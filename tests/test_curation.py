@@ -342,3 +342,80 @@ def test_remove_contaminated_spans_cuts_exactly(spark):
         n=3,
     ).count()
     assert again == 0
+
+
+def test_shard_manifest_properties(spark):
+    """Epoch-shuffle manifest: every key appears exactly once, shard is
+    the key-hash residue, positions are contiguous 1..n per shard, the
+    result is partitioning-independent, and two epochs produce
+    genuinely different permutations (different shard assignment for
+    at least one doc on a 64-doc corpus: P[identical] ~ 8^-64)."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.sampling import (
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(64)], "doc_id long, text string"
+    )
+    m1 = shard_manifest(docs, "doc_id", epoch=1, n_shards=8)
+    rows = m1.collect()
+    assert sorted(r.doc_id for r in rows) == list(range(64))
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # partitioning-independence
+    m1b = shard_manifest(docs.repartition(13), "doc_id", epoch=1, n_shards=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, m1b.collect()))
+    # epochs permute
+    m2 = {r.doc_id: (r.shard, r.pos_in_shard) for r in
+          shard_manifest(docs, "doc_id", epoch=2, n_shards=8).collect()}
+    assert any(m2[r.doc_id] != (r.shard, r.pos_in_shard) for r in rows)
+
+
+def test_source_kl_rank_matches_python(spark):
+    """Pure-Python third implementation of the per-group KL rank on a
+    corpus with three groups at clearly different distances from the
+    blend — the skewed group must rank first, the near-corpus group
+    last, and counts must be exact."""
+    import math
+    from collections import Counter
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+        source_kl_rank,
+    )
+
+    corpus = {
+        "balanced": "a b c d " * 6,            # near the blend
+        "skewed": "a a a a a a a a a a a a z", # far from it
+        "mid": "a b a b c c d a " * 3,
+    }
+    docs = spark.createDataFrame(
+        [(i, s, t.strip()) for i, (s, t) in enumerate(corpus.items())],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r.source: (r.n_tokens, r.vocab_terms, r.drift_rank)
+        for r in source_kl_rank(docs).collect()
+    }
+
+    per = {s: Counter(t.split()) for s, t in corpus.items()}
+    corp: Counter = Counter()
+    for c in per.values():
+        corp.update(c)
+    n_total = sum(corp.values())
+    kl = {}
+    for s, c in per.items():
+        n_s = sum(c.values())
+        kl[s] = sum(
+            (cw / n_s) * math.log((cw * n_total) / (corp[w] * n_s))
+            for w, cw in c.items()
+        )
+        assert got[s][0] == n_s
+        assert got[s][1] == len(c)
+    order = sorted(kl, key=lambda s: (-kl[s], s))
+    for rank, s in enumerate(order, 1):
+        assert got[s][2] == rank, (s, kl)
+    assert order[0] == "skewed"
