@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "histogram_rollup_quantiles",
     "source_kl_divergence",
     "training_shard_manifest",
+    "importance_resample",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

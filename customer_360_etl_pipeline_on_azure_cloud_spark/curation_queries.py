@@ -1223,3 +1223,79 @@ CURATION_QUERIES["training_shard_manifest"] = (
     q_training_shard_manifest,
     SQL_TRAINING_SHARD_MANIFEST,
 )
+
+
+# --- DSIR importance selection (target-domain distribution matching) --------
+
+_DSIR_MOD = 1024
+_DSIR_K = 100
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/text.py dsir_topk): rank
+    every non-English document by its hashed-unigram log importance
+    weight against the English half of the corpus and keep the 100
+    most English-like — the distribution-matching selector [Xie et
+    al. 2023] a pretraining build uses to up-sample target-like data
+    from a raw crawl, here in its deterministic top-k form so the
+    selection is reproducible and exactly oracle-checkable.
+
+    The bucket count table is bounded by the feature modulus (1024
+    rows) -> the log-ratio table broadcasts at any corpus scale; the
+    top-k is TakeOrderedAndProject.  Doubles stay internal (pinned
+    folds both engines); only BIGINT ranks cross.
+    """
+    from .operators.text import dsir_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_topk(
+        docs,
+        target=F.col("lang") == "en",
+        feature_mod=_DSIR_MOD,
+        k=_DSIR_K,
+    )
+
+
+SQL_IMPORTANCE_RESAMPLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, is_t,
+         unnest(generate_series(1, len(t))) AS pos,
+         CAST(concat('0x', substr(md5(unnest(t)), 1, 8)) AS BIGINT)
+           % {_DSIR_MOD} AS b
+  FROM toks
+), cnt AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM tok GROUP BY b
+), tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM cnt
+), ratio AS (
+  SELECT b,
+         (ln(ct::DOUBLE + 1.0) - ln(cr::DOUBLE + 1.0))
+           + (ln(nr::DOUBLE + {_DSIR_MOD}.0) - ln(nt::DOUBLE + {_DSIR_MOD}.0))
+           AS lr
+  FROM cnt CROSS JOIN tot
+), per AS (
+  SELECT tok.doc_id, tok.pos, ratio.lr
+  FROM tok JOIN ratio USING (b) WHERE NOT tok.is_t
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(0.0::DOUBLE, list(lr ORDER BY pos)),
+                     (a, b) -> a + b) AS lw
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(ROW_NUMBER() OVER (ORDER BY lw DESC, doc_id) AS BIGINT)
+         AS sel_rank
+FROM agg QUALIFY sel_rank <= {_DSIR_K}
+"""
+
+CURATION_QUERIES["importance_resample"] = (
+    q_importance_resample,
+    SQL_IMPORTANCE_RESAMPLE,
+)

@@ -983,3 +983,105 @@ def source_kl_rank(
             F.row_number().over(w).cast("long").alias("drift_rank"),
         )
     )
+
+
+def dsir_topk(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    feature_mod: int = 1024,
+    k: int = 100,
+) -> DataFrame:
+    """Data Selection with Importance Resampling [Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"],
+    deterministic top-k form: score every NON-target ("raw") document
+    by its hashed-unigram log importance weight against the target
+    domain and keep the k highest — the cheap distribution-matching
+    selector a corpus build runs to up-sample target-like data from a
+    raw crawl.
+
+    Per raw document d:  lw(d) = sum_{tokens t} ln p_hat(b_t) -
+    ln q_hat(b_t), where b_t is the token's md5 feature bucket
+    (:func:`hashed_feature`) and p_hat / q_hat are the add-one-smoothed
+    bucket distributions of the target / raw corpus halves.  DSIR
+    proper resamples with Gumbel noise; the deterministic variant
+    ranks by lw with an id tiebreak so the selection is reproducible
+    and oracle-checkable (randomless top-k is the paper's "top-k
+    heuristic" baseline, Sec 4.1).
+
+    Plan shape: one posexplode feeds (a) the bucket count table —
+    bounded by ``feature_mod`` rows BY CONSTRUCTION, so the log-ratio
+    table broadcasts at any corpus scale — and (b) the scoring join
+    (broadcast, zero shuffle); the per-doc reduction is one hash
+    aggregate and the final top-k is orderBy+limit =
+    TakeOrderedAndProject (k rows per partition, never a global sort).
+    The corpus is tokenized twice (count pass + score pass) — the
+    honest two-scan cost of exact corpus-derived distributions, same
+    trade as source_mixture_plan.
+
+    Cross-engine exactness: per-token terms fold per-bucket into one
+    fixed IEEE tree ((ln(ct+1) - ln(cr+1)) + (ln(nr+B) - ln(nt+B)))
+    and the per-doc sum folds in PINNED position order (the
+    unigram_nll technique), so both engines order documents
+    identically; the double stays internal and only the BIGINT
+    ``sel_rank`` crosses.
+
+    Output: ``(doc_id, n_tokens, sel_rank)`` for the k selected raw
+    documents, rank 1 = most target-like.
+    """
+    from pyspark.sql import Window
+
+    from .util import spread
+
+    df = spread(df)
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("__is_t"),
+        F.posexplode(tokens(text_col)).alias("pos", "w"),
+    ).select(
+        "doc_id",
+        "__is_t",
+        "pos",
+        hashed_feature(F.col("w"), feature_mod).alias("b"),
+    )
+    counts = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("__is_t"), 0).otherwise(1)).cast("long").alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").cast("long").alias("nt"), F.sum("cr").cast("long").alias("nr")
+    )
+    bmod = float(feature_mod)
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            (
+                F.log(F.col("ct").cast("double") + F.lit(1.0))
+                - F.log(F.col("cr").cast("double") + F.lit(1.0))
+            )
+            + (
+                F.log(F.col("nr").cast("double") + F.lit(bmod))
+                - F.log(F.col("nt").cast("double") + F.lit(bmod))
+            )
+        ).alias("lr"),
+    )
+    scored = tok.filter(~F.col("__is_t")).join(F.broadcast(ratio), "b")
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lr"))),
+                lambda s: s["lr"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("lw"),
+    )
+    top = agg.orderBy(F.col("lw").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("lw").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.row_number().over(w).cast("long").alias("sel_rank"),
+    )

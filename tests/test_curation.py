@@ -419,3 +419,61 @@ def test_source_kl_rank_matches_python(spark):
     for rank, s in enumerate(order, 1):
         assert got[s][2] == rank, (s, kl)
     assert order[0] == "skewed"
+
+
+def test_dsir_topk_matches_python(spark):
+    """Pure-Python third implementation of the DSIR top-k selection on
+    a corpus where one raw doc is written in target-domain tokens and
+    another in raw-only tokens — the target-like doc must outrank it,
+    and the full rank order must match the reference exactly."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.text import (
+        dsir_topk,
+    )
+    from pyspark.sql import functions as F
+
+    B = 64
+    rows = [
+        (0, "t", "alpha beta gamma alpha beta"),
+        (1, "t", "alpha gamma gamma beta"),
+        (2, "r", "alpha beta alpha gamma"),      # target-like
+        (3, "r", "zeta eta theta zeta eta"),     # raw-only tokens
+        (4, "r", "alpha zeta beta eta"),         # mixed
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.sel_rank)
+        for r in dsir_topk(
+            docs, target=F.col("lang") == "t", feature_mod=B, k=10
+        ).collect()
+    }
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for _, lang, text in rows:
+        for w in text.split():
+            (ct if lang == "t" else cr)[bucket(w)] += 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    lw = {}
+    ntok = {}
+    for did, lang, text in rows:
+        if lang == "t":
+            continue
+        ws = text.split()
+        ntok[did] = len(ws)
+        lw[did] = sum(
+            (math.log(ct[bucket(w)] + 1.0) - math.log(cr[bucket(w)] + 1.0))
+            + (math.log(nr + float(B)) - math.log(nt + float(B)))
+            for w in ws
+        )
+    order = sorted(lw, key=lambda d: (-lw[d], d))
+    assert set(got) == set(lw)
+    for rank, did in enumerate(order, 1):
+        assert got[did] == (ntok[did], rank), (did, lw)
+    assert order[0] == 2 and order[-1] == 3
