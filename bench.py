@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "source_kl_divergence",
     "training_shard_manifest",
     "importance_resample",
+    "k_anonymity_audit",
+    "k_anonymity_generalize",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

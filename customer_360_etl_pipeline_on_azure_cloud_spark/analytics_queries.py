@@ -2234,3 +2234,104 @@ ANALYTICS_QUERIES["histogram_rollup_quantiles"] = (
     q_histogram_rollup_quantiles,
     SQL_HISTOGRAM_ROLLUP_QUANTILES,
 )
+
+
+# --- k-anonymity: audit + generalization ladder -----------------------------
+
+_KANON_K = 5
+_BAND_CENTS = 100000.0  # $1000 balance bands
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (operators/quality.py k_anonymity_classes): the
+    customer table's equivalence classes under the quasi-identifier
+    (nation, market segment, $1000 balance band), with every class of
+    size < 5 flagged re-identifiable.  One hash aggregate; the output
+    is class-cardinality-bounded, not row-bounded."""
+    from .operators.quality import k_anonymity_classes
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(money_cents("c_acctbal") / F.lit(_BAND_CENTS))
+        .cast("long")
+        .alias("bal_band"),
+    )
+    return k_anonymity_classes(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=_KANON_K
+    )
+
+
+SQL_K_ANONYMITY_AUDIT = f"""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+                    / {_BAND_CENTS}) AS BIGINT) AS bal_band
+  FROM customer
+)
+SELECT c_nationkey, c_mktsegment, bal_band,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       COUNT(*) < {_KANON_K} AS at_risk
+FROM c GROUP BY c_nationkey, c_mktsegment, bal_band
+"""
+
+ANALYTICS_QUERIES["k_anonymity_audit"] = (
+    q_k_anonymity_audit,
+    SQL_K_ANONYMITY_AUDIT,
+)
+
+
+def q_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record generalization ladder (operators/quality.py
+    k_anonymity_generalize): each customer is published at the finest
+    quasi-identifier level whose class reaches k=5 — level 0 =
+    (nation, segment, $1000 band), level 1 drops the band, level 2
+    drops the segment, level 3 = suppress.  One window count per rung;
+    all-integer output."""
+    from .operators.quality import k_anonymity_generalize
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(money_cents("c_acctbal") / F.lit(_BAND_CENTS))
+        .cast("long")
+        .alias("bal_band"),
+    )
+    levels = [
+        [F.col("c_nationkey"), F.col("c_mktsegment"), F.col("bal_band")],
+        [F.col("c_nationkey"), F.col("c_mktsegment")],
+        [F.col("c_nationkey")],
+    ]
+    return k_anonymity_generalize(c, "c_custkey", levels, k=_KANON_K)
+
+
+SQL_K_ANONYMITY_GENERALIZE = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(FLOOR(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+                    / {_BAND_CENTS}) AS BIGINT) AS bal_band
+  FROM customer
+), s AS (
+  SELECT c_custkey,
+         COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band)
+           AS s0,
+         COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS s1,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS s2
+  FROM c
+)
+SELECT c_custkey,
+       CAST(CASE WHEN s0 >= {_KANON_K} THEN 0
+                 WHEN s1 >= {_KANON_K} THEN 1
+                 WHEN s2 >= {_KANON_K} THEN 2
+                 ELSE 3 END AS BIGINT) AS gen_level,
+       CAST(CASE WHEN s0 >= {_KANON_K} THEN s0
+                 WHEN s1 >= {_KANON_K} THEN s1
+                 ELSE s2 END AS BIGINT) AS class_size
+FROM s
+"""
+
+ANALYTICS_QUERIES["k_anonymity_generalize"] = (
+    q_k_anonymity_generalize,
+    SQL_K_ANONYMITY_GENERALIZE,
+)

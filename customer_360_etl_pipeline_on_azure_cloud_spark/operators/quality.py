@@ -14,7 +14,9 @@ count.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Output schema shared by all rule evaluators.
@@ -160,4 +162,72 @@ def check_referential(
             "violations"
         ),
         (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias("passed"),
+    )
+
+
+def k_anonymity_classes(
+    df: DataFrame, quasi_cols: Sequence[Column | str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit [Sweeney 2002]: group rows into equivalence
+    classes on the quasi-identifier columns and flag classes smaller
+    than ``k`` — rows in those classes are re-identifiable by joining
+    the quasi-identifiers against an external dataset, the exposure a
+    privacy review checks before a table (or a training corpus's
+    metadata) leaves the trust boundary.
+
+    ONE hash aggregate (map-side combined); the class table is bounded
+    by the quasi-identifier cardinality product, not the row count, so
+    the audit output stays compact at any scale.
+
+    Output: quasi columns + ``class_size`` (BIGINT) + ``at_risk``
+    (class_size < k).
+    """
+    out = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    return out.withColumn("at_risk", F.col("class_size") < F.lit(k))
+
+
+def k_anonymity_generalize(
+    df: DataFrame,
+    id_col: str,
+    levels: Sequence[Sequence[Column]],
+    k: int = 5,
+) -> DataFrame:
+    """Per-record generalization ladder: assign each row the FINEST
+    generalization level whose equivalence class reaches size ``k``
+    (level 0 = full quasi-identifier detail; each subsequent level is
+    a coarser cut, e.g. dropping the balance band, then the segment);
+    rows that stay below ``k`` even at the coarsest level get level
+    ``len(levels)`` — the suppression set.  This is the classic
+    domain-generalization response to a failed k-anonymity audit:
+    publish each record at the least-coarse level that hides it in a
+    crowd of k.
+
+    Plan shape: one window count per level (PARTITION BY the level's
+    key expressions) — L corpus shuffles for L levels, the honest cost
+    of exact per-class sizes at every rung; the level pick is then a
+    narrow CASE chain.  All-integer output.
+
+    Output: ``(id_col, gen_level BIGINT, class_size BIGINT)`` where
+    class_size is the size of the chosen class (coarsest-level size
+    for suppressed rows).
+    """
+    out = df
+    sizes: list[Column] = []
+    for i, cols in enumerate(levels):
+        w = Window.partitionBy(*cols)
+        out = out.withColumn(
+            f"__s{i}", F.count(F.lit(1)).over(w).cast("long")
+        )
+        sizes.append(F.col(f"__s{i}"))
+    lvl: Column = F.lit(len(levels))
+    size: Column = sizes[-1]
+    for i in reversed(range(len(levels))):
+        lvl = F.when(sizes[i] >= k, F.lit(i)).otherwise(lvl)
+        size = F.when(sizes[i] >= k, sizes[i]).otherwise(size)
+    return out.select(
+        F.col(id_col),
+        lvl.cast("long").alias("gen_level"),
+        size.cast("long").alias("class_size"),
     )

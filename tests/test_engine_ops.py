@@ -714,3 +714,51 @@ def test_histogram_sketch_validates_inputs(spark):
         histogram_quantiles(sk, ["g"], [50], 0, 1000, 7)
     with pytest.raises(ValueError, match="\\[1, 100\\]"):
         histogram_quantiles(sk, ["g"], [0], 0, 1000, 10)
+
+
+def test_k_anonymity_ladder(spark):
+    """Generalization ladder: rows in a >=k fine class stay at level 0,
+    rows whose fine class is small but whose (a)-class reaches k rise
+    to level 1, and rows isolated even at the coarsest level are
+    suppressed; class_size reports the chosen class.  Cross-checked
+    against a pure-Python reference on the same frame."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.quality import (
+        k_anonymity_classes,
+        k_anonymity_generalize,
+    )
+
+    rows = (
+        [(i, "a", "x", 0) for i in range(5)]        # fine class of 5 -> level 0
+        + [(10 + i, "a", "x", 1) for i in range(2)] # small fine, (a,x) big -> 1
+        + [(20 + i, "a", "y", 2) for i in range(3)] # (a,y)=3 <k, (a)=10 -> 2
+        + [(30, "b", "z", 3)]                        # alone everywhere -> 3
+    )
+    df = spark.createDataFrame(rows, "id long, g1 string, g2 string, band long")
+    levels = [
+        [F.col("g1"), F.col("g2"), F.col("band")],
+        [F.col("g1"), F.col("g2")],
+        [F.col("g1")],
+    ]
+    got = {
+        r.id: (r.gen_level, r.class_size)
+        for r in k_anonymity_generalize(df, "id", levels, k=5).collect()
+    }
+
+    c0 = Counter((g1, g2, b) for _, g1, g2, b in rows)
+    c1 = Counter((g1, g2) for _, g1, g2, _ in rows)
+    c2 = Counter(g1 for _, g1, _, _ in rows)
+    for rid, g1, g2, b in rows:
+        sizes = [c0[(g1, g2, b)], c1[(g1, g2)], c2[g1]]
+        lvl = next((i for i, s in enumerate(sizes) if s >= 5), 3)
+        size = sizes[lvl] if lvl < 3 else sizes[-1]
+        assert got[rid] == (lvl, size), (rid, got[rid], (lvl, size))
+
+    audit = {
+        (r.g1, r.g2, r.band): (r.class_size, r.at_risk)
+        for r in k_anonymity_classes(df, ["g1", "g2", "band"], k=5).collect()
+    }
+    assert audit == {kk: (v, v < 5) for kk, v in c0.items()}
