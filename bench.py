@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "importance_resample",
     "k_anonymity_audit",
     "k_anonymity_generalize",
+    "embedding_pca_project",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -1299,3 +1299,112 @@ CURATION_QUERIES["importance_resample"] = (
     q_importance_resample,
     SQL_IMPORTANCE_RESAMPLE,
 )
+
+
+# --- exact-integer PCA: top-component projection ----------------------------
+
+_PCA_ITERS = 6
+_PCA_GN = 1 << 20
+_PCA_VS = 4096
+
+
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection of every embedding
+    (operators/similarity.py pca_power_project): the one-scan Gram
+    aggregate -> bounded driver-side INTEGER power iteration ->
+    broadcast integer direction -> in-row exact projection.  The
+    whole arithmetic path is integer floor-div / multiply / add, so
+    the oracle replays Gram, normalization, all six iterations, and
+    the projection bit-for-bit — no float eigensolver crosses
+    engines."""
+    from .operators.similarity import pca_power_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_power_project(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        scale=10**6,
+        iters=_PCA_ITERS,
+        gn_scale=_PCA_GN,
+        v_scale=_PCA_VS,
+    )
+
+
+def _fdiv(a: str, b: str) -> str:
+    """DuckDB floor division (``//`` truncates toward zero; Python
+    floors) — subtract the canonical nonnegative mod first so the
+    quotient is exact and truncation == floor."""
+    return f"(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b})"
+
+
+def _pca_power_sql(iters: int = _PCA_ITERS) -> str:
+    gn = _PCA_GN
+    vs = _PCA_VS
+    parts = [
+        f"""WITH fpq AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS f
+  FROM embeddings
+), prods AS (
+  SELECT ii.i - 1 AS i, jj.j - 1 AS j, f[ii.i] * f[jj.j] AS p
+  FROM fpq,
+       unnest(generate_series(1, len(f))) AS ii(i),
+       unnest(generate_series(1, len(f))) AS jj(j)
+  WHERE jj.j >= ii.i
+), gram AS MATERIALIZED (
+  SELECT i, j, CAST(SUM(p) AS BIGINT) AS g FROM prods GROUP BY i, j
+), gfull AS (
+  SELECT i, j, g FROM gram
+  UNION ALL
+  SELECT j AS i, i AS j, g FROM gram WHERE i != j
+), gmx AS (
+  SELECT MAX(ABS(g)) AS gmax FROM gfull
+), gn AS MATERIALIZED (
+  SELECT i, j,
+         CASE WHEN gmx.gmax = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST({_fdiv(f'CAST(g AS HUGEINT) * {gn}',
+                               'CAST(gmx.gmax AS HUGEINT)')} AS BIGINT)
+              END AS v
+  FROM gfull CROSS JOIN gmx
+), v0 AS MATERIALIZED (
+  SELECT unnest(generate_series(0,
+           (SELECT MAX(i) FROM gram))) AS dim, CAST({vs} AS BIGINT) AS val
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", u{t} AS MATERIALIZED (
+  SELECT g.i AS dim, CAST(SUM(g.v * v.val) AS BIGINT) AS u
+  FROM gn g JOIN v{t - 1} v ON g.j = v.dim GROUP BY g.i
+), m{t} AS MATERIALIZED (
+  SELECT MAX(ABS(u)) AS m FROM u{t}
+), v{t} AS MATERIALIZED (
+  SELECT u.dim,
+         CASE WHEN m.m = 0 THEN vp.val
+              ELSE {_fdiv(f'u.u * {vs}', 'm.m')} END AS val
+  FROM u{t} u JOIN v{t - 1} vp ON u.dim = vp.dim CROSS JOIN m{t} m
+)"""
+        )
+    parts.append(
+        f""", sgn AS (
+  SELECT COALESCE((SELECT CASE WHEN val < 0 THEN -1 ELSE 1 END
+                   FROM v{iters} WHERE val != 0 ORDER BY dim LIMIT 1),
+                  1) AS s
+), ex AS (
+  SELECT vec_id, unnest(f) AS fv,
+         unnest(generate_series(1, len(f))) AS k
+  FROM fpq
+)
+SELECT ex.vec_id,
+       CAST(SUM(ex.fv * v.val) * (SELECT s FROM sgn) AS BIGINT) AS pc1_fp
+FROM ex JOIN v{iters} v ON ex.k - 1 = v.dim
+GROUP BY ex.vec_id"""
+    )
+    return "".join(parts)
+
+
+CURATION_QUERIES["embedding_pca_project"] = (
+    q_embedding_pca_project,
+    _pca_power_sql(),
+)

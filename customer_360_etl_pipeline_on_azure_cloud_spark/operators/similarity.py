@@ -2161,3 +2161,74 @@ def cosine_topk_ivfpq_indexed(
         coded, cents, books, corpus, queries, k, nprobe, int(shortlist),
         id_col, vec_col, exclude_self, cell_filter=True,
     )
+
+
+def pca_power_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    iters: int = 6,
+    gn_scale: int = 1 << 20,
+    v_scale: int = 4096,
+) -> DataFrame:
+    """Top-principal-component projection via EXACT integer power
+    iteration — the step after :func:`embedding_gram_fixed` that turns
+    the one-scan Gram aggregate into an actual dimensionality
+    reduction, with every arithmetic step replayable cross-engine.
+
+    Recipe: (1) the d x d fixed-point Gram aggregates in ONE corpus
+    scan (Arrow integer matmul path); (2) the bounded d^2 result — the
+    only thing that reaches the driver, same contract as the quantile
+    cutoffs — is normalized entrywise to ``gn_scale`` fixed point
+    (floor-div by max |G|, making iteration bounds CORPUS-SIZE-
+    INDEPENDENT: |u| <= d * gn_scale * v_scale ~ 2^38) and powered
+    ``iters`` times in pure-Python integer arithmetic (u = G v;
+    v = floor(u * v_scale / max|u|)), the classic dominant-eigenvector
+    iteration in fixed point; (3) the integer direction (sign-
+    canonicalized: first nonzero component positive) broadcasts as an
+    array literal and every vector's projection is an in-row integer
+    zip_with/fold — one more scan, zero shuffle, BIGINT-exact output.
+
+    Float eigensolvers are not engine-portable (LAPACK vs whatever the
+    oracle runs); this integer pipeline is bit-identical in any
+    engine that can floor-divide, so a DuckDB oracle replays ALL of it
+    — Gram, normalization, every iteration, the projection.
+    Convergence to the true eigenvector needs a spectral gap (pytest
+    pins cosine > 0.99 against numpy on gapped data), but correctness
+    of the OUTPUT is exact regardless: it is a pure function of the
+    corpus, not of float luck.
+
+    Output: ``(id_col, pc1_fp BIGINT)`` — the projection in units of
+    ``1/(scale * v_scale)`` times the corpus norm convention.
+    """
+    gram = embedding_gram_fixed(df, vec_col=vec_col, scale=scale)
+    rows = gram.collect()
+    d = max(r.j for r in rows) + 1
+    gmax = max(abs(r.gram_fp) for r in rows)
+    G = [[0] * d for _ in range(d)]
+    if gmax:
+        for r in rows:
+            gn = (r.gram_fp * gn_scale) // gmax
+            G[r.i][r.j] = gn
+            G[r.j][r.i] = gn
+    v = [v_scale] * d
+    for _ in range(iters):
+        u = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            break
+        v = [(x * v_scale) // m for x in u]
+    s = next((1 if x > 0 else -1 for x in v if x), 1)
+    v = [x * s for x in v]
+    fp = F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0)"
+        " AS BIGINT))"
+    )
+    vlit = F.array(*[F.lit(x) for x in v])
+    proj = F.aggregate(
+        F.zip_with(fp, vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), proj.alias("pc1_fp"))

@@ -477,3 +477,42 @@ def test_dsir_topk_matches_python(spark):
     for rank, did in enumerate(order, 1):
         assert got[did] == (ntok[did], rank), (did, lw)
     assert order[0] == 2 and order[-1] == 3
+
+
+def test_pca_power_project_matches_numpy_direction(spark):
+    """On a corpus with a dominant principal direction, the integer
+    power-iteration projection must align with numpy's top eigenvector
+    projection (|cosine| > 0.99 between the two projection vectors),
+    and the output must be partitioning-independent."""
+    import numpy as np
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        pca_power_project,
+    )
+
+    rng = np.random.RandomState(7)
+    d, n = 16, 300
+    w = rng.randn(d)
+    w /= np.linalg.norm(w)
+    X = np.outer(rng.randn(n) * 3.0, w) + 0.05 * rng.randn(n, d)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {r.vec_id: r.pc1_fp for r in pca_power_project(df).collect()}
+    got2 = {
+        r.vec_id: r.pc1_fp
+        for r in pca_power_project(df.repartition(11)).collect()
+    }
+    assert got == got2
+
+    # numpy reference projection (float path, on the SAME quantized X
+    # the operator consumes)
+    Q = np.round(np.array([np.float64(np.float32(x)) for x in X.ravel()])
+                 .reshape(n, d) * 10**6)
+    G = Q.T @ Q
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, -1]
+    ref = Q @ top
+    out = np.array([got[i] for i in range(n)], dtype=np.float64)
+    cos = abs(np.dot(ref, out) / (np.linalg.norm(ref) * np.linalg.norm(out)))
+    assert cos > 0.99, cos
