@@ -185,6 +185,9 @@ BENCH_QUERIES = [
     "k_anonymity_audit",
     "k_anonymity_generalize",
     "embedding_pca_project",
+    "part_triangles",
+    "part_pareto_front",
+    "benford_audit",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -2335,3 +2335,227 @@ ANALYTICS_QUERIES["k_anonymity_generalize"] = (
     q_k_anonymity_generalize,
     SQL_K_ANONYMITY_GENERALIZE,
 )
+
+
+# --- triangle census of the repeated-co-purchase graph ----------------------
+
+#: minimum number of DISTINCT orders two parts must share to form an edge —
+#: sparsifies random single co-occurrence into an affinity graph whose edge
+#: count stays roughly flat as the fact table grows (measured: 3.6k edges at
+#: sf0.01, 3.9k at sf0.1 vs 116k/1.2M unthresholded).
+_TRI_MIN_ORDERS = 2
+
+
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + local clustering coefficient over the repeated
+    co-purchase graph (parts linked when they share >= 2 distinct
+    orders) via degree-ordered orientation (operators/graph.py
+    triangle_stats) — the community-density signal that separates
+    genuine product families (cliquey neighborhoods, coefficient near
+    1) from hub parts that merely co-occur with everything (high
+    degree, near-0 coefficient).  Same census a dedup pipeline runs on
+    its near-dup pair graph to decide whether clusters are cliques
+    (true duplicates) or chains (topic drift).
+
+    Scale notes: the pair expansion is ONE shuffle (collect_set per
+    order, in-row ordered pairs — lines-per-order is bounded, same
+    pattern as part_pagerank) and the >= 2-orders threshold keeps the
+    edge set vertex-scaled rather than fact-scaled.  Orientation by
+    (degree, id) rank caps wedge fan-out at O(sqrt(m)) per vertex, so
+    the wedge join is O(m^{3/2}) worst-case; every count and the
+    fixed-point coefficient are integers, so the oracle replays the
+    identical ranking, orientation, and closure bit-for-bit.
+    """
+    from .operators.graph import triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> "
+                    "transform(filter(ps, y -> y > x), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_ORDERS)
+        .select("a", "b")
+    )
+    return triangle_stats(edges, "a", "b").select(
+        F.col("id").alias("part_id"), "degree", "tri_count", "coeff_fp"
+    )
+
+
+SQL_PART_TRIANGLES = f"""
+-- Replays triangle_stats exactly: distinct-order co-purchase pairs kept at
+-- weight >= {_TRI_MIN_ORDERS}, vertices ranked by rk = degree * 2^31 + id,
+-- edges oriented low-rank -> high-rank, each triangle counted once at its
+-- lowest-ranked corner, coefficient in integer fixed point (scale 1e6).
+WITH pairs AS (
+  SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS (
+  SELECT u AS a, v AS b FROM pairs
+  GROUP BY u, v HAVING COUNT(*) >= {_TRI_MIN_ORDERS}
+),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+  GROUP BY id
+),
+k AS (SELECT id, degree, degree * 2147483648 + id AS rk FROM deg),
+o AS (
+  SELECT CASE WHEN ka.rk < kb.rk THEN und.a ELSE und.b END AS lo,
+         CASE WHEN ka.rk < kb.rk THEN und.b ELSE und.a END AS hi,
+         GREATEST(ka.rk, kb.rk) AS hirk
+  FROM und JOIN k ka ON ka.id = und.a JOIN k kb ON kb.id = und.b
+),
+tri AS (
+  SELECT o1.lo, o1.hi AS h1, o2.hi AS h2
+  FROM o o1
+  JOIN o o2 ON o2.lo = o1.lo AND o1.hirk < o2.hirk
+  JOIN o o3 ON o3.lo = o1.hi AND o3.hi = o2.hi
+),
+tc AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS tri_count
+  FROM (SELECT lo AS id FROM tri UNION ALL SELECT h1 FROM tri
+        UNION ALL SELECT h2 FROM tri)
+  GROUP BY id
+)
+SELECT k.id AS part_id, k.degree,
+       CAST(COALESCE(tc.tri_count, 0) AS BIGINT) AS tri_count,
+       CAST(CASE WHEN k.degree >= 2
+                 THEN (2 * COALESCE(tc.tri_count, 0) * 1000000)
+                      // (k.degree * (k.degree - 1))
+                 ELSE 0 END AS BIGINT) AS coeff_fp
+FROM k LEFT JOIN tc ON tc.id = k.id
+"""
+
+ANALYTICS_QUERIES["part_triangles"] = (q_part_triangles, SQL_PART_TRIANGLES)
+
+
+# --- Pareto front (skyline) per part type ------------------------------------
+
+
+def q_part_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query [Börzsönyi et al., ICDE 2001]: per part type, the
+    price/size Pareto front — parts for which no same-type part is both
+    cheaper-or-equal and larger-or-equal with at least one strict
+    improvement (operators/windows.py pareto_front_2d).  The classic
+    "best tradeoff" OLAP operator: everything off the front is strictly
+    worse for every buyer who wants cheap AND large.
+
+    Scale notes: one hash shuffle on p_type + a per-group sort serving
+    BOTH window passes (single Exchange+Sort in the plan); price is
+    exact integer cents so the dominance test and the survivor set are
+    engine-portable.  The oracle deliberately uses the quadratic
+    NOT-EXISTS formulation — an independent statement of dominance, not
+    a replay of the window algebra.
+    """
+    from .operators.windows import pareto_front_2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_type",
+        money_cents(F.col("p_retailprice")).alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    return pareto_front_2d(
+        p, minimize="price_cents", maximize="size", group=["p_type"]
+    ).select(
+        F.col("p_partkey").alias("part_id"), "p_type", "price_cents", "size"
+    )
+
+
+SQL_PART_PARETO_FRONT = """
+WITH p AS (
+  SELECT p_partkey, p_type,
+         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT p.p_partkey AS part_id, p.p_type, p.price_cents, p.size
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.p_type = p.p_type
+    AND q.price_cents <= p.price_cents AND q.size >= p.size
+    AND (q.price_cents < p.price_cents OR q.size > p.size)
+)
+"""
+
+ANALYTICS_QUERIES["part_pareto_front"] = (
+    q_part_pareto_front,
+    SQL_PART_PARETO_FRONT,
+)
+
+
+# --- Benford first-digit audit ------------------------------------------------
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over order totals (operators/quality.py
+    benford_profile): per leading digit of o_totalprice (integer
+    cents), observed count vs the Benford expectation in integer
+    parts-per-billion, plus the absolute deviation — the fraud /
+    unit-mixing detector a financial DQ gate runs on every load.
+    (TPC-H uniform prices are NOT Benford-distributed — the audit's
+    point is the deviation column, and large deviations here are the
+    honest answer.)
+
+    Scale notes: one scan + one <= 9-group hash aggregate (map-side
+    combine: 9 rows leave each task); the expectation constants are
+    precomputed integer literals shared verbatim with the oracle, so no
+    log10 crosses an engine boundary and the result is exact.
+    """
+    from .operators.quality import benford_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_profile(o, money_cents(F.col("o_totalprice")))
+
+
+def _sql_benford() -> str:
+    from .operators.quality import BENFORD_PPB
+
+    case = " ".join(
+        f"WHEN {d} THEN {ppb}" for d, ppb in BENFORD_PPB.items()
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) >= 100
+),
+counts AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY 1
+),
+filled AS (
+  SELECT d.digit, COALESCE(counts.n, 0) AS n
+  FROM (VALUES (CAST(1 AS BIGINT)), (2), (3), (4), (5), (6), (7), (8), (9))
+       AS d(digit)
+  LEFT JOIN counts ON counts.digit = d.digit
+),
+tot AS (SELECT SUM(n) AS total FROM filled)
+SELECT digit, n,
+       CAST((n * 1000000000) // total AS BIGINT) AS obs_ppb,
+       CAST(CASE digit {case} END AS BIGINT) AS exp_ppb,
+       CAST(ABS((n * 1000000000) // total
+                - CASE digit {case} END) AS BIGINT) AS dev_ppb
+FROM filled, tot
+"""
+
+
+ANALYTICS_QUERIES["benford_audit"] = (q_benford_audit, _sql_benford())

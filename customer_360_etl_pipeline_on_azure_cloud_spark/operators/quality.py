@@ -231,3 +231,67 @@ def k_anonymity_generalize(
         lvl.cast("long").alias("gen_level"),
         size.cast("long").alias("class_size"),
     )
+
+
+#: floor(log10(1 + 1/d) * 10^9) for d = 1..9 — Benford's-law first-digit
+#: proportions in integer parts-per-billion, precomputed once so BOTH
+#: engines consume identical literals (no cross-engine log10 in the path).
+BENFORD_PPB = {
+    1: 301029995, 2: 176091259, 3: 124938736, 4: 96910013,
+    5: 79181246, 6: 66946789, 7: 57991946, 8: 51152522, 9: 45757490,
+}
+
+
+def benford_profile(df, amount_cents, min_cents: int = 100):
+    """Benford's-law first-digit audit over a positive money column (in
+    integer cents): per leading digit, the observed count, observed and
+    expected proportions in parts-per-billion, and the absolute
+    deviation — the classic fabricated-data / unit-mixing screen an
+    ingest DQ gate runs on financial facts.
+
+    ``amount_cents`` is a Column of integer cents; rows below
+    ``min_cents`` (default: under one currency unit) are excluded, since
+    sub-unit noise has no meaningful leading digit.  The leading digit
+    is taken from the BIGINT's decimal string — exact and identical in
+    any engine.  Output: ``(digit, n, obs_ppb, exp_ppb, dev_ppb)``,
+    always 9 rows (digits with no observations report n = 0).
+
+    Scale shape: one full scan + ONE hash aggregate to <= 9 groups
+    (map-side combined, so the shuffle moves 9 rows per task); the
+    9-row total/window algebra after it is free.  All arithmetic is
+    integer (ppb = (n * 10^9) div total), so the audit is engine- and
+    partitioning-exact.
+    """
+    counts = (
+        df.select(amount_cents.cast("long").alias("__cents"))
+        .filter(F.col("__cents") >= min_cents)
+        .select(
+            F.substring(F.col("__cents").cast("string"), 1, 1)
+            .cast("long").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    digits = counts.sparkSession.range(1, 10).select(
+        F.col("id").alias("digit")
+    )
+    full = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    w = Window.partitionBy(F.lit(1))
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PPB.items() for x in kv]
+    )
+    return (
+        full.withColumn("__total", F.sum("n").over(w))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000000L) div __total").alias("obs_ppb"),
+            exp_map[F.col("digit")].cast("long").alias("exp_ppb"),
+        )
+        .withColumn(
+            "dev_ppb",
+            F.abs(F.col("obs_ppb") - F.col("exp_ppb")).cast("long"),
+        )
+    )

@@ -115,3 +115,58 @@ def top_1_per_group_agg(
     packed = F.max(F.struct(*order, *[F.col(c) for c in payload])).alias("__top")
     out = df.groupBy(*keys).agg(packed)
     return out.select(*keys, *[F.col(f"__top.{c}").alias(c) for c in payload])
+
+
+def pareto_front_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    group: Iterable[str] = (),
+) -> DataFrame:
+    """2-D skyline: keep the rows not dominated on (``minimize``,
+    ``maximize``) — q dominates p iff q is <= on the minimized column,
+    >= on the maximized one, and strictly better on at least one.
+    Classic Pareto-front / skyline operator [Börzsönyi et al., ICDE
+    2001], per optional ``group``.  Ties on BOTH columns survive
+    together (neither dominates).
+
+    Both columns must be numeric and exactly ordered (use integer cents
+    for money); the result is then a deterministic row subset — no
+    floats, no tiebreak sensitivity.
+
+    Physical shape: ONE hash shuffle on ``group`` + per-group sort
+    (two window passes over the same sort order, so Spark plans a
+    single Exchange+Sort):
+
+    * ``m_below`` = max(maximize) over rows with strictly smaller
+      ``minimize`` (RANGE frame ending at -1 on the integer sort key);
+    * ``m_tie``   = max(maximize) among rows with EQUAL ``minimize``;
+    * survive iff ``maximize > m_below`` (or no row below) and
+      ``maximize == m_tie``.
+
+    Grouped calls parallelize across groups.  For ONE giant group the
+    sort dominates; the standard escape (not needed here, documented
+    for 100 TB use) is a band prefilter: bucket ``minimize`` into
+    ranges, take per-band max(maximize) (map-side combined, tiny),
+    broadcast the running band cummax back and drop every row strictly
+    dominated by a LOWER band's max — the window then sorts only
+    near-front rows.
+    """
+    gcols = list(group)
+    w_below = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col(minimize).cast("long"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_tie = Window.partitionBy(*gcols, minimize)
+    out = (
+        df.withColumn("__m_below", F.max(maximize).over(w_below))
+        .withColumn("__m_tie", F.max(maximize).over(w_tie))
+        .filter(
+            (F.col("__m_below").isNull()
+             | (F.col(maximize) > F.col("__m_below")))
+            & (F.col(maximize) == F.col("__m_tie"))
+        )
+        .drop("__m_below", "__m_tie")
+    )
+    return out

@@ -762,3 +762,181 @@ def test_k_anonymity_ladder(spark):
         for r in k_anonymity_classes(df, ["g1", "g2", "band"], k=5).collect()
     }
     assert audit == {kk: (v, v < 5) for kk, v in c0.items()}
+
+
+# --- triangle_stats ---------------------------------------------------------
+
+
+def py_triangles(edges, coeff_scale=10**6):
+    """Independent reference: brute-force triangle enumeration over the
+    undirected simple graph, plain sets — no orientation trick."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for a, b in und:
+        for _c in adj[a] & adj[b]:
+            # a triangle touches each of its vertices via 2 incident
+            # edges, so crediting both endpoints per edge counts every
+            # vertex's triangles exactly twice — halved below
+            tri[a] += 1
+            tri[b] += 1
+    out = {}
+    for v in adj:
+        d = len(adj[v])
+        t = tri[v] // 2
+        c = (2 * t * coeff_scale) // (d * (d - 1)) if d >= 2 else 0
+        out[v] = (d, t, c)
+    return out
+
+
+def run_triangles(spark, edges):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["id"]: (r["degree"], r["tri_count"], r["coeff_fp"])
+        for r in triangle_stats(df).collect()
+    }
+
+
+def test_triangles_k4_is_fully_clustered(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = run_triangles(spark, k4)
+    # every vertex: degree 3, C(3,2)=3 triangles, coefficient exactly 1
+    assert got == {v: (3, 3, 10**6) for v in range(4)}
+
+
+def test_triangles_star_has_none(spark):
+    got = run_triangles(spark, [(0, v) for v in range(1, 6)])
+    assert got[0] == (5, 0, 0)
+    assert all(got[v] == (1, 0, 0) for v in range(1, 6))
+
+
+def test_triangles_match_python_reference(spark):
+    # two triangles sharing an edge + a pendant chain + duplicate and
+    # reversed edge noise (must be deduped/symmetrized away)
+    edges = [
+        (1, 2), (2, 3), (3, 1), (2, 4), (4, 3), (4, 5), (5, 6),
+        (2, 1), (1, 2), (3, 3),
+    ]
+    assert run_triangles(spark, edges) == py_triangles(edges)
+
+
+def test_triangles_random_graph_vs_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(30), rng.randrange(30)) for _ in range(150)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert run_triangles(spark, edges) == py_triangles(edges)
+
+
+# --- pareto_front_2d --------------------------------------------------------
+
+
+def py_pareto(rows):
+    """Brute-force dominance reference: rows = (group, mini, maxi, id)."""
+    out = []
+    for p in rows:
+        dominated = any(
+            q[0] == p[0]
+            and q[1] <= p[1] and q[2] >= p[2]
+            and (q[1] < p[1] or q[2] > p[2])
+            for q in rows
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+def run_pareto(spark, rows):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.windows import (
+        pareto_front_2d,
+    )
+
+    df = spark.createDataFrame(rows, "g string, price long, size long, id long")
+    got = pareto_front_2d(df, minimize="price", maximize="size", group=["g"])
+    return sorted(
+        (r["g"], r["price"], r["size"], r["id"]) for r in got.collect()
+    )
+
+
+def test_pareto_basic_and_ties(spark):
+    rows = [
+        ("a", 10, 5, 1),   # front
+        ("a", 10, 5, 2),   # exact tie with 1 -> both survive
+        ("a", 10, 4, 3),   # dominated by 1 (same price, smaller size)
+        ("a", 9, 5, 4),    # dominates 1? cheaper, same size -> 1 and 2 OUT
+        ("a", 20, 9, 5),   # front (bigger)
+        ("a", 21, 9, 6),   # dominated by 5
+        ("b", 21, 9, 7),   # other group: survives alone
+    ]
+    got = run_pareto(spark, rows)
+    assert got == py_pareto(rows)
+    assert ("a", 10, 5, 1) not in got and ("a", 9, 5, 4) in got
+
+
+def test_pareto_random_vs_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (
+            rng.choice(["x", "y"]),
+            rng.randrange(20),
+            rng.randrange(20),
+            i,
+        )
+        for i in range(200)
+    ]
+    assert run_pareto(spark, rows) == py_pareto(rows)
+
+
+def test_pareto_single_point_and_duplicates(spark):
+    rows = [("g", 5, 5, 1), ("g", 5, 5, 2), ("g", 5, 5, 3)]
+    assert run_pareto(spark, rows) == py_pareto(rows)
+
+
+# --- benford_profile --------------------------------------------------------
+
+
+def test_benford_profile_matches_python(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.quality import (
+        BENFORD_PPB,
+        benford_profile,
+    )
+
+    cents = [100, 150, 199, 2000, 2999, 30000, 99, 1, 0, 917345, 100]
+    df = spark.createDataFrame([(c,) for c in cents], "cents long")
+    got = {
+        r["digit"]: (r["n"], r["obs_ppb"], r["exp_ppb"], r["dev_ppb"])
+        for r in benford_profile(df, F.col("cents")).collect()
+    }
+    kept = [c for c in cents if c >= 100]
+    total = len(kept)
+    import collections
+
+    ref_n = collections.Counter(int(str(c)[0]) for c in kept)
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        n = ref_n.get(d, 0)
+        obs = (n * 10**9) // total
+        exp = BENFORD_PPB[d]
+        assert got[d] == (n, obs, exp, abs(obs - exp)), d
+
+
+def test_benford_profile_empty_digits_present(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.quality import (
+        benford_profile,
+    )
+
+    df = spark.createDataFrame([(100,), (100,)], "cents long")
+    rows = {r["digit"]: r["n"] for r in benford_profile(df, F.col("cents")).collect()}
+    assert rows[1] == 2 and all(rows[d] == 0 for d in range(2, 10))
