@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "part_triangles",
     "part_pareto_front",
     "benford_audit",
+    "revenue_cusum",
+    "quality_rank_calibration",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -2559,3 +2559,95 @@ FROM filled, tot
 
 
 ANALYTICS_QUERIES["benford_audit"] = (q_benford_audit, _sql_benford())
+
+
+# --- CUSUM changepoint monitor over daily revenue ----------------------------
+
+
+def q_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift monitor [Page 1954] over daily order
+    revenue: per day, the clamped cumulative excess above / deficit
+    below the period's mean daily revenue — the standard sequential
+    changepoint screen a pipeline runs on every ingested fact stream
+    (sustained small shifts accumulate where a per-day threshold stays
+    silent).
+
+    The recursion ``S_t = max(0, S_{t-1} + dev_t)`` is NOT a window
+    aggregate, but the clamped walk has a closed form
+    ``S_t = P_t - min(0, min_{j<=t} P_j)`` (P = running sum of
+    deviations), so the whole monitor is pure window algebra: one
+    day-grained aggregate (map-side combined) + running sum + running
+    min over the day series.  All integer cents -> engine-exact; the
+    oracle deliberately replays the RECURSIVE definition instead, so
+    the closed form is checked against the textbook recurrence, not
+    against itself.
+
+    Scale notes: the heavy input scan collapses to one row per day
+    before any window runs; the ordered windows run on the day series
+    (bounded by calendar span, thousands of rows at any corpus size),
+    which is the one deliberate single-partition step — documented
+    here, irrelevant at that cardinality.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        money_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    daily = o.groupBy("day").agg(F.sum("cents").cast("long").alias("rev"))
+    ref = daily.agg(F.expr("sum(rev) div count(1)").alias("ref"))
+    j = (
+        daily.crossJoin(F.broadcast(ref))
+        .withColumn("dev", (F.col("rev") - F.col("ref")).cast("long"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    j = (
+        j.withColumn("__p", F.sum("dev").over(w))
+        .withColumn("__q", F.sum(-F.col("dev")).over(w))
+    )
+    return (
+        j.withColumn("__mp", F.min("__p").over(w))
+        .withColumn("__mq", F.min("__q").over(w))
+        .select(
+            "day",
+            "rev",
+            "dev",
+            (F.col("__p") - F.least(F.lit(0).cast("long"), F.col("__mp")))
+            .cast("long").alias("cusum_up"),
+            (F.col("__q") - F.least(F.lit(0).cast("long"), F.col("__mq")))
+            .cast("long").alias("cusum_dn"),
+        )
+    )
+
+
+SQL_REVENUE_CUSUM = """
+-- Replays the TEXTBOOK recurrence S_t = max(0, S_{t-1} + dev_t) via a
+-- recursive CTE — an independent formulation of the closed form
+-- (P_t - min(0, running_min P)) the engine computes with windows.
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+r AS (SELECT CAST(SUM(rev) // COUNT(*) AS BIGINT) AS ref FROM daily),
+o AS (
+  SELECT day, rev, rev - (SELECT ref FROM r) AS dev,
+         ROW_NUMBER() OVER (ORDER BY day) AS i
+  FROM daily
+),
+c AS (
+  SELECT i, day, rev, dev,
+         GREATEST(CAST(0 AS BIGINT), dev) AS up,
+         GREATEST(CAST(0 AS BIGINT), -dev) AS dn
+  FROM o WHERE i = 1
+  UNION ALL
+  SELECT o.i, o.day, o.rev, o.dev,
+         GREATEST(CAST(0 AS BIGINT), c.up + o.dev),
+         GREATEST(CAST(0 AS BIGINT), c.dn - o.dev)
+  FROM c JOIN o ON o.i = c.i + 1
+)
+SELECT day, rev, CAST(dev AS BIGINT) AS dev,
+       CAST(up AS BIGINT) AS cusum_up, CAST(dn AS BIGINT) AS cusum_dn
+FROM c
+"""
+
+ANALYTICS_QUERIES["revenue_cusum"] = (q_revenue_cusum, SQL_REVENUE_CUSUM)

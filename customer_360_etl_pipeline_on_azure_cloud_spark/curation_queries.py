@@ -1408,3 +1408,82 @@ CURATION_QUERIES["embedding_pca_project"] = (
     q_embedding_pca_project,
     _pca_power_sql(),
 )
+
+
+# --- cross-source score calibration by percentile rank -----------------------
+
+
+def q_quality_rank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality-score calibration: raw classifier scores
+    are NOT comparable across sources (every domain has its own score
+    distribution — web text scores systematically below reference
+    text), so budget allocation ranks WITHIN source: each doc gets its
+    within-source percentile rank in integer fixed point
+    (``pct_fp = (rank-1) * 10^6 div (n-1)``, ties broken by doc_id,
+    single-doc sources pinned to 10^6), and ``keep`` marks the top
+    half of EVERY source — the rank-normalized gate that keeps a
+    uniform fraction per source instead of letting one domain's score
+    scale starve the rest.
+
+    Scale notes: scoring is the existing zero-shuffle in-row integer
+    fold (hashed_linear_score); ranking is ONE hash shuffle on source
+    with a per-source sort — sources are the parallelism unit, and the
+    integer percentile makes the result engine- and partition-exact.
+    """
+    from pyspark.sql import Window
+
+    from .operators.text import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs, text_col="text").select(
+        "doc_id", "source", "score"
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    n = Window.partitionBy("source")
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            F.when(F.col("__n") == 1, F.lit(10**6).cast("long"))
+            .otherwise(F.expr("((__rk - 1) * 1000000L) div (__n - 1)"))
+            .alias("pct_fp"),
+        )
+        .withColumn("keep", F.col("pct_fp") >= 500000)
+    )
+
+
+SQL_QUALITY_RANK_CALIBRATION = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+),
+s AS (
+  SELECT doc_id,
+         SUM(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+             % 2001 - 1000) AS score
+  FROM tok GROUP BY doc_id
+),
+sc AS (
+  SELECT d.doc_id, d.source, CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+),
+r AS (
+  SELECT doc_id, source, score,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM sc
+)
+SELECT doc_id, source, score,
+       CAST(CASE WHEN n = 1 THEN 1000000
+                 ELSE ((rk - 1) * 1000000) // (n - 1) END AS BIGINT) AS pct_fp,
+       CASE WHEN n = 1 THEN 1000000
+            ELSE ((rk - 1) * 1000000) // (n - 1) END >= 500000 AS keep
+FROM r
+"""
+
+CURATION_QUERIES["quality_rank_calibration"] = (
+    q_quality_rank_calibration,
+    SQL_QUALITY_RANK_CALIBRATION,
+)

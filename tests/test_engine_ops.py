@@ -940,3 +940,46 @@ def test_benford_profile_empty_digits_present(spark):
     df = spark.createDataFrame([(100,), (100,)], "cents long")
     rows = {r["digit"]: r["n"] for r in benford_profile(df, F.col("cents")).collect()}
     assert rows[1] == 2 and all(rows[d] == 0 for d in range(2, 10))
+
+
+# --- CUSUM closed form vs textbook recurrence --------------------------------
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    """The engine computes S_t = P_t - min(0, running_min P); pin it
+    against the plain max(0, S+dev) recurrence on a synthetic series."""
+    import datetime
+
+    rng = __import__("random").Random(3)
+    days = [
+        (datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+         rng.randrange(0, 2000))
+        for i in range(60)
+    ]
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(days, "day date, rev long")
+    ref = sum(r for _, r in days) // len(days)
+    j = df.withColumn("dev", (F.col("rev") - F.lit(ref)).cast("long"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    j = (
+        j.withColumn("p", F.sum("dev").over(w))
+        .withColumn("q", F.sum(-F.col("dev")).over(w))
+    )
+    got = {
+        r["day"]: (r["up"], r["dn"])
+        for r in j.withColumn("mp", F.min("p").over(w))
+        .withColumn("mq", F.min("q").over(w))
+        .select(
+            "day",
+            (F.col("p") - F.least(F.lit(0).cast("long"), F.col("mp"))).alias("up"),
+            (F.col("q") - F.least(F.lit(0).cast("long"), F.col("mq"))).alias("dn"),
+        )
+        .collect()
+    }
+    up = dn = 0
+    for day, rev in days:
+        dev = rev - ref
+        up = max(0, up + dev)
+        dn = max(0, dn - dev)
+        assert got[day] == (up, dn), day
