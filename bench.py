@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "benford_audit",
     "revenue_cusum",
     "quality_rank_calibration",
+    "nation_revenue_gini",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -2651,3 +2651,105 @@ FROM c
 """
 
 ANALYTICS_QUERIES["revenue_cusum"] = (q_revenue_cusum, SQL_REVENUE_CUSUM)
+
+
+# --- Gini concentration of customer revenue per nation ------------------------
+
+
+def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: per nation, the Gini coefficient of
+    customer revenue in integer fixed point — the inequality screen
+    that tells a Customer-360 team whether a nation's revenue is broad
+    or hangs off three whales (and a corpus team, when run on per-source
+    token counts, whether one domain dominates a mixture).
+
+    Uses the sorted-rank identity ``G = (2*SUM(i*x_i) - (n+1)*SUM(x))
+    / (n*SUM(x))`` over revenue sorted ascending within nation
+    (tiebreak: custkey), emitted as ``gini_fp`` scaled 10^6.  Revenue
+    is truncated to whole currency units before ranking so every
+    product ``i * x_i`` and its national sum stay well inside int64 at
+    realistic cardinalities (~10^6 customers x 10^5 units per nation ->
+    ~10^17; the decimal(38,0) aggregate is the documented escape
+    beyond that).  Customers with no orders count as x = 0 — a
+    concentration audit that silently dropped them would understate
+    inequality.
+
+    Scale shape: one fact-side hash aggregate to customer grain, a
+    broadcast-friendly left join onto the customer dim, then ONE
+    window shuffle partitioned by nation (nations are the parallelism
+    unit) and a final per-nation hash aggregate.  All integers ->
+    engine-exact.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", money_cents(F.col("o_totalprice")).alias("cents")
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.expr("sum(cents) div 100").alias("units")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    x = (
+        c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.coalesce("units", F.lit(0)).cast("long").alias("units"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("units", "c_custkey")
+    ranked = x.withColumn("i", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("units").alias("total_units"),
+            F.sum(F.col("i") * F.col("units")).alias("__six"),
+        )
+        .select(
+            "c_nationkey",
+            "n_customers",
+            "total_units",
+            F.when(F.col("total_units") > 0,
+                   F.expr("((2 * __six - (n_customers + 1) * total_units)"
+                          " * 1000000L) div (n_customers * total_units)"))
+            .otherwise(F.lit(0)).cast("long").alias("gini_fp"),
+        )
+    )
+
+
+SQL_NATION_REVENUE_GINI = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) // 100 AS units
+  FROM orders GROUP BY 1
+),
+x AS (
+  SELECT c.c_nationkey, c.c_custkey,
+         CAST(COALESCE(p.units, 0) AS BIGINT) AS units
+  FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey
+),
+ranked AS (
+  SELECT c_nationkey, units,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey ORDER BY units, c_custkey
+         ) AS BIGINT) AS i
+  FROM x
+),
+agg AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(units) AS BIGINT) AS total_units,
+         CAST(SUM(i * units) AS BIGINT) AS six
+  FROM ranked GROUP BY 1
+)
+SELECT c_nationkey, n_customers, total_units,
+       CAST(CASE WHEN total_units > 0
+                 THEN ((2 * six - (n_customers + 1) * total_units) * 1000000)
+                      // (n_customers * total_units)
+                 ELSE 0 END AS BIGINT) AS gini_fp
+FROM agg
+"""
+
+ANALYTICS_QUERIES["nation_revenue_gini"] = (
+    q_nation_revenue_gini,
+    SQL_NATION_REVENUE_GINI,
+)

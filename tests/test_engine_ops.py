@@ -983,3 +983,49 @@ def test_cusum_closed_form_matches_recurrence(spark):
         up = max(0, up + dev)
         dn = max(0, dn - dev)
         assert got[day] == (up, dn), day
+
+
+# --- nation_revenue_gini formula ---------------------------------------------
+
+
+def test_gini_identity_matches_python(spark):
+    """Pin the sorted-rank Gini identity used by nation_revenue_gini
+    against a direct mean-absolute-difference computation."""
+    from pyspark.sql import Window
+
+    rng = __import__("random").Random(5)
+    rows = [
+        (g, i, rng.randrange(0, 50) if rng.random() < 0.9 else 0)
+        for g in ("n1", "n2") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, cid long, units long")
+    w = Window.partitionBy("g").orderBy("units", "cid")
+    got = {
+        r["g"]: r["gini_fp"]
+        for r in df.withColumn("i", F.row_number().over(w).cast("long"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("units").alias("t"),
+            F.sum(F.col("i") * F.col("units")).alias("six"),
+        )
+        .select(
+            "g",
+            F.expr("((2 * six - (n + 1) * t) * 1000000L) div (n * t)")
+            .alias("gini_fp"),
+        )
+        .collect()
+    }
+    for g in ("n1", "n2"):
+        xs = [u for gg, _i, u in rows if gg == g]
+        n, t = len(xs), sum(xs)
+        # Gini = sum_{i,j} |x_i - x_j| / (2 n^2 mean) = identity below
+        mad = sum(abs(a - b) for a in xs for b in xs)
+        expected = (mad * 10**6) // (2 * n * t)
+        # the rank identity equals the MAD form exactly on integers
+        # up to the shared floor: compare the unfloored rationals
+        xs_sorted = sorted(xs)
+        num = 2 * sum((i + 1) * x for i, x in enumerate(xs_sorted)) - (n + 1) * t
+        assert num * 2 * n * t == mad * n * t  # rank identity == MAD identity
+        assert got[g] == (num * 10**6) // (n * t)
+        assert abs(got[g] - expected) <= 1
