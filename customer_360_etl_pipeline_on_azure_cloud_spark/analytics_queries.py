@@ -2405,7 +2405,11 @@ WITH pairs AS (
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-und AS (
+-- MATERIALIZED: und is tiny (vertex-scaled) but referenced 3x; without
+-- the hint DuckDB re-inlines the full fact-sized pair pipeline per
+-- reference and spills tens of GB at sf1 (observed) — same fix as
+-- SQL_PART_PAGERANK.
+und AS MATERIALIZED (
   SELECT u AS a, v AS b FROM pairs
   GROUP BY u, v HAVING COUNT(*) >= {_TRI_MIN_ORDERS}
 ),
@@ -2752,4 +2756,69 @@ FROM agg
 ANALYTICS_QUERIES["nation_revenue_gini"] = (
     q_nation_revenue_gini,
     SQL_NATION_REVENUE_GINI,
+)
+
+
+# --- supplier-nation x customer-nation trade matrix (TPC-H Q7 shape) ----------
+
+
+def q_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the bilateral trade matrix — revenue by
+    (supplier nation, customer nation) across lineitem ⋈ orders ⋈
+    customer ⋈ supplier with the nation dim joined TWICE under two
+    aliases.  The classic dual-dimension fact join: the fact row's two
+    foreign keys resolve through different dimension paths into one
+    grouped matrix.
+
+    Scale notes: the two fact-fact inputs (lineitem, orders) meet in
+    ONE shuffle join on orderkey; customer, supplier, and both nation
+    aliases are dim-sized and broadcast (plan shows 4 BroadcastHashJoin
+    around the single Exchange); revenue is integer cents before SUM so
+    the matrix is engine-exact, and the final aggregate's key space is
+    |nations|^2 — map-side combined to almost nothing.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _revenue_cents().alias("rev")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_n = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(supp_n), s["s_nationkey"] == F.col("sn_key"))
+        .join(F.broadcast(cust_n), c["c_nationkey"] == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum("rev").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_NATION_TRADE_MATRIX = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0)
+                AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+"""
+
+ANALYTICS_QUERIES["nation_trade_matrix"] = (
+    q_nation_trade_matrix,
+    SQL_NATION_TRADE_MATRIX,
 )

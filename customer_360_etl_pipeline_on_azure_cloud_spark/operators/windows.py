@@ -117,11 +117,66 @@ def top_1_per_group_agg(
     return out.select(*keys, *[F.col(f"__top.{c}").alias(c) for c in payload])
 
 
+def _pareto_band_prefilter(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    gcols: list,
+    n_bands: int,
+) -> DataFrame:
+    """Equal-width band prefilter for the 2-D skyline (result-neutral
+    by construction): a row p is dropped only when some STRICTLY-LOWER
+    band holds a row q with ``q.maximize >= p.maximize`` — and band
+    arithmetic guarantees ``q.minimize < p.minimize`` (q's band starts
+    below p's band's start), so q strictly dominates p.  Everything
+    kept flows to the exact window pass; nothing correct is lost.
+
+    Cost: one map-side-combined aggregate to <= groups * n_bands rows,
+    a tiny window over those rows, and two broadcast joins — no sort of
+    the full input.  Intended for few-but-giant groups (the broadcast
+    stats table is group-count-sized).
+    """
+    mx = F.col(maximize).cast("long")
+    stats = df.groupBy(*gcols).agg(
+        F.min(F.col(minimize).cast("long")).alias("__lo"),
+        F.max(F.col(minimize).cast("long")).alias("__hi"),
+    ).withColumn(
+        "__w",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(__hi - __lo) div {n_bands} + 1"),
+        ),
+    )
+    j = (
+        df.join(F.broadcast(stats), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(stats))
+    )
+    j = j.withColumn(
+        "__band", F.expr(f"(cast({minimize} as bigint) - __lo) div __w")
+    )
+    bmax = j.groupBy(*gcols, "__band").agg(F.max(mx).alias("__bmax"))
+    wb = (
+        Window.partitionBy(*gcols)
+        .orderBy("__band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = bmax.withColumn("__below", F.max("__bmax").over(wb)).select(
+        *gcols, "__band", "__below"
+    )
+    return (
+        j.join(F.broadcast(cum), [*gcols, "__band"])
+        .filter(F.col("__below").isNull() | (mx > F.col("__below")))
+        .drop("__lo", "__hi", "__w", "__band", "__below")
+    )
+
+
 def pareto_front_2d(
     df: DataFrame,
     minimize: str,
     maximize: str,
     group: Iterable[str] = (),
+    prefilter_bands: int = 0,
 ) -> DataFrame:
     """2-D skyline: keep the rows not dominated on (``minimize``,
     ``maximize``) — q dominates p iff q is <= on the minimized column,
@@ -145,14 +200,21 @@ def pareto_front_2d(
       ``maximize == m_tie``.
 
     Grouped calls parallelize across groups.  For ONE giant group the
-    sort dominates; the standard escape (not needed here, documented
-    for 100 TB use) is a band prefilter: bucket ``minimize`` into
-    ranges, take per-band max(maximize) (map-side combined, tiny),
-    broadcast the running band cummax back and drop every row strictly
-    dominated by a LOWER band's max — the window then sorts only
+    sort dominates; ``prefilter_bands=N`` adds the standard escape: a
+    band prefilter buckets ``minimize`` into N equal-width ranges, takes
+    per-(group, band) max(maximize) (ONE map-side-combined aggregate to
+    <= groups*N rows), and drops every row whose ``maximize`` does not
+    exceed the running max of STRICTLY-LOWER bands — any such row is
+    provably dominated (a lower band's witness has strictly smaller
+    ``minimize`` and >= ``maximize``), so the prefilter never changes
+    the result (pytest-pinned), while the window then sorts only
     near-front rows.
     """
     gcols = list(group)
+    if prefilter_bands > 0:
+        df = _pareto_band_prefilter(
+            df, minimize, maximize, gcols, prefilter_bands
+        )
     w_below = (
         Window.partitionBy(*gcols)
         .orderBy(F.col(minimize).cast("long"))

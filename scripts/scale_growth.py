@@ -83,6 +83,15 @@ QUERIES = [
     "winnowing_dedup_pairs",
     "streaming_quality_gate",
     "corpus_curation_report",
+    # post-freeze round-6 additions on scale-generated tables
+    "source_kl_divergence",
+    "training_shard_manifest",
+    "importance_resample",
+    "embedding_pca_project",
+    "part_triangles",
+    "benford_audit",
+    "revenue_cusum",
+    "quality_rank_calibration",
 ]
 
 

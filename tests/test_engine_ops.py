@@ -1029,3 +1029,34 @@ def test_gini_identity_matches_python(spark):
         assert num * 2 * n * t == mad * n * t  # rank identity == MAD identity
         assert got[g] == (num * 10**6) // (n * t)
         assert abs(got[g] - expected) <= 1
+
+
+def test_pareto_band_prefilter_is_result_neutral(spark):
+    """prefilter_bands must never change the skyline — random fuzz
+    across band counts, including bands > distinct values and a
+    single-value degenerate column."""
+    import random
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.windows import (
+        pareto_front_2d,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (rng.choice(["x", "y"]), rng.randrange(100), rng.randrange(100), i)
+        for i in range(300)
+    ] + [("z", 7, 7, 1000), ("z", 7, 9, 1001)]  # one-value minimize group
+    df = spark.createDataFrame(rows, "g string, price long, size long, id long")
+
+    def run(**kw):
+        return sorted(
+            (r["g"], r["price"], r["size"], r["id"])
+            for r in pareto_front_2d(
+                df, minimize="price", maximize="size", group=["g"], **kw
+            ).collect()
+        )
+
+    base = run()
+    for bands in (1, 3, 16, 1000):
+        assert run(prefilter_bands=bands) == base, bands
+    assert base == py_pareto(rows)
