@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "revenue_cusum",
     "quality_rank_calibration",
     "nation_revenue_gini",
+    "nation_trade_matrix",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

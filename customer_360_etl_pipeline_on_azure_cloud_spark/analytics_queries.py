@@ -2770,12 +2770,14 @@ def q_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreign keys resolve through different dimension paths into one
     grouped matrix.
 
-    Scale notes: the two fact-fact inputs (lineitem, orders) meet in
-    ONE shuffle join on orderkey; customer, supplier, and both nation
-    aliases are dim-sized and broadcast (plan shows 4 BroadcastHashJoin
-    around the single Exchange); revenue is integer cents before SUM so
-    the matrix is engine-exact, and the final aggregate's key space is
-    |nations|^2 — map-side combined to almost nothing.
+    Scale notes: customer, supplier, and both nation aliases are
+    dim-sized and explicitly broadcast; the lineitem-orders fact-fact
+    join is the one shuffle at production scale (at demo SFs AQE
+    broadcasts the pruned orders side too — observed: all five joins
+    BroadcastHashJoin at sf0.1, zero shuffle joins); revenue is integer
+    cents before SUM so the matrix is engine-exact, and the final
+    aggregate's key space is |nations|^2 — map-side combined to almost
+    nothing.
     """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", _revenue_cents().alias("rev")
