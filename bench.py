@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "quality_rank_calibration",
     "nation_revenue_gini",
     "nation_trade_matrix",
+    "nation_revenue_trend",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

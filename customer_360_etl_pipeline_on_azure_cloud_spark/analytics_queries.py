@@ -2824,3 +2824,94 @@ ANALYTICS_QUERIES["nation_trade_matrix"] = (
     q_nation_trade_matrix,
     SQL_NATION_TRADE_MATRIX,
 )
+
+
+# --- per-nation monthly revenue trend (exact OLS slope) -----------------------
+
+
+def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: the ordinary-least-squares slope of
+    monthly revenue over the month index, kept EXACT by emitting the
+    slope as an integer rational — ``slope_num = n*Sxy - Sx*Sy``,
+    ``slope_den = n*Sxx - Sx^2`` (slope in units/month = num/den) —
+    because the slope is frequently NEGATIVE and integer division
+    semantics differ across engines for negatives (Spark ``div``
+    truncates toward zero, SQL ``//`` floors), while the rational is
+    unambiguous.  The direction flag uses the numerator's sign only.
+
+    Scale shape: fact scan -> (nation, month) hash aggregate (map-side
+    combined) -> per-nation second aggregate over <= calendar-months
+    rows.  Month index = year*12 + month (integer); all sums are
+    int64-safe at realistic spans (x <= ~25k months forever; monthly
+    revenue in whole units).  Nations with one month emit den = 0 —
+    undefined slope, surfaced rather than divided.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long").alias("mi"),
+        money_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "mi")
+        .agg(F.expr("sum(cents) div 100").alias("y"))
+    )
+    return (
+        monthly.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.sum("mi").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("mi") * F.col("y")).alias("sxy"),
+            F.sum(F.col("mi") * F.col("mi")).alias("sxx"),
+        )
+        .select(
+            "c_nationkey",
+            "n_months",
+            (F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("long").alias("slope_num"),
+            (F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("long").alias("slope_den"),
+        )
+        .withColumn(
+            "direction",
+            F.when(F.col("slope_num") > 0, "up")
+            .when(F.col("slope_num") < 0, "down")
+            .otherwise("flat"),
+        )
+    )
+
+
+SQL_NATION_REVENUE_TREND = """
+WITH monthly AS (
+  SELECT c.c_nationkey,
+         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+           AS mi,
+         SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) // 100 AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(mi) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(mi * y) AS BIGINT) AS sxy,
+         CAST(SUM(mi * mi) AS BIGINT) AS sxx
+  FROM monthly GROUP BY 1
+)
+SELECT c_nationkey, n_months,
+       CAST(n_months * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_months * sxx - sx * sx AS BIGINT) AS slope_den,
+       CASE WHEN n_months * sxy - sx * sy > 0 THEN 'up'
+            WHEN n_months * sxy - sx * sy < 0 THEN 'down'
+            ELSE 'flat' END AS direction
+FROM agg
+"""
+
+ANALYTICS_QUERIES["nation_revenue_trend"] = (
+    q_nation_revenue_trend,
+    SQL_NATION_REVENUE_TREND,
+)
