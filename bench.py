@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "nation_revenue_gini",
     "nation_trade_matrix",
     "nation_revenue_trend",
+    "customer_rfm",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -2915,3 +2915,107 @@ ANALYTICS_QUERIES["nation_revenue_trend"] = (
     q_nation_revenue_trend,
     SQL_NATION_REVENUE_TREND,
 )
+
+
+# --- RFM customer segmentation ------------------------------------------------
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — THE canonical Customer-360 feature: per
+    customer, Recency (days since last order, vs the dataset's max
+    order date), Frequency (order count), Monetary (lifetime cents),
+    each quintile-scored 1-5 (5 best: most recent / most orders / most
+    spend), plus the composite ``rfm_code`` (r*100+f*10+m).  Scores are
+    EXACT percentile quintiles — ``5 - ((rank-1)*5) div n`` over a
+    total order with custkey tiebreaks — not approximate ntiles, so the
+    segmentation is deterministic and engine-portable.
+
+    Scale shape: the fact table collapses to customer grain in ONE
+    map-side-combined aggregate; the reference date is a 1-row
+    broadcast; the three quintile ranks are global sorts of the
+    CUSTOMER-grain frame (dim-sized — fine to the hundreds of millions;
+    beyond that the banded distributed-rank scheme replaces the single
+    sort, same integer formula).  Only customers with >= 1 order
+    appear (recency is undefined otherwise).
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        money_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).alias("f_orders"),
+        F.sum("cents").cast("long").alias("m_cents"),
+    )
+    refd = per.agg(F.max("last_d").alias("ref_d"))
+    j = per.crossJoin(F.broadcast(refd)).withColumn(
+        "r_days", F.datediff(F.col("ref_d"), F.col("last_d")).cast("long")
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_r = Window.orderBy("r_days", "o_custkey")
+    w_f = Window.orderBy(F.col("f_orders").desc(), "o_custkey")
+    w_m = Window.orderBy(F.col("m_cents").desc(), "o_custkey")
+
+    def _score(rank_col):
+        return (
+            F.lit(5).cast("long")
+            - F.expr(f"(({rank_col} - 1) * 5) div __n")
+        )
+
+    return (
+        j.withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__rr", F.row_number().over(w_r).cast("long"))
+        .withColumn("__rf", F.row_number().over(w_f).cast("long"))
+        .withColumn("__rm", F.row_number().over(w_m).cast("long"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "r_days",
+            "f_orders",
+            "m_cents",
+            _score("__rr").alias("r_score"),
+            _score("__rf").alias("f_score"),
+            _score("__rm").alias("m_score"),
+            (
+                _score("__rr") * 100 + _score("__rf") * 10 + _score("__rm")
+            ).alias("rfm_code"),
+        )
+    )
+
+
+SQL_CUSTOMER_RFM = """
+WITH per AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         CAST(COUNT(*) AS BIGINT) AS f_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS m_cents
+  FROM orders GROUP BY 1
+),
+refd AS (SELECT MAX(last_d) AS ref_d FROM per),
+j AS (
+  SELECT per.*, CAST(date_diff('day', last_d, refd.ref_d) AS BIGINT)
+           AS r_days
+  FROM per CROSS JOIN refd
+),
+ranked AS (
+  SELECT j.*, CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(ROW_NUMBER() OVER (ORDER BY r_days, o_custkey) AS BIGINT)
+           AS rr,
+         CAST(ROW_NUMBER() OVER (ORDER BY f_orders DESC, o_custkey)
+              AS BIGINT) AS rf,
+         CAST(ROW_NUMBER() OVER (ORDER BY m_cents DESC, o_custkey)
+              AS BIGINT) AS rm
+  FROM j
+)
+SELECT o_custkey AS custkey, r_days, f_orders, m_cents,
+       CAST(5 - ((rr - 1) * 5) // n AS BIGINT) AS r_score,
+       CAST(5 - ((rf - 1) * 5) // n AS BIGINT) AS f_score,
+       CAST(5 - ((rm - 1) * 5) // n AS BIGINT) AS m_score,
+       CAST((5 - ((rr - 1) * 5) // n) * 100
+            + (5 - ((rf - 1) * 5) // n) * 10
+            + (5 - ((rm - 1) * 5) // n) AS BIGINT) AS rfm_code
+FROM ranked
+"""
+
+ANALYTICS_QUERIES["customer_rfm"] = (q_customer_rfm, SQL_CUSTOMER_RFM)
