@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "nation_trade_matrix",
     "nation_revenue_trend",
     "customer_rfm",
+    "revenue_pareto80",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -3019,3 +3019,99 @@ FROM ranked
 """
 
 ANALYTICS_QUERIES["customer_rfm"] = (q_customer_rfm, SQL_CUSTOMER_RFM)
+
+
+# --- 80/20 revenue concentration per nation -----------------------------------
+
+
+def q_revenue_pareto80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 question, answered exactly: per nation, the MINIMUM
+    number of customers whose (descending) revenue covers >= 80% of the
+    nation's total — the whale-count complement to nation_revenue_gini
+    (the Gini says HOW unequal; this says how few accounts the revenue
+    actually hangs off).  The 80% test is the cross-multiplied integer
+    comparison ``cum_cents * 5 >= total_cents * 4`` — no percentage
+    float ever exists.
+
+    Scale shape: one fact aggregate to (nation, customer) grain, ONE
+    nation-partitioned window (rank + running sum share the same sort),
+    and a per-nation min-over-qualifying aggregate.  Customers with no
+    orders contribute nothing to either side and are excluded.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", money_cents(F.col("o_totalprice")).alias("cents")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev").desc(), "c_custkey"
+    )
+    ranked = (
+        per.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum",
+            F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "tot", F.sum("rev").over(Window.partitionBy("c_nationkey"))
+        )
+    )
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").alias("total_cents"),
+            F.min(
+                F.when(
+                    F.col("cum") * 5 >= F.col("tot") * 4, F.col("rk")
+                )
+            ).alias("k80"),
+        )
+        .select(
+            "c_nationkey",
+            "n_customers",
+            "total_cents",
+            F.col("k80").cast("long").alias("k80"),
+            F.expr("(k80 * 1000000L) div n_customers").alias("k80_share_fp"),
+        )
+    )
+
+
+SQL_REVENUE_PARETO80 = """
+WITH per AS (
+  SELECT c.c_nationkey, c.c_custkey,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_nationkey, rev,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey ORDER BY rev DESC, c_custkey
+         ) AS BIGINT) AS rk,
+         CAST(SUM(rev) OVER (
+           PARTITION BY c_nationkey ORDER BY rev DESC, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum,
+         CAST(SUM(rev) OVER (PARTITION BY c_nationkey) AS BIGINT) AS tot
+  FROM per
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev) AS BIGINT) AS total_cents,
+       CAST(MIN(CASE WHEN cum * 5 >= tot * 4 THEN rk END) AS BIGINT) AS k80,
+       CAST((MIN(CASE WHEN cum * 5 >= tot * 4 THEN rk END) * 1000000)
+            // COUNT(*) AS BIGINT) AS k80_share_fp
+FROM ranked
+GROUP BY 1
+"""
+
+ANALYTICS_QUERIES["revenue_pareto80"] = (
+    q_revenue_pareto80,
+    SQL_REVENUE_PARETO80,
+)
