@@ -195,6 +195,13 @@ BENCH_QUERIES = [
     "nation_revenue_trend",
     "customer_rfm",
     "revenue_pareto80",
+    "order_reconciliation",
+    "part_recommendations",
+    "revenue_backtest",
+    "revenue_bridge",
+    "cohort_ltv",
+    "part_abc_class",
+    "supplier_scorecard",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -3115,3 +3115,733 @@ ANALYTICS_QUERIES["revenue_pareto80"] = (
     q_revenue_pareto80,
     SQL_REVENUE_PARETO80,
 )
+
+
+# --- Order-total financial reconciliation -------------------------------------
+
+
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation audit: recompute every order's total
+    from its lineitems in EXACT integer micro-dollars and bucket the
+    discrepancy against the stored ``o_totalprice`` — the close-of-books
+    control every warehouse runs nightly (stored header totals drift
+    from line-level truth through partial refunds, late adjustments,
+    and upstream bugs; this report is how you notice).
+
+    Integer plan: ``line_e6 = cents(extendedprice) * (100 -
+    round(discount*100)) * (100 + round(tax*100))`` is the line charge
+    in 1e-6 dollars — three exact int64 products (a 100k$ line is
+    ~1e11, a 100-line order ~1e13, comfortably inside int64).  The
+    stored header total is lifted to the same unit
+    (``cents * 10_000``).  Relative-tolerance buckets use
+    cross-multiplied integer comparisons (``|delta| * 100 <=
+    stored_e6`` is "within 1%"), so no ratio ever materializes and the
+    report is identical across engines.  Orders with no surviving
+    lineitems are their own bucket — silently dropping them is how
+    reconciliation reports lie.
+
+    Scale shape: ONE fact-side hash aggregate to order grain
+    (map-side combine), one orderkey equi-join against the header
+    table (co-partitioned by key at production scale; AQE broadcasts
+    at demo SFs), then a tiny (status x bucket) hash aggregate.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            money_cents("l_extendedprice")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+            * (F.lit(100) + F.round(F.col("l_tax") * 100, 0).cast("long"))
+        ).alias("line_e6"),
+    )
+    rc = li.groupBy("l_orderkey").agg(F.sum("line_e6").alias("rc_e6"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (money_cents("o_totalprice") * F.lit(10_000)).alias("stored_e6"),
+    )
+    j = o.join(rc, o["o_orderkey"] == rc["l_orderkey"], "left")
+    delta = F.col("rc_e6") - F.col("stored_e6")
+    absd = F.abs(delta)
+    bucket = (
+        F.when(F.col("rc_e6").isNull(), F.lit("NO_LINEITEMS"))
+        .when(delta == 0, F.lit("EXACT"))
+        .when(absd * 100 <= F.col("stored_e6"), F.lit("WITHIN_1PCT"))
+        .when(absd * 10 <= F.col("stored_e6"), F.lit("WITHIN_10PCT"))
+        .otherwise(F.lit("OVER_10PCT"))
+    )
+    return (
+        j.select(
+            "o_orderstatus",
+            bucket.alias("bucket"),
+            F.coalesce(absd, F.lit(0)).alias("abs_delta_e6"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("abs_delta_e6").alias("sum_abs_delta_e6"),
+            F.max("abs_delta_e6").alias("max_abs_delta_e6"),
+        )
+    )
+
+
+SQL_ORDER_RECONCILIATION = """
+WITH rc AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+             * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))) AS rc_e6
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderstatus,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) * 10000 AS stored_e6,
+         rc.rc_e6
+  FROM orders o LEFT JOIN rc ON rc.l_orderkey = o.o_orderkey
+),
+b AS (
+  SELECT o_orderstatus,
+         CASE
+           WHEN rc_e6 IS NULL THEN 'NO_LINEITEMS'
+           WHEN rc_e6 - stored_e6 = 0 THEN 'EXACT'
+           WHEN ABS(rc_e6 - stored_e6) * 100 <= stored_e6 THEN 'WITHIN_1PCT'
+           WHEN ABS(rc_e6 - stored_e6) * 10 <= stored_e6 THEN 'WITHIN_10PCT'
+           ELSE 'OVER_10PCT'
+         END AS bucket,
+         COALESCE(ABS(rc_e6 - stored_e6), 0) AS abs_delta_e6
+  FROM j
+)
+SELECT o_orderstatus, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(abs_delta_e6) AS BIGINT) AS sum_abs_delta_e6,
+       CAST(MAX(abs_delta_e6) AS BIGINT) AS max_abs_delta_e6
+FROM b GROUP BY 1, 2
+"""
+
+ANALYTICS_QUERIES["order_reconciliation"] = (
+    q_order_reconciliation,
+    SQL_ORDER_RECONCILIATION,
+)
+
+
+# --- Item-item co-purchase recommendations ------------------------------------
+
+
+def q_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering, serving shape: for every
+    part, the top-3 "customers also bought" parts ranked by
+    co-purchase support — the ranked per-item list a recommender
+    actually serves, one step past ``basket_rules``'s thresholded rule
+    set (rules are symmetric facts; a recommendation is a per-item
+    ORDERED shortlist with a deterministic tiebreak).
+
+    Ranking is by raw integer co-occurrence (orders containing both)
+    with partkey as the total-order tiebreak; the cosine affinity
+    ``supp_ab^2 / (supp_a * supp_b)`` is emitted as an EXACT integer
+    rational (``cos2_num``/``cos2_den``) rather than folded into the
+    rank — a scaled-fixed-point cosine rank would need
+    ``supp_ab^2 * 10^k`` products that leave int64 at popular-pair
+    supports (~3e6 orders sharing a pair at 100 TB), while the raw
+    rational stays exact to supp ~ 3e9.  Consumers re-rank by the
+    rational with arbitrary precision if they want affinity order.
+
+    Scale shape: identical candidate machinery to the co-purchase
+    graph — one shuffle to basket grain, in-row ordered-pair expansion
+    (baskets bounded ~7 lines), ONE pair hash aggregate with map-side
+    combine, a broadcast join of the parts-sized support table, then
+    ONE window shuffle partitioned by the recommending part.  A
+    ``supp_ab >= 2`` floor drops the single-co-occurrence noise tail
+    before the window (same floor in the oracle).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pair_supp = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> "
+                    "transform(ps, y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 2)
+    )
+    item_supp = baskets.select(F.explode("ps").alias("part")).groupBy(
+        "part"
+    ).agg(F.count(F.lit(1)).alias("supp"))
+    sa = item_supp.select(F.col("part").alias("a"), F.col("supp").alias("supp_a"))
+    sb = item_supp.select(F.col("part").alias("b"), F.col("supp").alias("supp_b"))
+    w = Window.partitionBy("a").orderBy(F.col("supp_ab").desc(), F.col("b"))
+    return (
+        pair_supp.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("a").alias("part"),
+            F.col("b").alias("rec_part"),
+            F.col("rank").cast("int").alias("rank"),
+            "supp_ab",
+            (F.col("supp_ab") * F.col("supp_ab")).alias("cos2_num"),
+            (F.col("supp_a") * F.col("supp_b")).alias("cos2_den"),
+        )
+    )
+
+
+SQL_PART_RECOMMENDATIONS = """
+WITH bp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pair AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b,
+         CAST(COUNT(*) AS BIGINT) AS supp_ab
+  FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+item AS (
+  SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS supp
+  FROM bp GROUP BY 1
+),
+ranked AS (
+  SELECT p.a, p.b, p.supp_ab, ia.supp AS supp_a, ib.supp AS supp_b,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.a ORDER BY p.supp_ab DESC, p.b
+         ) AS rank
+  FROM pair p
+  JOIN item ia ON ia.part = p.a
+  JOIN item ib ON ib.part = p.b
+)
+SELECT a AS part, b AS rec_part, CAST(rank AS INTEGER) AS rank, supp_ab,
+       supp_ab * supp_ab AS cos2_num,
+       supp_a * supp_b AS cos2_den
+FROM ranked WHERE rank <= 3
+"""
+
+ANALYTICS_QUERIES["part_recommendations"] = (
+    q_part_recommendations,
+    SQL_PART_RECOMMENDATIONS,
+)
+
+
+# --- Naive vs seasonal-naive revenue backtest ---------------------------------
+
+
+def q_revenue_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest: per nation, score the two standard
+    no-model forecasters of monthly revenue — naive (previous month)
+    and seasonal-naive (same month last year) — and report which one a
+    dashboard should use.  Champion/challenger backtesting over
+    history is the step that keeps "forecast" tiles honest; the two
+    baselines here are also the yardstick any real model must beat.
+
+    Forecast joins are CALENDAR joins, not LAG over observed rows: the
+    naive forecast for month m is the revenue row keyed exactly
+    (m-1 month), the seasonal one exactly (m-12), matched with an
+    equi-join on the computed prior key — a month absent from history
+    simply scores no forecast (a LAG would silently reach across
+    gaps).  Errors are integer cents; MAE is an integer ``div`` of
+    nonnegative totals (truncate == floor on both engines), and the
+    champion pick compares ``sum12 * n1 < sum1 * n12`` cross-multiplied
+    so no ratio ever materializes.  Ties (and nations too short for a
+    seasonal score) default to 'naive'.
+
+    Scale shape: one fact-side aggregate to (nation, month) grain —
+    after which the series table is ~nations x months rows; the two
+    self-joins and the final per-nation aggregate are dimension-sized.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        money_cents("o_totalprice").alias("cents"),
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)).alias("mi"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "mi")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    r1 = rev.select(
+        F.col("c_nationkey").alias("n1"),
+        (F.col("mi") + 1).alias("mi1"),
+        F.col("rev").alias("f_naive"),
+    )
+    r12 = rev.select(
+        F.col("c_nationkey").alias("n12"),
+        (F.col("mi") + 12).alias("mi12"),
+        F.col("rev").alias("f_seasonal"),
+    )
+    scored = (
+        rev.join(
+            r1, (rev["c_nationkey"] == r1["n1"]) & (rev["mi"] == r1["mi1"]), "left"
+        )
+        .join(
+            r12,
+            (rev["c_nationkey"] == r12["n12"]) & (rev["mi"] == r12["mi12"]),
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            F.abs(F.col("rev") - F.col("f_naive")).alias("e1"),
+            F.abs(F.col("rev") - F.col("f_seasonal")).alias("e12"),
+        )
+    )
+    agg = scored.groupBy("c_nationkey").agg(
+        F.count("e1").alias("n1_scored"),
+        F.coalesce(F.sum("e1"), F.lit(0)).alias("sum1"),
+        F.count("e12").alias("n12_scored"),
+        F.coalesce(F.sum("e12"), F.lit(0)).alias("sum12"),
+    )
+    return agg.select(
+        "c_nationkey",
+        "n1_scored",
+        F.when(F.col("n1_scored") > 0,
+               F.expr("sum1 div n1_scored")).otherwise(F.lit(None))
+        .cast("long").alias("mae_naive_cents"),
+        "n12_scored",
+        F.when(F.col("n12_scored") > 0,
+               F.expr("sum12 div n12_scored")).otherwise(F.lit(None))
+        .cast("long").alias("mae_seasonal_cents"),
+        F.when(
+            (F.col("n12_scored") > 0)
+            & (F.col("n1_scored") > 0)
+            & (F.col("sum12") * F.col("n1_scored")
+               < F.col("sum1") * F.col("n12_scored")),
+            F.lit("seasonal"),
+        ).otherwise(F.lit("naive")).alias("champion"),
+    )
+
+
+SQL_REVENUE_BACKTEST = """
+WITH rev AS (
+  SELECT c.c_nationkey,
+         CAST(YEAR(o.o_orderdate) * 12 + (MONTH(o.o_orderdate) - 1) AS BIGINT)
+           AS mi,
+         SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT r.c_nationkey,
+         ABS(r.rev - p1.rev) AS e1,
+         ABS(r.rev - p12.rev) AS e12
+  FROM rev r
+  LEFT JOIN rev p1
+    ON p1.c_nationkey = r.c_nationkey AND p1.mi = r.mi - 1
+  LEFT JOIN rev p12
+    ON p12.c_nationkey = r.c_nationkey AND p12.mi = r.mi - 12
+),
+agg AS (
+  SELECT c_nationkey,
+         CAST(COUNT(e1) AS BIGINT) AS n1_scored,
+         CAST(COALESCE(SUM(e1), 0) AS BIGINT) AS sum1,
+         CAST(COUNT(e12) AS BIGINT) AS n12_scored,
+         CAST(COALESCE(SUM(e12), 0) AS BIGINT) AS sum12
+  FROM scored GROUP BY 1
+)
+SELECT c_nationkey, n1_scored,
+       CAST(CASE WHEN n1_scored > 0 THEN sum1 // n1_scored END AS BIGINT)
+         AS mae_naive_cents,
+       n12_scored,
+       CAST(CASE WHEN n12_scored > 0 THEN sum12 // n12_scored END AS BIGINT)
+         AS mae_seasonal_cents,
+       CASE WHEN n12_scored > 0 AND n1_scored > 0
+                 AND sum12 * n1_scored < sum1 * n12_scored
+            THEN 'seasonal' ELSE 'naive' END AS champion
+FROM agg
+"""
+
+ANALYTICS_QUERIES["revenue_backtest"] = (
+    q_revenue_backtest,
+    SQL_REVENUE_BACKTEST,
+)
+
+
+# --- Month-over-month revenue bridge ------------------------------------------
+
+
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue growth accounting: decompose each month's revenue change
+    into the four customer movements — NEW (no revenue last month),
+    CHURNED (no revenue this month), EXPANSION and CONTRACTION (both
+    months, delta up / down) — the waterfall a Customer-360 revenue
+    team reads before anything else, because "revenue grew 2%" means
+    nothing until you know whether it was new logos or net expansion.
+
+    The decomposition is EXACT by construction: for every month m,
+    ``new + expansion + contraction - churned == total(m) -
+    total(m-1)`` in integer cents (pinned in pytest).  Adjacency is a
+    CALENDAR join on the computed previous-month key (a LAG over
+    observed rows would mis-pair across gaps); the month just past the
+    end of history reports the final all-churn row — a bridge that
+    stopped at the last observed month would hide it.  Churned and
+    contraction magnitudes are emitted as positive cents (the sign
+    convention of the identity above).
+
+    Scale shape: one fact-side hash aggregate to (customer, month)
+    grain, ONE full-outer self-join on the shifted key — co-partitioned
+    on the customer hash, so at production scale it is a single
+    shuffle — then a months-sized hash aggregate.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        money_cents("o_totalprice").alias("cents"),
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)).alias("mi"),
+    )
+    rev = o.groupBy("o_custkey", "mi").agg(F.sum("cents").alias("rev"))
+    cur = rev.select(
+        F.col("o_custkey").alias("ck"), "mi", F.col("rev").alias("cur")
+    )
+    prv = rev.select(
+        F.col("o_custkey").alias("pk"),
+        (F.col("mi") + 1).alias("pmi"),
+        F.col("rev").alias("prev"),
+    )
+    j = cur.join(
+        prv, (cur["ck"] == prv["pk"]) & (cur["mi"] == prv["pmi"]), "full_outer"
+    ).select(
+        F.coalesce("mi", "pmi").alias("month_i"),
+        "cur",
+        "prev",
+    )
+    is_new = F.col("prev").isNull()
+    is_churn = F.col("cur").isNull()
+    up = (~is_new) & (~is_churn) & (F.col("cur") > F.col("prev"))
+    down = (~is_new) & (~is_churn) & (F.col("cur") < F.col("prev"))
+    return j.groupBy("month_i").agg(
+        F.sum(F.when(is_new, 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(is_new, F.col("cur")).otherwise(0)).alias("new_cents"),
+        F.sum(F.when(is_churn, 1).otherwise(0)).alias("n_churned"),
+        F.sum(F.when(is_churn, F.col("prev")).otherwise(0)).alias(
+            "churned_cents"
+        ),
+        F.sum(F.when(up, 1).otherwise(0)).alias("n_expanded"),
+        F.sum(F.when(up, F.col("cur") - F.col("prev")).otherwise(0)).alias(
+            "expansion_cents"
+        ),
+        F.sum(F.when(down, 1).otherwise(0)).alias("n_contracted"),
+        F.sum(F.when(down, F.col("prev") - F.col("cur")).otherwise(0)).alias(
+            "contraction_cents"
+        ),
+    )
+
+
+SQL_REVENUE_BRIDGE = """
+WITH rev AS (
+  SELECT o_custkey AS ck,
+         CAST(YEAR(o_orderdate) * 12 + (MONTH(o_orderdate) - 1) AS BIGINT)
+           AS mi,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1, 2
+),
+j AS (
+  SELECT COALESCE(c.mi, p.mi + 1) AS month_i, c.rev AS cur, p.rev AS prev
+  FROM rev c
+  FULL OUTER JOIN rev p ON p.ck = c.ck AND p.mi + 1 = c.mi
+)
+SELECT month_i,
+  CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  CAST(SUM(CASE WHEN prev IS NULL THEN cur ELSE 0 END) AS BIGINT)
+    AS new_cents,
+  CAST(SUM(CASE WHEN cur IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+  CAST(SUM(CASE WHEN cur IS NULL THEN prev ELSE 0 END) AS BIGINT)
+    AS churned_cents,
+  CAST(SUM(CASE WHEN cur > prev THEN 1 ELSE 0 END) AS BIGINT) AS n_expanded,
+  CAST(SUM(CASE WHEN cur > prev THEN cur - prev ELSE 0 END) AS BIGINT)
+    AS expansion_cents,
+  CAST(SUM(CASE WHEN cur < prev THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contracted,
+  CAST(SUM(CASE WHEN cur < prev THEN prev - cur ELSE 0 END) AS BIGINT)
+    AS contraction_cents
+FROM j GROUP BY 1
+"""
+
+ANALYTICS_QUERIES["revenue_bridge"] = (q_revenue_bridge, SQL_REVENUE_BRIDGE)
+
+
+# --- Cohort lifetime value ----------------------------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, each cohort's revenue tracked by months-since-acquisition,
+    with the running cumulative and the per-customer LTV — the
+    payback-period table next to ``cohort_retention``'s activity
+    counts (retention says WHO came back; LTV says what they were
+    worth).
+
+    Exactness: revenue is integer cents; the cumulative is a window
+    SUM over a (cohort, age) grain that is unique BY CONSTRUCTION
+    (the pre-aggregate guarantees one row per key, so the running
+    frame needs no tiebreak); ``ltv_per_customer_cents`` is an
+    integer ``div`` of nonnegative totals by the fixed cohort size.
+
+    Scale shape: one aggregate to customer grain for the cohort key
+    (min month), one co-keyed join back onto the order aggregate, a
+    second hash aggregate to (cohort, age) grain — dimension-sized
+    from here — then ONE window shuffle partitioned by cohort.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        money_cents("o_totalprice").alias("cents"),
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)).alias("mi"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("mi").alias("cohort_mi"))
+    sizes = cohort.groupBy("cohort_mi").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    per_age = (
+        o.join(cohort, "o_custkey")
+        .groupBy("cohort_mi", (F.col("mi") - F.col("cohort_mi")).alias("age"))
+        .agg(
+            F.sum("cents").alias("rev_cents"),
+            F.countDistinct("o_custkey").alias("n_active"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_mi")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_age.join(F.broadcast(sizes), "cohort_mi")
+        .withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+        .select(
+            "cohort_mi",
+            "age",
+            "cohort_size",
+            "n_active",
+            "rev_cents",
+            "cum_rev_cents",
+            F.expr("cum_rev_cents div cohort_size").alias(
+                "ltv_per_customer_cents"
+            ),
+        )
+    )
+
+
+SQL_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CAST(YEAR(o_orderdate) * 12 + (MONTH(o_orderdate) - 1) AS BIGINT)
+           AS mi
+  FROM orders
+),
+cohort AS (
+  SELECT o_custkey, MIN(mi) AS cohort_mi FROM o GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_mi, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM cohort GROUP BY 1
+),
+per_age AS (
+  SELECT c.cohort_mi, o.mi - c.cohort_mi AS age,
+         CAST(SUM(o.cents) AS BIGINT) AS rev_cents,
+         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+  FROM o JOIN cohort c ON c.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT p.cohort_mi, p.age, s.cohort_size, p.n_active, p.rev_cents,
+       CAST(SUM(p.rev_cents) OVER (
+         PARTITION BY p.cohort_mi ORDER BY p.age
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cum_rev_cents,
+       CAST(SUM(p.rev_cents) OVER (
+         PARTITION BY p.cohort_mi ORDER BY p.age
+         ROWS UNBOUNDED PRECEDING
+       ) // s.cohort_size AS BIGINT) AS ltv_per_customer_cents
+FROM per_age p JOIN sizes s ON s.cohort_mi = p.cohort_mi
+"""
+
+ANALYTICS_QUERIES["cohort_ltv"] = (q_cohort_ltv, SQL_COHORT_LTV)
+
+
+# --- ABC catalog classification -----------------------------------------------
+
+
+def q_part_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: within each brand, parts ranked
+    by revenue and bucketed by cumulative share — A while the running
+    total stays within 80% of the brand's revenue, B to 95%, C beyond
+    (and unsold parts are C outright; a classification that promoted
+    zero-revenue items off the boundary arithmetic would be wrong in
+    the way auditors notice).  The catalog-side complement of
+    ``revenue_pareto80``'s customer whale count.
+
+    Exactness: revenue in integer cents; cumulative-share gates are
+    cross-multiplied integer comparisons (``cum * 5 <= total * 4`` is
+    "within 80%"), and the running frame orders by (revenue DESC,
+    partkey) — a total order.  Unsold parts enter via a LEFT join from
+    the catalog with revenue 0 so every part is classified.
+
+    Scale shape: one fact-side hash aggregate to part grain, a
+    co-keyed join onto the catalog dim, then ONE window shuffle
+    partitioned by brand (brands are the parallelism unit; within a
+    brand the running sum is the sequential part, which is what ABC
+    *means* — a global-catalog variant would range-partition the sort).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", _revenue_cents().alias("rc"))
+    rev = li.groupBy("l_partkey").agg(F.sum("rc").alias("rev_cents"))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = p.join(rev, p["p_partkey"] == rev["l_partkey"], "left").select(
+        "p_partkey",
+        "p_brand",
+        F.coalesce("rev_cents", F.lit(0)).cast("long").alias("rev_cents"),
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("rev_cents").desc(), F.col("p_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("p_brand")
+    return (
+        x.withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .withColumn("tot_cents", F.sum("rev_cents").over(wt))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "rev_cents",
+            "cum_cents",
+            F.when(F.col("rev_cents") == 0, F.lit("C"))
+            .when(F.col("cum_cents") * 5 <= F.col("tot_cents") * 4, F.lit("A"))
+            .when(
+                F.col("cum_cents") * 20 <= F.col("tot_cents") * 19, F.lit("B")
+            )
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
+    )
+
+
+SQL_PART_ABC_CLASS = f"""
+WITH rev AS (
+  SELECT l_partkey, SUM({_REVENUE_CENTS_SQL}) AS rev_cents
+  FROM lineitem GROUP BY 1
+),
+x AS (
+  SELECT p.p_partkey, p.p_brand,
+         CAST(COALESCE(r.rev_cents, 0) AS BIGINT) AS rev_cents
+  FROM part p LEFT JOIN rev r ON r.l_partkey = p.p_partkey
+),
+c AS (
+  SELECT p_partkey, p_brand, rev_cents,
+         CAST(SUM(rev_cents) OVER (
+           PARTITION BY p_brand ORDER BY rev_cents DESC, p_partkey
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS cum_cents,
+         CAST(SUM(rev_cents) OVER (PARTITION BY p_brand) AS BIGINT)
+           AS tot_cents
+  FROM x
+)
+SELECT p_partkey, p_brand, rev_cents, cum_cents,
+       CASE WHEN rev_cents = 0 THEN 'C'
+            WHEN cum_cents * 5 <= tot_cents * 4 THEN 'A'
+            WHEN cum_cents * 20 <= tot_cents * 19 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+"""
+
+ANALYTICS_QUERIES["part_abc_class"] = (q_part_abc_class, SQL_PART_ABC_CLASS)
+
+
+# --- Supplier scorecard -------------------------------------------------------
+
+
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-360 scorecard: every supplier's volume, revenue,
+    return rate, and ship latency in one row, ranked by revenue within
+    nation — the procurement twin of the customer-side ``supplier_360``
+    feature join, and the table a sourcing team sorts by ``rev_rank``
+    every Monday.
+
+    Exactness: revenue in integer cents; the return rate is emitted as
+    an exact integer pair (``return_lines`` / ``n_lines``) rather than
+    a ratio; ship latency is an integer day count (``datediff`` of two
+    date-truncated timestamps) whose per-supplier total CAN GO
+    NEGATIVE on out-of-order feeds (this corpus ships before the
+    order date on some lines), so the mean is left to consumers as the
+    exact pair (``sum_lat_days``, ``n_lines``) — a negative integer
+    must never cross an engine division (Spark ``div`` truncates, SQL
+    ``//`` floors); the national rank orders by (revenue DESC,
+    suppkey) — a total order.
+
+    Scale shape: ONE fact-fact equi-join (lineitem to orders on
+    orderkey — co-partitioned at production scale, the single big
+    shuffle here), one hash aggregate to supplier grain (map-side
+    combine), then a dimension-sized window partitioned by nation.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate",
+        _revenue_cents().alias("rc"),
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    per_supp = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rc").alias("revenue_cents"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "return_lines"
+        ),
+        F.sum(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("long")
+        ).alias("sum_lat_days"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("revenue_cents").desc(), F.col("s_suppkey")
+    )
+    return (
+        s.join(per_supp, s["s_suppkey"] == per_supp["l_suppkey"], "left")
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("revenue_cents", F.lit(0)).cast("long").alias(
+                "revenue_cents"
+            ),
+            F.coalesce("return_lines", F.lit(0)).cast("long").alias(
+                "return_lines"
+            ),
+            F.coalesce("sum_lat_days", F.lit(0)).cast("long").alias(
+                "sum_lat_days"
+            ),
+        )
+        .withColumn("rev_rank", F.row_number().over(w).cast("long"))
+    )
+
+
+SQL_SUPPLIER_SCORECARD = f"""
+WITH per_supp AS (
+  SELECT l.l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM({_REVENUE_CENTS_SQL}) AS BIGINT) AS revenue_cents,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS return_lines,
+         CAST(SUM(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE))) AS BIGINT)
+           AS sum_lat_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_nationkey,
+       CAST(COALESCE(p.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(p.revenue_cents, 0) AS BIGINT) AS revenue_cents,
+       CAST(COALESCE(p.return_lines, 0) AS BIGINT) AS return_lines,
+       CAST(COALESCE(p.sum_lat_days, 0) AS BIGINT) AS sum_lat_days,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY s.s_nationkey
+         ORDER BY COALESCE(p.revenue_cents, 0) DESC, s.s_suppkey
+       ) AS BIGINT) AS rev_rank
+FROM supplier s LEFT JOIN per_supp p ON p.l_suppkey = s.s_suppkey
+"""
+
+ANALYTICS_QUERIES["supplier_scorecard"] = (
+    q_supplier_scorecard,
+    SQL_SUPPLIER_SCORECARD,
+)

@@ -1060,3 +1060,425 @@ def test_pareto_band_prefilter_is_result_neutral(spark):
     for bands in (1, 3, 16, 1000):
         assert run(prefilter_bands=bands) == base, bands
     assert base == py_pareto(rows)
+
+
+# --- order_reconciliation accounting -----------------------------------------
+
+
+def test_order_reconciliation_accounts_for_every_order(spark):
+    """Every order lands in exactly one bucket; the NO_LINEITEMS bucket
+    equals the anti-join count; EXACT rows carry zero delta."""
+    from conftest import SF_SMALL
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.analytics_queries import (
+        q_order_reconciliation,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    out = q_order_reconciliation(spark, SF_SMALL).collect()
+    orders = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    n_orders = orders.count()
+    n_orphans = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left_anti"
+    ).count()
+    assert sum(r["n_orders"] for r in out) == n_orders
+    assert (
+        sum(r["n_orders"] for r in out if r["bucket"] == "NO_LINEITEMS")
+        == n_orphans
+    )
+    for r in out:
+        if r["bucket"] in ("NO_LINEITEMS", "EXACT"):
+            assert r["sum_abs_delta_e6"] == 0 and r["max_abs_delta_e6"] == 0
+        else:
+            assert r["max_abs_delta_e6"] > 0
+        assert r["sum_abs_delta_e6"] >= r["max_abs_delta_e6"]
+
+
+def test_order_reconciliation_matches_python_reference(spark):
+    """Full bucket report recomputed in pure Python from the same
+    integer inputs (cents/pcts taken through the engine's own rounding
+    so this pins the join/bucket/aggregate logic as a third
+    implementation)."""
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.analytics_queries import (
+        q_order_reconciliation,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.functions.scalar import (
+        money_cents,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey",
+        money_cents("l_extendedprice").alias("ext_c"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax"),
+    ).collect()
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        money_cents("o_totalprice").alias("cents"),
+    ).collect()
+    rc: dict[int, int] = defaultdict(int)
+    for r in li:
+        rc[r["l_orderkey"]] += r["ext_c"] * (100 - r["disc"]) * (100 + r["tax"])
+    expected: dict[tuple, list] = defaultdict(lambda: [0, 0, 0])
+    for o in orders:
+        stored = o["cents"] * 10_000
+        if o["o_orderkey"] not in rc:
+            bucket, absd = "NO_LINEITEMS", 0
+        else:
+            d = rc[o["o_orderkey"]] - stored
+            absd = abs(d)
+            if d == 0:
+                bucket = "EXACT"
+            elif absd * 100 <= stored:
+                bucket = "WITHIN_1PCT"
+            elif absd * 10 <= stored:
+                bucket = "WITHIN_10PCT"
+            else:
+                bucket = "OVER_10PCT"
+        cell = expected[(o["o_orderstatus"], bucket)]
+        cell[0] += 1
+        cell[1] += absd
+        cell[2] = max(cell[2], absd)
+    got = {
+        (r["o_orderstatus"], r["bucket"]): [
+            r["n_orders"], r["sum_abs_delta_e6"], r["max_abs_delta_e6"]
+        ]
+        for r in q_order_reconciliation(spark, SF_SMALL).collect()
+    }
+    assert got == dict(expected)
+
+
+# --- part_recommendations reference ------------------------------------------
+
+
+def test_part_recommendations_matches_python_reference(spark):
+    """Whole serving list recomputed brute-force in Python: distinct
+    baskets -> pair supports -> per-part (supp desc, partkey asc)
+    top-3, with the exact rational cosine^2."""
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.analytics_queries import (
+        q_part_recommendations,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict[int, set] = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    pair: dict[tuple, int] = defaultdict(int)
+    supp: dict[int, int] = defaultdict(int)
+    for ps in baskets.values():
+        for a in ps:
+            supp[a] += 1
+            for b in ps:
+                if a != b:
+                    pair[(a, b)] += 1
+    expected = set()
+    by_a: dict[int, list] = defaultdict(list)
+    for (a, b), s in pair.items():
+        if s >= 2:
+            by_a[a].append((b, s))
+    for a, cands in by_a.items():
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (b, s) in enumerate(cands[:3], start=1):
+            expected.add((a, b, rank, s, s * s, supp[a] * supp[b]))
+    got = {
+        tuple(r)
+        for r in q_part_recommendations(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+# --- revenue_backtest reference ----------------------------------------------
+
+
+def test_revenue_backtest_matches_python_reference(spark):
+    """Champion/challenger pick recomputed in pure Python with the
+    calendar-join semantics (month m scores ONLY if m-1 / m-12 exists)
+    and the cross-multiplied champion rule."""
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.analytics_queries import (
+        q_revenue_backtest,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.functions.scalar import (
+        money_cents,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_custkey",
+        money_cents("o_totalprice").alias("cents"),
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)).alias("mi"),
+    ).collect()
+    nation = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, SF_SMALL, "customer").select(
+            "c_custkey", "c_nationkey"
+        ).collect()
+    }
+    rev: dict[tuple, int] = defaultdict(int)
+    for o in orders:
+        if o["o_custkey"] in nation:
+            rev[(nation[o["o_custkey"]], o["mi"])] += o["cents"]
+    agg: dict[int, list] = defaultdict(lambda: [0, 0, 0, 0])
+    for (nk, mi), r in rev.items():
+        for lag, (ni, si) in (((1), (0, 1)), ((12), (2, 3))):
+            prev = rev.get((nk, mi - lag))
+            if prev is not None:
+                agg[nk][ni] += 1
+                agg[nk][si] += abs(r - prev)
+        agg.setdefault(nk, [0, 0, 0, 0])
+    expected = {}
+    for nk, (n1, s1, n12, s12) in agg.items():
+        champion = (
+            "seasonal" if n12 > 0 and n1 > 0 and s12 * n1 < s1 * n12
+            else "naive"
+        )
+        expected[nk] = (
+            n1, s1 // n1 if n1 > 0 else None,
+            n12, s12 // n12 if n12 > 0 else None, champion,
+        )
+    got = {
+        r["c_nationkey"]: (
+            r["n1_scored"], r["mae_naive_cents"],
+            r["n12_scored"], r["mae_seasonal_cents"], r["champion"],
+        )
+        for r in q_revenue_backtest(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+# --- revenue_bridge identity --------------------------------------------------
+
+
+def test_revenue_bridge_explains_total_delta_exactly(spark):
+    """The four components must reconstruct total(m) - total(m-1) in
+    integer cents for EVERY month, including the first (all-new) and
+    the post-history all-churn month."""
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.analytics_queries import (
+        q_revenue_bridge,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.functions.scalar import (
+        money_cents,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = load_table(spark, SF_SMALL, "orders").select(
+        "o_custkey",
+        money_cents("o_totalprice").alias("cents"),
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)).alias("mi"),
+    ).collect()
+    total: dict[int, int] = defaultdict(int)
+    for r in rows:
+        total[r["mi"]] += r["cents"]
+    out = {r["month_i"]: r for r in q_revenue_bridge(spark, SF_SMALL).collect()}
+    months = sorted(out)
+    assert months[-1] == max(total) + 1  # the all-churn epilogue month
+    for m, r in out.items():
+        delta = (
+            r["new_cents"] + r["expansion_cents"]
+            - r["contraction_cents"] - r["churned_cents"]
+        )
+        assert delta == total.get(m, 0) - total.get(m - 1, 0), m
+    # epilogue month is pure churn
+    last = out[months[-1]]
+    assert last["n_new"] == last["n_expanded"] == last["n_contracted"] == 0
+
+
+def test_cohort_ltv_matches_python_reference(spark):
+    """Full cohort-age LTV table recomputed in pure Python."""
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.analytics_queries import (
+        q_cohort_ltv,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.functions.scalar import (
+        money_cents,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = load_table(spark, SF_SMALL, "orders").select(
+        "o_custkey",
+        money_cents("o_totalprice").alias("cents"),
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)).alias("mi"),
+    ).collect()
+    cohort: dict[int, int] = {}
+    for r in rows:
+        cohort[r["o_custkey"]] = min(
+            cohort.get(r["o_custkey"], r["mi"]), r["mi"]
+        )
+    sizes: dict[int, int] = defaultdict(int)
+    for c in cohort.values():
+        sizes[c] += 1
+    per_age_rev: dict[tuple, int] = defaultdict(int)
+    per_age_cust: dict[tuple, set] = defaultdict(set)
+    for r in rows:
+        key = (cohort[r["o_custkey"]], r["mi"] - cohort[r["o_custkey"]])
+        per_age_rev[key] += r["cents"]
+        per_age_cust[key].add(r["o_custkey"])
+    expected = {}
+    for co in sizes:
+        cum = 0
+        for age in sorted(a for (c, a) in per_age_rev if c == co):
+            cum += per_age_rev[(co, age)]
+            expected[(co, age)] = (
+                sizes[co],
+                len(per_age_cust[(co, age)]),
+                per_age_rev[(co, age)],
+                cum,
+                cum // sizes[co],
+            )
+    got = {
+        (r["cohort_mi"], r["age"]): (
+            r["cohort_size"], r["n_active"], r["rev_cents"],
+            r["cum_rev_cents"], r["ltv_per_customer_cents"],
+        )
+        for r in q_cohort_ltv(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+def test_part_abc_class_matches_python_reference(spark):
+    """Whole ABC table recomputed in Python: per-brand (rev desc,
+    partkey) cumulative with cross-multiplied 80/95 gates, unsold -> C."""
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.analytics_queries import (
+        q_part_abc_class,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_partkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100,
+            0,
+        ).cast("long").alias("rc"),
+    ).collect()
+    parts = load_table(spark, SF_SMALL, "part").select(
+        "p_partkey", "p_brand"
+    ).collect()
+    rev: dict[int, int] = defaultdict(int)
+    for r in li:
+        rev[r["l_partkey"]] += r["rc"]
+    by_brand: dict[str, list] = defaultdict(list)
+    for p in parts:
+        by_brand[p["p_brand"]].append((p["p_partkey"], rev.get(p["p_partkey"], 0)))
+    expected = {}
+    for brand, items in by_brand.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        tot = sum(v for _, v in items)
+        cum = 0
+        for pk, v in items:
+            cum += v
+            if v == 0:
+                cls = "C"
+            elif cum * 5 <= tot * 4:
+                cls = "A"
+            elif cum * 20 <= tot * 19:
+                cls = "B"
+            else:
+                cls = "C"
+            expected[pk] = (brand, v, cum, cls)
+    got = {
+        r["p_partkey"]: (
+            r["p_brand"], r["rev_cents"], r["cum_cents"], r["abc_class"]
+        )
+        for r in q_part_abc_class(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+
+
+def test_supplier_scorecard_matches_python_reference(spark):
+    """Scorecard recomputed in Python, including suppliers with no
+    lines and the (possibly negative) latency totals kept undivided."""
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.analytics_queries import (
+        q_supplier_scorecard,
+    )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
+
+    o = {
+        r["o_orderkey"]: r["d"]
+        for r in load_table(spark, SF_SMALL, "orders").select(
+            "o_orderkey", F.to_date("o_orderdate").alias("d")
+        ).collect()
+    }
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag",
+        F.to_date("l_shipdate").alias("sd"),
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100,
+            0,
+        ).cast("long").alias("rc"),
+    ).collect()
+    agg: dict[int, list] = defaultdict(lambda: [0, 0, 0, 0])
+    for r in li:
+        if r["l_orderkey"] not in o:
+            continue
+        a = agg[r["l_suppkey"]]
+        a[0] += 1
+        a[1] += r["rc"]
+        a[2] += 1 if r["l_returnflag"] == "R" else 0
+        a[3] += (r["sd"] - o[r["l_orderkey"]]).days
+    supp = load_table(spark, SF_SMALL, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).collect()
+    by_nation: dict[int, list] = defaultdict(list)
+    for s in supp:
+        n, rv, rl, lat = agg.get(s["s_suppkey"], [0, 0, 0, 0])
+        by_nation[s["s_nationkey"]].append((s["s_suppkey"], n, rv, rl, lat))
+    expected = {}
+    for nk, items in by_nation.items():
+        items.sort(key=lambda t: (-t[2], t[0]))
+        for rank, (sk, n, rv, rl, lat) in enumerate(items, start=1):
+            expected[sk] = (nk, n, rv, rl, lat, rank)
+    got = {
+        r["s_suppkey"]: (
+            r["s_nationkey"], r["n_lines"], r["revenue_cents"],
+            r["return_lines"], r["sum_lat_days"], r["rev_rank"],
+        )
+        for r in q_supplier_scorecard(spark, SF_SMALL).collect()
+    }
+    assert got == expected
