@@ -92,6 +92,11 @@ QUERIES = [
     "benford_audit",
     "revenue_cusum",
     "quality_rank_calibration",
+    # round-6 final-session warehouse additions (orders/lineitem only)
+    "order_reconciliation",
+    "part_recommendations",
+    "revenue_bridge",
+    "cohort_ltv",
 ]
 
 
