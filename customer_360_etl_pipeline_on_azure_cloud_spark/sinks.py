@@ -73,3 +73,37 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    file_format: str = "parquet",
+) -> None:
+    """Idempotent daily reload: overwrite ONLY the partitions present
+    in ``df``, leaving every other partition untouched — the write mode
+    a day-keyed 100 TB fact table actually needs.  Spark's default
+    (``partitionOverwriteMode=static``) TRUNCATES THE ENTIRE TABLE on
+    ``mode("overwrite")`` with ``partitionBy``; re-running one day's
+    load under it silently deletes all history.  Dynamic mode rewrites
+    exactly the partitions the batch contains, so the daily job is
+    safe to re-run (same-batch replay produces byte-identical state).
+
+    The conf flip is scoped: the session's prior
+    ``spark.sql.sources.partitionOverwriteMode`` is restored afterward
+    (other writers in the session keep their expected semantics).
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .format(file_format)
+            .save(path)
+        )
+    finally:
+        spark.conf.set(key, prior)

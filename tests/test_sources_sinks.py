@@ -248,3 +248,44 @@ def test_event_ts_normalizes_every_arrival_type(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_overwrite_partitions_touches_only_arriving_days(spark, tmp_path):
+    """Dynamic partition overwrite: reloading one day's batch must
+    leave every other day intact (static mode would truncate them),
+    replace that day's prior content, and restore the session conf."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sinks import (
+        overwrite_partitions,
+    )
+
+    path = str(tmp_path / "daily")
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(key, "static")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1, 10), ("2024-01-02", 2, 20), ("2024-01-03", 3, 30)],
+        "day string, id int, v int",
+    )
+    overwrite_partitions(full, path, ["day"])
+    redo = spark.createDataFrame(
+        [("2024-01-02", 2, 99), ("2024-01-02", 4, 40)],
+        "day string, id int, v int",
+    )
+    overwrite_partitions(redo, path, ["day"])
+    got = sorted(
+        (str(r["day"]), r["id"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [
+        ("2024-01-01", 1, 10),
+        ("2024-01-02", 2, 99),
+        ("2024-01-02", 4, 40),
+        ("2024-01-03", 3, 30),
+    ]
+    assert spark.conf.get(key, "static") == prior
+    # replaying the same batch is a no-op on state
+    overwrite_partitions(redo, path, ["day"])
+    again = sorted(
+        (str(r["day"]), r["id"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert again == got
