@@ -3485,9 +3485,10 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention of the identity above).
 
     Scale shape: one fact-side hash aggregate to (customer, month)
-    grain, ONE full-outer self-join on the shifted key — co-partitioned
-    on the customer hash, so at production scale it is a single
-    shuffle — then a months-sized hash aggregate.
+    grain, then ONE full-outer self-join on the shifted (customer,
+    month) key — an exchange on each side (full outer cannot
+    broadcast), both customer-grain, i.e. ~1/30th of the fact volume —
+    then a months-sized hash aggregate.
     """
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
