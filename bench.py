@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "cohort_ltv",
     "part_abc_class",
     "supplier_scorecard",
+    "bloom_pruned_join",
+    "revenue_seasonal_decomp",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

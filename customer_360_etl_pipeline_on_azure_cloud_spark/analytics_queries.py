@@ -3846,3 +3846,243 @@ ANALYTICS_QUERIES["supplier_scorecard"] = (
     q_supplier_scorecard,
     SQL_SUPPLIER_SCORECARD,
 )
+
+
+# --- bloom-filter join pruning (explicit runtime filter) --------------------
+
+_BLOOM_M_WORDS, _BLOOM_K = 1024, 3
+
+
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter fact-scan pruning (operators/bloom.py) exhibited on
+    a selective orders->lineitem join: keys = one month's 1-URGENT
+    orders (~0.4% of orders), fact = every lineitem probed on
+    l_orderkey.
+
+    Production usage is ``bloom_prune(fact, ...).join(dim)`` — the
+    bloom is an in-row prefilter (array-literal bit tests, zero
+    shuffle/join) that keeps the join's shuffle input at
+    matches + false positives instead of the whole fact table.  This
+    registered form additionally LEFT-joins the (bounded, broadcast)
+    key set on the same single scan to measure what the bloom did:
+    total fact rows, bloom survivors, true matches, false positives,
+    and the exact revenue of the true matches — the numbers a 100 TB
+    operator reads to size m/k.  Every figure incl. the
+    false-positive SET is deterministic (md5 hashes, 63-bit words) and
+    replayed exactly by the oracle.
+    """
+    from .operators.bloom import bloom_build, bloom_contains
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    ).select("o_orderkey")
+    words = bloom_build(keys, "o_orderkey", m_words=_BLOOM_M_WORDS, k=_BLOOM_K)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _revenue_cents().alias("rev")
+    )
+    probed = li.withColumn(
+        "pass", bloom_contains(F.col("l_orderkey"), words, k=_BLOOM_K)
+    )
+    flagged = probed.join(
+        F.broadcast(keys.withColumn("__m", F.lit(1))),
+        probed["l_orderkey"] == F.col("o_orderkey"),
+        "left",
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(F.col("pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("__m"), F.lit(0)).cast("long")).alias(
+            "n_true_match"
+        ),
+        F.sum(
+            (F.col("pass") & F.col("__m").isNull()).cast("long")
+        ).alias("n_false_pos"),
+        F.coalesce(
+            F.sum(F.when(F.col("__m").isNotNull(), F.col("rev"))),
+            F.lit(0),
+        ).alias("matched_revenue_cents"),
+    )
+
+
+_BLOOM_M_BITS = _BLOOM_M_WORDS * 63
+
+SQL_BLOOM_PRUNED_JOIN = f"""
+WITH keys AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1995-03-01'
+    AND o_orderdate < TIMESTAMP '1995-04-01'
+), ivals AS (
+  SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i
+), kpos AS (
+  SELECT CAST(concat('0x', substr(md5(
+           CAST(o_orderkey AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+         ), 1, 15)) AS BIGINT) % {_BLOOM_M_BITS} AS p
+  FROM keys CROSS JOIN ivals
+), words AS (
+  SELECT p // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
+  FROM kpos GROUP BY 1
+), li AS (
+  SELECT l_orderkey, l_linenumber, {_REVENUE_CENTS_SQL} AS rev
+  FROM lineitem
+), lpos AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(concat('0x', substr(md5(
+           CAST(l_orderkey AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+         ), 1, 15)) AS BIGINT) % {_BLOOM_M_BITS} AS p
+  FROM li CROSS JOIN ivals
+), probed AS (
+  SELECT l.l_orderkey, l.l_linenumber,
+         bool_and(
+           COALESCE(w.bits, 0)
+             & (CAST(1 AS BIGINT) << CAST(lp.p % 63 AS INTEGER)) <> 0
+         ) AS pass
+  FROM lpos lp
+  JOIN li l USING (l_orderkey, l_linenumber)
+  LEFT JOIN words w ON w.word = lp.p // 63
+  GROUP BY 1, 2
+), flagged AS (
+  SELECT li.rev, probed.pass,
+         (keys.o_orderkey IS NOT NULL) AS matched
+  FROM li
+  JOIN probed USING (l_orderkey, l_linenumber)
+  LEFT JOIN keys ON keys.o_orderkey = li.l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_match,
+       CAST(SUM(CASE WHEN pass AND NOT matched THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(COALESCE(SUM(CASE WHEN matched THEN rev END), 0) AS BIGINT)
+         AS matched_revenue_cents
+FROM flagged
+"""
+
+ANALYTICS_QUERIES["bloom_pruned_join"] = (
+    q_bloom_pruned_join,
+    SQL_BLOOM_PRUNED_JOIN,
+)
+
+
+# --- seasonal decomposition (exact integer, 2x12 centered MA) ---------------
+
+
+def q_revenue_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly order
+    revenue, kept EXACT in integer arithmetic: the 2x12 centered
+    moving average is emitted as trend24 = y[t-6] + 2*(y[t-5..t+5]) +
+    y[t+6] (24x the real trend — the division never happens, so no
+    cross-engine float), the detrended series as detrended24 =
+    24*y - trend24, and the seasonal profile per calendar month as
+    (seasonal_sum24, seasonal_n) — the caller divides once at the
+    very end if it wants floats.  Completes the time-series surface
+    beside revenue_cusum (changepoints), nation_revenue_trend (OLS)
+    and revenue_backtest (forecast baselines).
+
+    A CALENDAR month spine (sequence between the observed min/max
+    month, zero-filled) makes the lag/lead offsets mean calendar
+    months even when a small SF has order-free months.
+
+    Scale shape: ONE fact aggregate to month grain (map-side
+    combined); everything after operates on the months-sized frame
+    (~80 rows for seven years), so the unpartitioned window is
+    bounded by the calendar, never by data volume; the 12-row
+    seasonal profile joins back broadcast.  Edge months (first/last
+    six) carry NULL trend, exactly as the textbook defines.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        money_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    monthly = o.groupBy("m").agg(F.sum("cents").alias("y"))
+    span = monthly.agg(
+        F.min("m").alias("lo"), F.max("m").alias("hi")
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 month"))
+        ).alias("m")
+    )
+    cal = (
+        spine.join(monthly, "m", "left")
+        .select("m", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    w = Window.orderBy("m")
+    mid = F.sum("y").over(w.rowsBetween(-5, 5))
+    trend24 = F.lag("y", 6).over(w) + 2 * mid + F.lead("y", 6).over(w)
+    t = cal.select(
+        (F.year("m") * 100 + F.month("m")).cast("long").alias("ym"),
+        F.month("m").cast("long").alias("cal_month"),
+        F.col("y").alias("revenue_cents"),
+        trend24.alias("trend24"),
+    ).withColumn(
+        "detrended24", 24 * F.col("revenue_cents") - F.col("trend24")
+    )
+    seasonal = t.where(F.col("detrended24").isNotNull()).groupBy(
+        "cal_month"
+    ).agg(
+        F.sum("detrended24").alias("seasonal_sum24"),
+        F.count(F.lit(1)).alias("seasonal_n"),
+    )
+    return t.join(F.broadcast(seasonal), "cal_month", "left").select(
+        "ym",
+        "revenue_cents",
+        "trend24",
+        "detrended24",
+        "seasonal_sum24",
+        F.coalesce("seasonal_n", F.lit(0)).alias("seasonal_n"),
+    )
+
+
+SQL_REVENUE_SEASONAL_DECOMP = """
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series(
+           (SELECT MIN(m) FROM monthly),
+           (SELECT MAX(m) FROM monthly),
+           INTERVAL 1 MONTH)) AS m
+), cal AS (
+  SELECT spine.m, COALESCE(monthly.y, 0) AS y
+  FROM spine LEFT JOIN monthly USING (m)
+), t AS (
+  SELECT CAST(year(m) * 100 + month(m) AS BIGINT) AS ym,
+         CAST(month(m) AS BIGINT) AS cal_month,
+         y AS revenue_cents,
+         lag(y, 6) OVER w
+           + 2 * SUM(y) OVER (ORDER BY m
+                              ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+           + lead(y, 6) OVER w AS trend24
+  FROM cal
+  WINDOW w AS (ORDER BY m)
+), d AS (
+  SELECT ym, cal_month, revenue_cents, trend24,
+         24 * revenue_cents - trend24 AS detrended24
+  FROM t
+), seasonal AS (
+  SELECT cal_month,
+         CAST(SUM(detrended24) AS BIGINT) AS seasonal_sum24,
+         CAST(COUNT(*) AS BIGINT) AS seasonal_n
+  FROM d WHERE detrended24 IS NOT NULL GROUP BY 1
+)
+SELECT d.ym, d.revenue_cents,
+       CAST(d.trend24 AS BIGINT) AS trend24,
+       CAST(d.detrended24 AS BIGINT) AS detrended24,
+       s.seasonal_sum24,
+       COALESCE(s.seasonal_n, 0) AS seasonal_n
+FROM d LEFT JOIN seasonal s USING (cal_month)
+"""
+
+ANALYTICS_QUERIES["revenue_seasonal_decomp"] = (
+    q_revenue_seasonal_decomp,
+    SQL_REVENUE_SEASONAL_DECOMP,
+)

@@ -121,6 +121,8 @@ QUERIES = [
     "part_recommendations",
     "revenue_bridge",
     "cohort_ltv",
+    "bloom_pruned_join",
+    "revenue_seasonal_decomp",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")

@@ -97,6 +97,8 @@ QUERIES = [
     "part_recommendations",
     "revenue_bridge",
     "cohort_ltv",
+    "bloom_pruned_join",
+    "revenue_seasonal_decomp",
 ]
 
 
