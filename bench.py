@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     "supplier_scorecard",
     "bloom_pruned_join",
     "revenue_seasonal_decomp",
+    "customer_prospects",
+    "sole_delayed_supplier",
+    "doc_near_dup_core",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

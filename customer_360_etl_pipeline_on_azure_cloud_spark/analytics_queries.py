@@ -4086,3 +4086,285 @@ ANALYTICS_QUERIES["revenue_seasonal_decomp"] = (
     q_revenue_seasonal_decomp,
     SQL_REVENUE_SEASONAL_DECOMP,
 )
+
+
+# --- TPC-H Q22 / Q21 shapes (decorrelated subquery compositions) ------------
+
+
+def q_customer_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape, adapted to this generator's always-active
+    customers: per nation, the count and total balance of LAPSED
+    prospects — customers with above-average positive account balance
+    and NO orders in the trailing 12 months (cutoff = max order date
+    minus 12 months, derived from the data).
+
+    The classic correlated subqueries decorrelated the way a 100 TB
+    plan wants them: BOTH scalar subqueries (average positive balance;
+    the trailing-window cutoff) become tiny 1-row aggregates attached
+    by broadcast crossJoin — no driver round-trip, no second scan —
+    with the balance comparison done WITHOUT division via
+    cross-multiplication (bal * n_pos > sum_pos, exact in integer
+    cents); the NOT EXISTS becomes a left-anti join against the
+    distinct recent-buyer custkeys.  Output is a nations-sized
+    aggregate.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        money_cents(F.col("c_acctbal")).alias("bal_cents"),
+    )
+    pos_stats = cust.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    cutoff = orders.agg(
+        (
+            F.max("o_orderdate") - F.expr("interval 12 months")
+        ).alias("cut")
+    )
+    recent_buyers = (
+        orders.crossJoin(F.broadcast(cutoff))
+        .where(F.col("o_orderdate") >= F.col("cut"))
+        .select("o_custkey")
+        .distinct()
+    )
+    prospects = (
+        cust.crossJoin(F.broadcast(pos_stats))
+        .where(F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos"))
+        .join(
+            recent_buyers,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+    )
+    return prospects.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_prospects"),
+        F.sum("bal_cents").alias("total_bal_cents"),
+    )
+
+
+SQL_CUSTOMER_PROSPECTS = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer
+), pos AS (
+  SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_pos,
+         CAST(COUNT(*) AS BIGINT) AS n_pos
+  FROM cust WHERE bal_cents > 0
+), cutoff AS (
+  SELECT MAX(o_orderdate) - INTERVAL 12 MONTH AS cut FROM orders
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_prospects,
+       CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+FROM cust, pos, cutoff
+WHERE bal_cents * n_pos > sum_pos
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= cut
+  )
+GROUP BY c_nationkey
+"""
+
+ANALYTICS_QUERIES["customer_prospects"] = (
+    q_customer_prospects,
+    SQL_CUSTOMER_PROSPECTS,
+)
+
+
+_DELAY_DAYS = 90
+_WAITING_TOPK = 25
+
+
+def q_sole_delayed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY delayed supplier
+    in a multi-supplier order ("kept orders waiting" — delay defined
+    on the columns this schema carries: l_shipdate more than 90 days
+    after o_orderdate).  Top 25 by waiting-order count.
+
+    Q21's correlated EXISTS / NOT EXISTS pair collapses into ONE
+    per-order aggregate: distinct suppliers, distinct delayed
+    suppliers, and (valid exactly when the latter is 1) max of the
+    delayed suppkey — so the whole multi-subquery query is two hash
+    aggregates and a broadcast date attach, no self-joins of lineitem
+    at all.  Final top-k is TakeOrderedAndProject (numwait DESC,
+    suppkey ASC).
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    flagged = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"interval {_DELAY_DAYS} days")
+        ).alias("delayed"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("delayed"), F.col("l_suppkey"))
+        ).alias("n_delayed_supp"),
+        F.max(
+            F.when(F.col("delayed"), F.col("l_suppkey"))
+        ).alias("delayed_supp"),
+    )
+    waiting = per_order.where(
+        (F.col("n_supp") >= 2) & (F.col("n_delayed_supp") == 1)
+    )
+    return (
+        waiting.groupBy(F.col("delayed_supp").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(_WAITING_TOPK)
+    )
+
+
+SQL_SOLE_DELAYED_SUPPLIER = f"""
+WITH flagged AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL {_DELAY_DAYS} DAY
+           AS delayed
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN delayed THEN l_suppkey END)
+           AS n_delayed_supp,
+         MAX(CASE WHEN delayed THEN l_suppkey END) AS delayed_supp
+  FROM flagged GROUP BY 1
+)
+SELECT delayed_supp AS s_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order
+WHERE n_supp >= 2 AND n_delayed_supp = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_suppkey
+LIMIT {_WAITING_TOPK}
+"""
+
+ANALYTICS_QUERIES["sole_delayed_supplier"] = (
+    q_sole_delayed_supplier,
+    SQL_SOLE_DELAYED_SUPPLIER,
+)
+
+
+# --- k-core decomposition (graph density filter) -----------------------------
+
+_KCORE_K, _KCORE_ROUNDS = 2, 16
+
+
+def q_doc_near_dup_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core backbone of the near-duplicate pair graph
+    (operators/graph.py k_core, k={k} over the exact word-trigram
+    Jaccard >= 30% pairs of doc_jaccard_pairs): documents whose
+    duplication is corroborated by at least {k} SURVIVING near-dup
+    neighbors after iteratively peeling everything less reinforced.
+    The 2-core separates clique-like true duplicate clusters (a doc
+    re-posted N times pairs with every other copy) from isolated
+    pairs and chain artifacts of borderline similarity — the
+    graph-side confidence filter a dedup pipeline applies before
+    aggressive removal, per the standard recipe (pairs -> graph
+    structure -> act only where the structure is dense).  Completes
+    the graph surface: components (membership), PageRank
+    (centrality), triangles (local density), k-core (global density
+    backbone).
+
+    Bounded to {rounds} peel rounds for exact oracle parity — the
+    peel is idempotent once converged, and convergence within
+    {rounds} rounds on every shipped corpus is pytest-pinned, so this
+    IS the true Seidman k-core there (the fixed-unroll DuckDB oracle
+    replays the identical rounds).  Pair generation is the shared-
+    shingle equi-join (the exact path; at 100 TB swap in
+    minhash_lsh_join candidates — k_core takes any edge frame); each
+    peel round is one degree aggregate + two vertex-keyed semi-joins,
+    ONE scalar to the driver.
+    """
+    from .operators.dedup import jaccard_pairs
+    from .operators.graph import k_core
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = jaccard_pairs(docs, n=3, threshold_pct=30, exact=True)
+    return k_core(
+        edges,
+        k=_KCORE_K,
+        src="id_a",
+        dst="id_b",
+        max_iter=_KCORE_ROUNDS,
+    ).select(F.col("id").alias("doc_id"), "core_degree")
+
+
+q_doc_near_dup_core.__doc__ = q_doc_near_dup_core.__doc__.format(
+    k=_KCORE_K, rounds=_KCORE_ROUNDS
+)
+
+
+def _k_core_sql(k: int, rounds: int) -> str:
+    """Fixed-unroll replay of the peel over the exact Jaccard pair
+    graph: `rounds` rounds of degree-filter + edge-restrict,
+    idempotent past convergence (see q_doc_near_dup_core)."""
+    out = [
+        f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+        FROM toks WHERE len(t) >= 3)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+-- MATERIALIZED: referenced every peel round; without the hint DuckDB
+-- re-inlines the full shingle self-join per round (same hazard as
+-- SQL_PART_TRIANGLES)
+edges AS MATERIALIZED (
+  SELECT id_a, id_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 100 >= (sa.nsh + sb.nsh - inter) * 30
+),
+sym0 AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL SELECT id_b AS u, id_a AS v FROM edges
+)"""
+    ]
+    prev = "sym0"
+    for r in range(1, rounds + 1):
+        out.append(
+            f""",
+keep{r} AS MATERIALIZED (
+  SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= {k}
+),
+sym{r} AS MATERIALIZED (
+  SELECT s.u, s.v FROM {prev} s
+  JOIN keep{r} ka ON ka.u = s.u
+  JOIN keep{r} kb ON kb.u = s.v
+)"""
+        )
+        prev = f"sym{r}"
+    out.append(
+        f"""
+SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY u HAVING COUNT(*) >= {k}
+"""
+    )
+    return "".join(out)
+
+
+ANALYTICS_QUERIES["doc_near_dup_core"] = (
+    q_doc_near_dup_core,
+    _k_core_sql(_KCORE_K, _KCORE_ROUNDS),
+)

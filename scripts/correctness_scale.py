@@ -123,6 +123,8 @@ QUERIES = [
     "cohort_ltv",
     "bloom_pruned_join",
     "revenue_seasonal_decomp",
+    "sole_delayed_supplier",  # customer_prospects needs customer (sf<=0.1)
+    "doc_near_dup_core",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")

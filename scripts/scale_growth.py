@@ -99,6 +99,8 @@ QUERIES = [
     "cohort_ltv",
     "bloom_pruned_join",
     "revenue_seasonal_decomp",
+    "sole_delayed_supplier",
+    "doc_near_dup_core",
 ]
 
 
