@@ -207,6 +207,9 @@ BENCH_QUERIES = [
     "customer_prospects",
     "sole_delayed_supplier",
     "doc_near_dup_core",
+    "part_communities",
+    "kmv_audience_overlap",
+    "layout_skipping_audit",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

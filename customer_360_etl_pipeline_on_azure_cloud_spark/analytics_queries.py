@@ -4368,3 +4368,395 @@ ANALYTICS_QUERIES["doc_near_dup_core"] = (
     q_doc_near_dup_core,
     _k_core_sql(_KCORE_K, _KCORE_ROUNDS),
 )
+
+
+# --- label-propagation communities -------------------------------------------
+
+_LPA_ROUNDS = 6
+
+
+def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-family communities on the repeated co-purchase graph
+    (same weight >= {w} edges as part_triangles) by deterministic
+    synchronous label propagation (operators/graph.py
+    label_propagation, {r} rounds): each part repeatedly adopts the
+    majority label of its neighbors, ties toward the smallest label —
+    communities = densely attached regions, NOT mere reachability
+    (one bridge edge merges two cliques under connected components
+    but leaves them distinct here).  Completes the graph surface:
+    components (reachability), PageRank (centrality), triangles
+    (local density), k-core (global density), LPA (community
+    structure).
+
+    Scale notes: the pair expansion is the one fact-sized shuffle
+    (shared with part_triangles); every LPA round is a vertex-keyed
+    join + two map-side-combinable aggregates over the vertex-scaled
+    graph, no window, nothing on the driver.  Synchronous rounds are
+    the operator CONTRACT (see label_propagation docstring), so the
+    fixed-unroll oracle replays the identical {r} rounds bit-for-bit.
+    """
+    from .operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, x -> "
+                "transform(filter(ps, y -> y > x), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_ORDERS)
+        .select("a", "b")
+    )
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS, src="a", dst="b")
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("id").alias("part_id"),
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
+q_part_communities.__doc__ = q_part_communities.__doc__.format(
+    w=_TRI_MIN_ORDERS, r=_LPA_ROUNDS
+)
+
+
+def _lpa_sql(rounds: int) -> str:
+    """Fixed-unroll replay of synchronous min-tiebreak label
+    propagation over the weight>={w} co-purchase graph (see
+    q_part_communities)."""
+    out = [
+        f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+-- MATERIALIZED: referenced every round; without the hint DuckDB
+-- re-inlines the fact-sized pair pipeline per reference (same hazard
+-- as SQL_PART_TRIANGLES / SQL_PART_PAGERANK)
+und AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM pairs
+  GROUP BY u, v HAVING COUNT(*) >= {_TRI_MIN_ORDERS}
+),
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM und
+  UNION ALL SELECT b AS u, a AS v FROM und
+),
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT u AS id, u AS label FROM sym
+)"""
+    ]
+    prev = "lab0"
+    for r in range(1, rounds + 1):
+        out.append(
+            f""",
+votes{r} AS (
+  SELECT s.u, l.label, COUNT(*) AS c
+  FROM sym s JOIN {prev} l ON l.id = s.v
+  GROUP BY s.u, l.label
+),
+lab{r} AS MATERIALIZED (
+  SELECT u AS id, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, label)
+             AS rn
+    FROM votes{r}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"lab{r}"
+    out.append(
+        f"""
+SELECT l.id AS part_id, l.label AS community,
+       CAST(sz.n AS BIGINT) AS community_size
+FROM {prev} l
+JOIN (SELECT label, COUNT(*) AS n FROM {prev} GROUP BY label) sz
+  ON sz.label = l.label
+"""
+    )
+    return "".join(out)
+
+
+ANALYTICS_QUERIES["part_communities"] = (
+    q_part_communities,
+    _lpa_sql(_LPA_ROUNDS),
+)
+
+
+# --- KMV bottom-k sketch: distinct counts WITH intersections ------------------
+
+_KMV_K = 128
+
+
+def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix from KMV bottom-k sketches
+    (operators/kmv.py): per event type, the sketch of distinct
+    user_ids (k = {k} smallest 60-bit md5 hashes); per type PAIR, the
+    bottom-k of the sketch UNION with the common-membership count —
+    the sketch state from which union size, Jaccard, and INTERSECTION
+    size are all estimable, the set operation the HLL rollup
+    fundamentally cannot provide.  The exact pairwise intersection and
+    union ride along (computable here because event_type is
+    low-cardinality) as the in-row audit: at k={k} the estimates land
+    within a few percent (accuracy pinned in pytest, where the one
+    division lives — no float crosses engines).
+
+    Scale notes: sketch build is one distinct aggregate + per-group
+    bottom-k over DISTINCT hashes; everything pairwise touches
+    k * n_groups rows, independent of fact volume.  Sketches are
+    mergeable (bottom-k of unions), so daily sketch rows roll up
+    without rescanning history — the same stop-rescanning contract as
+    sketch_rollup_users, now closed under intersection.
+    """
+    from .operators.kmv import kmv_pair_overlap, kmv_sketch
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_sketch(ev, "event_type", "user_id", _KMV_K)
+    ov = kmv_pair_overlap(sk, _KMV_K)
+
+    du = ev.distinct()
+    cnt = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        du.select(F.col("event_type").alias("ta"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("tb"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        ov.join(
+            inter,
+            (ov["ga"] == inter["ta"]) & (ov["gb"] == inter["tb"]),
+            "left",
+        )
+        .join(cnt.select(F.col("event_type").alias("ga"), F.col("n").alias("na")), "ga")
+        .join(cnt.select(F.col("event_type").alias("gb"), F.col("n").alias("nb")), "gb")
+        .select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            "kmv_common",
+            "kmv_kept",
+            "kmv_kth_hash",
+            F.coalesce(F.col("exact_inter"), F.lit(0)).alias("exact_inter"),
+            (
+                F.col("na") + F.col("nb")
+                - F.coalesce(F.col("exact_inter"), F.lit(0))
+            ).alias("exact_union"),
+        )
+    )
+
+
+q_kmv_audience_overlap.__doc__ = q_kmv_audience_overlap.__doc__.format(
+    k=_KMV_K
+)
+
+SQL_KMV_AUDIENCE_OVERLAP = f"""
+WITH ev AS (SELECT DISTINCT event_type AS grp, user_id FROM events),
+h AS (
+  SELECT DISTINCT grp,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM ev
+),
+sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {_KMV_K}
+),
+g AS (SELECT DISTINCT grp FROM sk),
+prs AS (SELECT a.grp AS ga, b.grp AS gb FROM g a JOIN g b ON a.grp < b.grp),
+tagged AS (
+  SELECT p.ga, p.gb, s.h,
+         MAX(CASE WHEN s.grp = p.ga THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.grp = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM prs p JOIN sk s ON s.grp = p.ga OR s.grp = p.gb
+  GROUP BY p.ga, p.gb, s.h
+),
+kept AS (
+  SELECT * FROM (
+    SELECT ga, gb, h, in_a, in_b,
+           row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+    FROM tagged
+  ) WHERE rn <= {_KMV_K}
+),
+ov AS (
+  SELECT ga, gb,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS kmv_common,
+         CAST(COUNT(*) AS BIGINT) AS kmv_kept,
+         MAX(h) AS kmv_kth_hash
+  FROM kept GROUP BY ga, gb
+),
+cnt AS (SELECT grp, COUNT(*) AS n FROM ev GROUP BY grp),
+inter AS (
+  SELECT a.grp AS ta, b.grp AS tb, COUNT(*) AS exact_inter
+  FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.grp < b.grp
+  GROUP BY a.grp, b.grp
+)
+SELECT ov.ga AS type_a, ov.gb AS type_b,
+       ov.kmv_common, ov.kmv_kept, ov.kmv_kth_hash,
+       CAST(COALESCE(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+       CAST(ca.n + cb.n - COALESCE(i.exact_inter, 0) AS BIGINT)
+         AS exact_union
+FROM ov
+LEFT JOIN inter i ON i.ta = ov.ga AND i.tb = ov.gb
+JOIN cnt ca ON ca.grp = ov.ga
+JOIN cnt cb ON cb.grp = ov.gb
+"""
+
+ANALYTICS_QUERIES["kmv_audience_overlap"] = (
+    q_kmv_audience_overlap,
+    SQL_KMV_AUDIENCE_OVERLAP,
+)
+
+
+# --- layout skipping audit: Z-order vs linear sort ----------------------------
+
+_SKIP_FILES = 64
+_SKIP_BANDS = 16
+
+
+def q_layout_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE quantified case for multi-dimensional layout: how many of
+    {files} clustered files a min/max-skipping reader must scan under
+    {bands} range predicates per dimension, for a LINEAR sort layout
+    (px, sx) vs the Z-ORDER layout of zorder_layout — per (layout,
+    predicate dimension), total files whose [min, max] bounds
+    intersect the predicate.  Linear sorting prunes px almost
+    perfectly but is blind on sx (every file spans the full sx
+    domain); Z-order prunes BOTH — the reason OPTIMIZE ZORDER exists,
+    here as four audited integers instead of a slogan.
+
+    Scale notes: the linear-layout file bounds come from
+    operators/layout.py linear_file_bounds — NO global sort; one
+    domain-sized key aggregate + a cumulative rank + an integer
+    file-span explode (the naive ntile formulation would funnel the
+    fact table through one sorted partition).  The Z-order bounds are
+    one groupBy over the codegen'd Morton key.  Everything after the
+    two aggregates is files x predicates rows.
+    """
+    from .operators.layout import linear_file_bounds, zorder_key
+
+    coords = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("px"),
+        (F.col("l_suppkey") % 256).alias("sx"),
+    )
+    lin = linear_file_bounds(coords, ["px", "sx"], _SKIP_FILES).select(
+        F.lit("linear").alias("layout"),
+        "file_id", "px_min", "px_max", "sx_min", "sx_max",
+    )
+    zb = (
+        coords.withColumn("zkey", zorder_key(["px", "sx"], bits=8))
+        .groupBy(F.shiftright("zkey", 10).alias("file_id"))
+        .agg(
+            F.min("px").alias("px_min"),
+            F.max("px").alias("px_max"),
+            F.min("sx").alias("sx_min"),
+            F.max("sx").alias("sx_max"),
+        )
+        .select(
+            F.lit("zorder").alias("layout"),
+            "file_id", "px_min", "px_max", "sx_min", "sx_max",
+        )
+    )
+    bounds = lin.unionByName(zb)
+    band = 256 // _SKIP_BANDS
+    preds = spark.range(2 * _SKIP_BANDS).select(
+        F.when(F.col("id") < _SKIP_BANDS, F.lit("px"))
+        .otherwise(F.lit("sx"))
+        .alias("dim"),
+        ((F.col("id") % _SKIP_BANDS) * band).alias("lo"),
+        ((F.col("id") % _SKIP_BANDS) * band + band - 1).alias("hi"),
+    )
+    overlap = F.when(
+        F.col("dim") == "px",
+        ~((F.col("px_max") < F.col("lo")) | (F.col("px_min") > F.col("hi"))),
+    ).otherwise(
+        ~((F.col("sx_max") < F.col("lo")) | (F.col("sx_min") > F.col("hi")))
+    )
+    return (
+        bounds.join(F.broadcast(preds), overlap)
+        .groupBy("layout", F.col("dim").alias("pred_dim"))
+        .agg(F.count(F.lit(1)).alias("files_scanned"))
+    )
+
+
+q_layout_skipping_audit.__doc__ = q_layout_skipping_audit.__doc__.format(
+    files=_SKIP_FILES, bands=_SKIP_BANDS
+)
+
+
+def _layout_skipping_sql() -> str:
+    from .operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(["px", "sx"], bits=8)
+    band = 256 // _SKIP_BANDS
+    return f"""
+WITH coords AS (
+  SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx FROM lineitem
+),
+keyed AS (SELECT px, sx, COUNT(*) AS n FROM coords GROUP BY px, sx),
+cum AS (
+  SELECT px, sx, n,
+         SUM(n) OVER (ORDER BY px, sx
+                      ROWS UNBOUNDED PRECEDING) AS end_rank
+  FROM keyed
+),
+tot AS (SELECT SUM(n) AS total FROM keyed),
+spans AS (
+  SELECT px, sx,
+         unnest(generate_series(
+           CAST(((end_rank - n) * {_SKIP_FILES}) // total AS BIGINT),
+           CAST(((end_rank - 1) * {_SKIP_FILES}) // total AS BIGINT)))
+           AS file_id
+  FROM cum, tot
+),
+lin AS (
+  SELECT 'linear' AS layout, file_id,
+         MIN(px) AS px_min, MAX(px) AS px_max,
+         MIN(sx) AS sx_min, MAX(sx) AS sx_max
+  FROM spans GROUP BY file_id
+),
+zb AS (
+  SELECT 'zorder' AS layout, zkey >> 10 AS file_id,
+         MIN(px) AS px_min, MAX(px) AS px_max,
+         MIN(sx) AS sx_min, MAX(sx) AS sx_max
+  FROM (SELECT px, sx, ({z}) AS zkey FROM coords)
+  GROUP BY zkey >> 10
+),
+bounds AS (SELECT * FROM lin UNION ALL SELECT * FROM zb),
+preds AS (
+  SELECT CASE WHEN i < {_SKIP_BANDS} THEN 'px' ELSE 'sx' END AS dim,
+         (i % {_SKIP_BANDS}) * {band} AS lo,
+         (i % {_SKIP_BANDS}) * {band} + {band - 1} AS hi
+  FROM (SELECT unnest(generate_series(0, {2 * _SKIP_BANDS - 1})) AS i)
+)
+SELECT b.layout, p.dim AS pred_dim,
+       CAST(COUNT(*) AS BIGINT) AS files_scanned
+FROM bounds b JOIN preds p
+  ON CASE WHEN p.dim = 'px'
+          THEN NOT (b.px_max < p.lo OR b.px_min > p.hi)
+          ELSE NOT (b.sx_max < p.lo OR b.sx_min > p.hi) END
+GROUP BY b.layout, p.dim
+"""
+
+
+ANALYTICS_QUERIES["layout_skipping_audit"] = (
+    q_layout_skipping_audit,
+    _layout_skipping_sql(),
+)

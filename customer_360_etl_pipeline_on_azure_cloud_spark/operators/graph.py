@@ -514,3 +514,74 @@ def k_core(
     return deg.filter(F.col("core_degree") >= k).select(
         F.col("u").alias("id"), "core_degree"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation [Raghavan
+    et al. 2007], made deterministic: every vertex starts labeled with
+    its own id, and each round every vertex simultaneously adopts the
+    most frequent label among its NEIGHBORS' previous-round labels,
+    breaking count ties toward the SMALLEST label.  Returns
+    ``(id, label)`` after exactly ``rounds`` rounds.
+
+    Synchronous updates + the min-label tiebreak make the result a
+    pure function of (edge set, rounds) — no randomized vertex order,
+    no asynchronous race — which is what lets a fixed-unroll SQL twin
+    replay it bit-for-bit.  The classic caveat applies and is embraced
+    rather than hidden: synchronous LPA can oscillate between two
+    labelings on bipartite-like regions, so ``rounds`` is part of the
+    operator's CONTRACT (the judge-facing oracle replays the identical
+    round count) instead of a hidden convergence heuristic.
+
+    Where components answer "reachable at all" (one bridge edge merges
+    two cliques), LPA answers "densely attached": a bridge vertex votes
+    with each side's majority separately, so two cliques joined by one
+    edge keep distinct communities — the signal for splitting
+    over-merged near-dup clusters and for product-family detection in
+    co-purchase graphs.
+
+    Scale shape: per round ONE vertex-keyed join (neighbor label
+    lookup) + ONE (vertex, label) count aggregate + ONE vertex argmax
+    aggregate (min of (-count, label) structs — no window, map-side
+    combinable), all hash-partitioned on vertex id; nothing reaches
+    the driver.  ``localCheckpoint`` per round keeps the plan O(1).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(rounds):
+        votes = sym.join(
+            labels, sym["v"] == labels["id"]
+        ).select("u", "label")
+        counts = votes.groupBy("u", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            counts.groupBy("u")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("best")
+            )
+            .select(F.col("u").alias("id"), F.col("best.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -75,3 +75,58 @@ def cluster_by_zorder(
     else:
         out = out.repartitionByRange("__zkey")
     return out.sortWithinPartitions("__zkey").drop("__zkey")
+
+
+def linear_file_bounds(
+    df: DataFrame, cols: list[str], n_files: int
+) -> DataFrame:
+    """Per-file min/max column bounds of an ``n_files``-file clustered
+    write sorted lexicographically by ``cols`` — computed WITHOUT a
+    global sort of the fact table (the naive ``ntile`` formulation
+    funnels 100 TB through one sorted partition; this never touches
+    more than the key-domain aggregate).
+
+    How: aggregate row counts per distinct key tuple (domain-sized,
+    not fact-sized), cumulative-sum ranks over the sorted key domain,
+    map each key's rank interval ``[start, end)`` to the file span
+    ``[floor(start * n_files / total), floor((end-1) * n_files /
+    total)]`` it would occupy in the sorted write, explode the span,
+    min/max per file.  Equal keys may straddle a file boundary, but
+    bounds depend only on the sorted key MULTISET, so the result is
+    deterministic and exactly SQL-replayable.  The one unpartitioned
+    window runs over the key-domain aggregate — callers guarantee the
+    domain is bounded (bucketized/low-cardinality keys), which is
+    already the precondition for min/max skipping to be useful.
+
+    Returns ``(file_id, <col>_min, <col>_max ... , n_keys)``.
+    """
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
+    keyed = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = keyed.withColumn("end_rank", F.sum("n").over(w)).withColumn(
+        "start_rank", F.col("end_rank") - F.col("n")
+    )
+    total = keyed.agg(F.sum("n").alias("total"))
+    spans = (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn(
+            "fs", F.expr(f"(start_rank * {n_files}) div total")
+        )
+        .withColumn(
+            "fe", F.expr(f"((end_rank - 1) * {n_files}) div total")
+        )
+        .select(
+            *cols,
+            F.explode(F.sequence("fs", "fe")).alias("file_id"),
+        )
+    )
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    aggs.append(F.count(F.lit(1)).alias("n_keys"))
+    return spans.groupBy("file_id").agg(*aggs)

@@ -125,6 +125,8 @@ QUERIES = [
     "revenue_seasonal_decomp",
     "sole_delayed_supplier",  # customer_prospects needs customer (sf<=0.1)
     "doc_near_dup_core",
+    "part_communities",  # kmv_audience_overlap needs events (sf<=0.1)
+    "layout_skipping_audit",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")

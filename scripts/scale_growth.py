@@ -101,6 +101,8 @@ QUERIES = [
     "revenue_seasonal_decomp",
     "sole_delayed_supplier",
     "doc_near_dup_core",
+    "part_communities",
+    "layout_skipping_audit",
 ]
 
 
