@@ -210,6 +210,9 @@ BENCH_QUERIES = [
     "part_communities",
     "kmv_audience_overlap",
     "layout_skipping_audit",
+    "attribution_multitouch",
+    "customer_survival",
+    "nation_revenue_hhi",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

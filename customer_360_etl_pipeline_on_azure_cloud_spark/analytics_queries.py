@@ -4760,3 +4760,368 @@ ANALYTICS_QUERIES["layout_skipping_audit"] = (
     q_layout_skipping_audit,
     _layout_skipping_sql(),
 )
+
+
+# --- multi-touch attribution ---------------------------------------------------
+
+_ATTR_WINDOW_DAYS = 7
+_ATTR_TOUCHES = ("click", "view", "signup")
+_ATTR_SCALE = 1_000_000
+
+
+def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the
+    Customer-360 marketing question funnel counts can't answer: how
+    much purchase VALUE does each touch type actually drive?  Every
+    purchase's cents are split across the user's touches
+    ({touches}) in the preceding {days} days: first and last touch
+    weight 2, middles weight 1 (n=1 keeps full credit) — integer
+    weights so each touch's credit is
+    ``value_cents * 1e6 * w div total_w`` (micro-cents, exact
+    truncating division, cross-engine safe because everything is
+    non-negative).  Purchases with NO preceding touch report under
+    ``(none)`` with full credit, so total credited micro-cents
+    reconciles to total purchase value up to per-purchase truncation
+    (< total_w micro-cents each; identity pytest-pinned).
+
+    Scale notes: the touch window is a user-keyed equi-join with an
+    integer epoch-micros band predicate (per-user 7-day activity is
+    bounded, so join fan-out is bounded); position weights come from
+    one window over touches partitioned by purchase (bounded
+    partitions); the output is touch-type-sized.  Credits are BIGINT
+    micro-cents — at 100 TB roll the final SUM up in decimal(38,0).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "user_id",
+        "event_type",
+        money_cents("value").alias("vc"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("us").alias("pus"),
+        "user_id",
+        "vc",
+    )
+    touch = ev.filter(F.col("event_type").isin(*_ATTR_TOUCHES)).select(
+        F.col("event_id").alias("tid"),
+        F.col("us").alias("tus"),
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+    )
+    win_us = _ATTR_WINDOW_DAYS * 86_400 * 1_000_000
+    joined = purch.join(
+        touch,
+        (purch["user_id"] == touch["user_id"])
+        & (touch["tus"] < purch["pus"])
+        & (touch["tus"] >= purch["pus"] - win_us),
+    ).select("pid", "vc", "tid", "tus", "touch_type")
+    wo = Window.partitionBy("pid").orderBy("tus", "tid")
+    wn = Window.partitionBy("pid")
+    ranked = joined.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    credited = ranked.withColumn(
+        "w",
+        F.when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 2).otherwise(
+            1
+        ),
+    ).withColumn(
+        "credit",
+        F.expr(
+            f"(vc * {_ATTR_SCALE} * w) div "
+            "(CASE WHEN n = 1 THEN 2 ELSE n + 2 END)"
+        ),
+    )
+    attributed = credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("pid").alias("n_purchases"),
+        F.sum("credit").alias("credit_microcents"),
+    )
+    orphan = (
+        purch.join(credited.select("pid").distinct(), "pid", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.coalesce(
+                F.sum(F.col("vc") * _ATTR_SCALE), F.lit(0)
+            ).alias("credit_microcents"),
+        )
+        .select(
+            F.lit("(none)").alias("touch_type"),
+            F.lit(0).cast("long").alias("n_touches"),
+            "n_purchases",
+            "credit_microcents",
+        )
+    )
+    return attributed.unionByName(orphan)
+
+
+q_attribution_multitouch.__doc__ = q_attribution_multitouch.__doc__.format(
+    touches=", ".join(_ATTR_TOUCHES), days=_ATTR_WINDOW_DAYS
+)
+
+SQL_ATTRIBUTION_MULTITOUCH = f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS us, user_id, event_type,
+         {_cents_sql('value')} AS vc
+  FROM events
+),
+p AS (
+  SELECT event_id AS pid, us AS pus, user_id, vc
+  FROM ev WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id AS tid, us AS tus, user_id, event_type AS touch_type
+  FROM ev WHERE event_type IN ('click', 'view', 'signup')
+),
+j AS (
+  SELECT p.pid, p.vc, t.tid, t.tus, t.touch_type
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.tus < p.pus
+   AND t.tus >= p.pus - {_ATTR_WINDOW_DAYS * 86_400 * 1_000_000}
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY pid ORDER BY tus, tid) AS rn,
+         COUNT(*) OVER (PARTITION BY pid) AS n
+  FROM j
+),
+c AS (
+  SELECT touch_type, pid,
+         (vc * {_ATTR_SCALE} *
+          (CASE WHEN rn = 1 OR rn = n THEN 2 ELSE 1 END))
+         // (CASE WHEN n = 1 THEN 2 ELSE n + 2 END) AS credit
+  FROM r
+),
+agg AS (
+  SELECT touch_type,
+         CAST(COUNT(*) AS BIGINT) AS n_touches,
+         CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+         CAST(SUM(credit) AS BIGINT) AS credit_microcents
+  FROM c GROUP BY touch_type
+),
+orphan AS (
+  SELECT '(none)' AS touch_type,
+         CAST(0 AS BIGINT) AS n_touches,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         CAST(COALESCE(SUM(vc), 0) * {_ATTR_SCALE} AS BIGINT)
+           AS credit_microcents
+  FROM p WHERE pid NOT IN (SELECT pid FROM c)
+)
+SELECT * FROM agg UNION ALL SELECT * FROM orphan
+"""
+
+ANALYTICS_QUERIES["attribution_multitouch"] = (
+    q_attribution_multitouch,
+    SQL_ATTRIBUTION_MULTITOUCH,
+)
+
+
+# --- Kaplan-Meier customer survival --------------------------------------------
+
+_KM_CENSOR_MONTHS = 6
+_KM_SCALE = 1_000_000_000
+_KM_ENC = 4_294_967_296  # 2^32
+
+
+def q_customer_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer survival — the actuarial view of churn
+    next to cohort_retention's calendar view: duration = tenure in
+    months from a customer's first to last order; a customer whose
+    last order falls within {cm} months of the corpus' final order
+    month is CENSORED (still active — we know they survived this
+    long, not when they churn), everyone else is a churn event at
+    their duration.  Output per tenure month: at-risk count, churn
+    events, censored exits, and the KM survival estimate
+    ``S(t) = prod_(u<=t) (n_u - d_u) / n_u`` carried in integer fixed
+    point (scale 1e9) with per-step truncating division — an integer
+    recurrence both engines replay EXACTLY, unlike a float product
+    (fold replayed in DuckDB via list_reduce; pure-Python third
+    implementation pytest-pinned).
+
+    Scale notes: one customer-keyed aggregate over orders (min/max
+    date), one months-sized aggregate, one unpartitioned window over
+    the ~tenure-months-sized frame (bounded by the calendar, never the
+    fact table), and the O(T^2) in-row prefix folds run on that same
+    tiny frame.  Fixed-point headroom: scale 1e9 times max at-risk
+    must stay under 2^63 — fine to ~9e9 customers.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    span = o.groupBy("o_custkey").agg(
+        F.min(midx).alias("first_m"), F.max(midx).alias("last_m")
+    )
+    horizon = o.agg(F.max(midx).alias("max_m"))
+    labeled = span.crossJoin(F.broadcast(horizon)).select(
+        (F.col("last_m") - F.col("first_m")).alias("dur"),
+        (
+            F.col("max_m") - F.col("last_m") >= _KM_CENSOR_MONTHS
+        ).alias("churned"),
+    )
+    monthly = labeled.groupBy(F.col("dur").alias("t")).agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("churned"), 0).otherwise(1)).alias("c"),
+    )
+    w = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = monthly.withColumn(
+        "n_at_risk", F.sum(F.col("d") + F.col("c")).over(w)
+    )
+    # one-row frame: months sorted ascending, each encoded as
+    # (n - d) * 2^32 + n for the survival fold
+    arr = at_risk.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "t",
+                    "n_at_risk",
+                    "d",
+                    "c",
+                    (
+                        (F.col("n_at_risk") - F.col("d")) * _KM_ENC
+                        + F.col("n_at_risk")
+                    ).alias("enc"),
+                )
+            )
+        ).alias("ms")
+    )
+    return arr.select(
+        F.explode(
+            F.expr(
+                f"""transform(ms, (x, i) -> struct(
+                      x.t AS tenure_month,
+                      x.n_at_risk AS n_at_risk,
+                      x.d AS d_churned,
+                      x.c AS c_censored,
+                      aggregate(slice(ms, 1, i + 1),
+                                CAST({_KM_SCALE} AS BIGINT),
+                                (acc, m) -> (acc * (m.enc div {_KM_ENC}))
+                                            div (m.enc % {_KM_ENC}))
+                        AS survival_fp9))"""
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+q_customer_survival.__doc__ = q_customer_survival.__doc__.format(
+    cm=_KM_CENSOR_MONTHS
+)
+
+SQL_CUSTOMER_SURVIVAL = f"""
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m
+  FROM orders
+),
+span AS (
+  SELECT o_custkey, MIN(m) AS first_m, MAX(m) AS last_m
+  FROM o GROUP BY o_custkey
+),
+hz AS (SELECT MAX(m) AS max_m FROM o),
+lab AS (
+  SELECT last_m - first_m AS dur,
+         (max_m - last_m) >= {_KM_CENSOR_MONTHS} AS churned
+  FROM span, hz
+),
+monthly AS (
+  SELECT dur AS t,
+         CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c
+  FROM lab GROUP BY dur
+),
+ar AS (
+  SELECT t, d, c,
+         CAST(SUM(d + c) OVER (ORDER BY t DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_at_risk
+  FROM monthly
+)
+SELECT m.t AS tenure_month, m.n_at_risk, m.d AS d_churned,
+       m.c AS c_censored,
+       (SELECT list_reduce(
+                 list_prepend(CAST({_KM_SCALE} AS BIGINT),
+                   list(CAST((u.n_at_risk - u.d) * {_KM_ENC} + u.n_at_risk
+                        AS BIGINT) ORDER BY u.t)),
+                 (acc, x) -> (acc * (x // {_KM_ENC})) // (x % {_KM_ENC}))
+        FROM ar u WHERE u.t <= m.t) AS survival_fp9
+FROM ar m
+"""
+
+ANALYTICS_QUERIES["customer_survival"] = (
+    q_customer_survival,
+    SQL_CUSTOMER_SURVIVAL,
+)
+
+
+# --- Herfindahl-Hirschman concentration ----------------------------------------
+
+
+def q_nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration audit per nation: the Herfindahl-
+    Hirschman index of supplier revenue shares, in exact parts-per-
+    million — ``HHI = sum_i (s_i / S)^2`` computed division-free as
+    ``(sum_i s_i^2) * 1e6 div S^2`` with the squares carried in
+    decimal(38,0) (cents squared exceeds int64 headroom at production
+    revenue; decimal sums stay exact and partition-order independent).
+    The market-structure complement to nation_revenue_gini: Gini
+    measures customer inequality, HHI flags monopolized SUPPLY (a
+    procurement risk signal — 10000 ppm = '10 equal suppliers',
+    1e6 ppm = single-source).
+
+    Scale notes: one lineitem-sized aggregate (supplier x nation
+    revenue), then nation-sized algebra; the supplier dim rides a
+    broadcast.  All integer/decimal — exact at any SF.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", _revenue_cents().alias("rev_c")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    per_supp = (
+        li.join(
+            F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"]
+        )
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum("rev_c").alias("rev"))
+    )
+    dec = F.col("rev").cast("decimal(38,0)")
+    return (
+        per_supp.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(dec * dec).alias("sum_sq"),
+            F.sum(dec).alias("tot"),
+        )
+        .select(
+            "s_nationkey",
+            "n_suppliers",
+            F.expr(
+                "CAST((sum_sq * 1000000) div (tot * tot) AS BIGINT)"
+            ).alias("hhi_ppm"),
+        )
+    )
+
+
+SQL_NATION_REVENUE_HHI = """
+WITH per_supp AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0)
+             AS BIGINT)) AS rev
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+)
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST((SUM(CAST(rev AS HUGEINT) * rev) * 1000000)
+            // (SUM(CAST(rev AS HUGEINT)) * SUM(CAST(rev AS HUGEINT)))
+            AS BIGINT) AS hhi_ppm
+FROM per_supp
+GROUP BY s_nationkey
+"""
+
+ANALYTICS_QUERIES["nation_revenue_hhi"] = (
+    q_nation_revenue_hhi,
+    SQL_NATION_REVENUE_HHI,
+)

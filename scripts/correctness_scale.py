@@ -127,6 +127,7 @@ QUERIES = [
     "doc_near_dup_core",
     "part_communities",  # kmv_audience_overlap needs events (sf<=0.1)
     "layout_skipping_audit",
+    "customer_survival",  # attribution needs events, hhi needs supplier
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")

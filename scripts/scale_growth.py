@@ -103,6 +103,7 @@ QUERIES = [
     "doc_near_dup_core",
     "part_communities",
     "layout_skipping_audit",
+    "customer_survival",
 ]
 
 
