@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "attribution_multitouch",
     "customer_survival",
     "nation_revenue_hhi",
+    "media_phash_near_dup",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

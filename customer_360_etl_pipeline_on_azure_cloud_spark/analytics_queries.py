@@ -5125,3 +5125,139 @@ ANALYTICS_QUERIES["nation_revenue_hhi"] = (
     q_nation_revenue_hhi,
     SQL_NATION_REVENUE_HHI,
 )
+
+
+# --- perceptual-hash media near-dup -------------------------------------------
+
+_PHASH_MAX_HAMMING = 6
+
+
+def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over BINARY media blobs —
+    the stage after media_blob_dedup's exact byte dedup: pHash
+    (operators/multimodal.py phash_table: stub 8x8 decode -> exact
+    integer DCT-II -> median sign bits) per blob, then Hamming-near
+    pairs (<= {mh} bits) via the SAME pigeonhole chunk blocking as
+    SimHash (simhash_near_pairs accepts any int64 hash).  Output per
+    media row: its 63-bit perceptual hash and how many near-dup
+    neighbors it has.  With the deterministic stub decoder the
+    pipeline's END-TO-END math (decode bytes, DCT, median, blocking,
+    Hamming) is integer-exact and fully oracle-replayed; swapping the
+    decode stage for Pillow (documented in phash_gray8) upgrades it to
+    true perceptual matching with zero plan changes.
+
+    Scale notes: hashing is one scan (JVM sha2/hex + one Arrow matmul
+    batch); candidates are 7 chunk equi-joins on (chunk, cval) — never
+    all-pairs; blobs themselves never shuffle (only 8-byte hashes do).
+    """
+    from .operators.dedup import simhash_near_pairs
+    from .operators.multimodal import documents_as_media, phash_table
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    ph = phash_table(media)
+    pairs = simhash_near_pairs(
+        ph.select(
+            F.col("media_id").alias("doc_id"),
+            F.col("phash").alias("simhash"),
+        ),
+        max_hamming=_PHASH_MAX_HAMMING,
+    )
+    sym = pairs.select(F.col("id_a").alias("media_id")).union(
+        pairs.select(F.col("id_b").alias("media_id"))
+    )
+    nn = sym.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_near"))
+    return ph.join(nn, "media_id", "left").select(
+        "media_id",
+        "phash",
+        F.coalesce("n_near", F.lit(0)).alias("n_near"),
+    )
+
+
+q_media_phash_near_dup.__doc__ = q_media_phash_near_dup.__doc__.format(
+    mh=_PHASH_MAX_HAMMING
+)
+
+
+def _phash_sql() -> str:
+    from .operators.multimodal import PHASH_DCT
+
+    consts = ", ".join(
+        f"({u}, {x}, {c})"
+        for u, row in enumerate(PHASH_DCT)
+        for x, c in enumerate(row)
+    )
+    n_chunks = _PHASH_MAX_HAMMING + 1
+    widths = [
+        64 // n_chunks + (1 if i < 64 % n_chunks else 0)
+        for i in range(n_chunks)
+    ]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    chunk_rows = ", ".join(
+        f"({i}, {offsets[i]}, {widths[i]})" for i in range(n_chunks)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         sha256(text) AS h1, sha256(text || chr(1)) AS h2
+  FROM documents
+),
+px AS (
+  SELECT media_id, i,
+         CAST(concat('0x', substr(CASE WHEN i < 32 THEN h1 ELSE h2 END,
+                                  (i % 32) * 2 + 1, 2)) AS BIGINT) AS p
+  FROM m, (SELECT unnest(generate_series(0, 63)) AS i)
+),
+dct(u, x, cv) AS (VALUES {consts}),
+coef AS (
+  SELECT px.media_id, cu.u AS u, cvv.u AS v,
+         SUM(px.p * cu.cv * cvv.cv) AS coeff
+  FROM px
+  JOIN dct cu ON cu.x = px.i // 8
+  JOIN dct cvv ON cvv.x = px.i % 8
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT media_id, u, v, coeff,
+         row_number() OVER (PARTITION BY media_id ORDER BY coeff) AS rn
+  FROM coef WHERE NOT (u = 0 AND v = 0)
+),
+med AS (SELECT media_id, coeff AS mv FROM ranked WHERE rn = 32),
+ph AS (
+  SELECT r.media_id,
+         CAST(SUM(CASE WHEN r.coeff > med.mv
+                  THEN CAST(1 AS BIGINT) << (r.u * 8 + r.v - 1)
+                  ELSE 0 END) AS BIGINT) AS phash
+  FROM ranked r JOIN med USING (media_id)
+  GROUP BY r.media_id
+),
+chunks AS (
+  SELECT media_id, phash, ch.i AS chunk,
+         (phash >> ch.off) & ((CAST(1 AS BIGINT) << ch.w) - 1) AS cval
+  FROM ph, (VALUES {chunk_rows}) AS ch(i, off, w)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS ia, b.media_id AS ib,
+                  a.phash AS pa, b.phash AS pb
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.cval = b.cval AND a.media_id < b.media_id
+),
+prs AS (
+  SELECT ia, ib FROM cand
+  WHERE bit_count(xor(pa, pb)) <= {_PHASH_MAX_HAMMING}
+),
+nn AS (
+  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_near
+  FROM (SELECT ia AS media_id FROM prs
+        UNION ALL SELECT ib AS media_id FROM prs)
+  GROUP BY media_id
+)
+SELECT ph.media_id, ph.phash,
+       CAST(COALESCE(nn.n_near, 0) AS BIGINT) AS n_near
+FROM ph LEFT JOIN nn USING (media_id)
+"""
+
+
+ANALYTICS_QUERIES["media_phash_near_dup"] = (
+    q_media_phash_near_dup,
+    _phash_sql(),
+)

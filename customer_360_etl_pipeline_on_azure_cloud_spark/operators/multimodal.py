@@ -172,3 +172,108 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("uri"),
         ).alias("meta"),
     )
+
+
+# --- perceptual hashing (pHash) ----------------------------------------------
+
+#: Fixed-point scale for the DCT-II basis constants.
+PHASH_DCT_SCALE = 1 << 14
+
+
+def _phash_dct_consts() -> list[list[int]]:
+    """Scaled-integer DCT-II basis: ``round(alpha(u) * cos((2x+1) u
+    pi/16) * 2^14)``.  Computed ONCE here and shared literally with the
+    SQL oracle builder (both sides consume this exact list, so the
+    constants cannot drift between engines even across platforms)."""
+    import math
+
+    out = []
+    for u in range(8):
+        alpha = math.sqrt(0.5) if u == 0 else 1.0
+        out.append(
+            [
+                round(
+                    alpha
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    * PHASH_DCT_SCALE
+                )
+                for x in range(8)
+            ]
+        )
+    return out
+
+
+PHASH_DCT = _phash_dct_consts()
+
+_PHASH_RETURN = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash_gray8(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """8x8 grayscale pixels per media row as ``(media_id, px:
+    array<int>)`` — the decode stage of the pHash pipeline.
+
+    STUB DECODER stage (this module's convention): 64 deterministic
+    bytes from sha256(content) || sha256(content + 0x01), computed
+    JVM-side (sha2 + hex-pair extraction, codegen-clean) so identical
+    blobs always produce identical pixels and the DuckDB oracle can
+    replay the path bit-for-bit.  A real deployment swaps exactly this
+    stage for a Pillow grayscale-resize(8,8) inside mapInPandas with
+    the per-worker codec probe of decode_image_features — the output
+    contract ``(media_id, px)`` and everything downstream (DCT,
+    median, blocking) are unchanged."""
+    h1 = F.sha2(F.col("content"), 256)
+    h2 = F.sha2(F.concat(F.col("content"), F.lit(bytes([1]))), 256)
+    px = F.expr(
+        "transform(sequence(0, 63), i -> CAST(conv(substring("
+        "  CASE WHEN i < 32 THEN __h1 ELSE __h2 END,"
+        "  (i % 32) * 2 + 1, 2), 16, 10) AS INT))"
+    )
+    return (
+        media.withColumn("__h1", h1)
+        .withColumn("__h2", h2)
+        .select(F.col(id_col).alias("media_id"), px.alias("px"))
+    )
+
+
+def phash_table(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """63-bit perceptual hash per media row: 8x8 grayscale ->
+    integer DCT-II (fixed-point basis, exact int64 matmuls) -> sign
+    bits of the 63 AC coefficients against their LOWER MEDIAN
+    [classic pHash: Zauner 2010], DC excluded.  Identical content ->
+    identical hash; perceptually-close images (real decode path) ->
+    small Hamming distance, so near-dup pairs come from the same
+    pigeonhole chunk blocking SimHash uses (simhash_near_pairs
+    accepts any int64 hash column).
+
+    Exactness: pixels and basis constants are integers, every DCT
+    coefficient is an exact int64 sum (max |coeff| ~ 4.4e12, far
+    inside int64), the median of 63 integers is the 32nd smallest —
+    all replayable in SQL, so the oracle checks the ENTIRE perceptual
+    pipeline, not a tolerance band.
+    """
+    import numpy as np
+
+    C = np.asarray(PHASH_DCT, dtype=np.int64)
+
+    def batch(iterator):
+        for pdf in iterator:
+            ids, hashes = [], []
+            for media_id, px in zip(pdf["media_id"], pdf["px"]):
+                P = np.asarray(px, dtype=np.int64).reshape(8, 8)
+                coeff = C @ P @ C.T  # exact: |coeff| <= 8*8*255*2^28
+                flat = coeff.ravel()[1:]  # drop DC
+                med = int(np.sort(flat)[31])  # 32nd smallest of 63
+                h = 0
+                for idx, v in enumerate(flat):
+                    if int(v) > med:
+                        h |= 1 << idx
+                ids.append(media_id)
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return phash_gray8(media, id_col).mapInPandas(batch, _PHASH_RETURN)

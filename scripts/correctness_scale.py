@@ -128,6 +128,7 @@ QUERIES = [
     "part_communities",  # kmv_audience_overlap needs events (sf<=0.1)
     "layout_skipping_audit",
     "customer_survival",  # attribution needs events, hhi needs supplier
+    "media_phash_near_dup",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")

@@ -104,6 +104,7 @@ QUERIES = [
     "part_communities",
     "layout_skipping_audit",
     "customer_survival",
+    "media_phash_near_dup",
 ]
 
 
