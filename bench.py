@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "customer_survival",
     "nation_revenue_hhi",
     "media_phash_near_dup",
+    "nation_trend_rank_stats",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -5261,3 +5261,141 @@ ANALYTICS_QUERIES["media_phash_near_dup"] = (
     q_media_phash_near_dup,
     _phash_sql(),
 )
+
+
+# --- nonparametric trend statistics (Mann-Kendall + Spearman) -----------------
+
+
+def q_nation_trend_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric trend tests per nation over the monthly revenue
+    series — the ROBUST companions to nation_revenue_trend's OLS
+    slope (one 50x outlier month flips an OLS sign; rank statistics
+    shrug):
+
+    - ``mk_s``: Mann-Kendall S = sum over month pairs of
+      sign(rev_later - rev_earlier) — the standard distribution-free
+      trend test, an exact integer.
+    - ``mk_var18``: n(n-1)(2n+5), the 18x null-variance numerator
+      (caller divides by 18; revenue ties would subtract the usual
+      tie term — tied pair counts are visible in mk_s's construction
+      and zero on this corpus).
+    - ``spearman_d2x4``: 4 * sum d^2 between average-rank(revenue)
+      and time rank, with average ranks DOUBLED so ties stay integer
+      (2*avg_rank = 2*min_rank + tie_count - 1); caller recovers
+      rho = 1 - 6*(spearman_d2x4/4) / (n(n^2-1)).
+
+    No division, no float: every statistic is an exact BIGINT both
+    engines reproduce bit-for-bit.
+
+    Scale notes: the fact table collapses to a (nation, month)
+    aggregate first; the O(T^2) pair join and rank windows run on
+    that calendar-bounded frame (~80 rows per nation), never on
+    lineitem.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _revenue_cents().alias("rev_c")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    monthly = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_nationkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "m"
+            ),
+        )
+        .agg(F.sum("rev_c").alias("rev"))
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    mk = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.m") < F.col("b.m")),
+        )
+        .groupBy(F.col("a.c_nationkey").alias("c_nationkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1)
+                .when(F.col("b.rev") < F.col("a.rev"), -1)
+                .otherwise(0)
+            ).alias("mk_s")
+        )
+    )
+    wr = Window.partitionBy("c_nationkey").orderBy("rev")
+    wt = Window.partitionBy("c_nationkey").orderBy("m")
+    wtie = Window.partitionBy("c_nationkey", "rev")
+    ranked = (
+        monthly.withColumn("r_min2", F.rank().over(wr) * 2)
+        .withColumn("tie_n", F.count(F.lit(1)).over(wtie))
+        .withColumn("rx2", F.col("r_min2") + F.col("tie_n") - 1)
+        .withColumn("rt2", F.row_number().over(wt) * 2)
+    )
+    sp = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum(
+            (F.col("rx2") - F.col("rt2")) * (F.col("rx2") - F.col("rt2"))
+        ).alias("spearman_d2x4"),
+    )
+    return sp.join(mk, "c_nationkey").select(
+        "c_nationkey",
+        "n_months",
+        "mk_s",
+        (
+            F.col("n_months")
+            * (F.col("n_months") - 1)
+            * (2 * F.col("n_months") + 5)
+        ).alias("mk_var18"),
+        "spearman_d2x4",
+    )
+
+
+SQL_NATION_TREND_RANK_STATS = """
+WITH monthly AS (
+  SELECT c.c_nationkey,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+         SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0)
+             AS BIGINT)) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+mk AS (
+  SELECT a.c_nationkey,
+         CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                       WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT)
+           AS mk_s
+  FROM monthly a JOIN monthly b
+    ON b.c_nationkey = a.c_nationkey AND a.m < b.m
+  GROUP BY a.c_nationkey
+),
+ranked AS (
+  SELECT c_nationkey, m, rev,
+         rank() OVER (PARTITION BY c_nationkey ORDER BY rev) * 2
+           + COUNT(*) OVER (PARTITION BY c_nationkey, rev) - 1 AS rx2,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY m) * 2
+           AS rt2
+  FROM monthly
+),
+sp AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM((rx2 - rt2) * (rx2 - rt2)) AS BIGINT) AS spearman_d2x4
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT sp.c_nationkey, sp.n_months, mk.mk_s,
+       CAST(sp.n_months * (sp.n_months - 1) * (2 * sp.n_months + 5)
+            AS BIGINT) AS mk_var18,
+       sp.spearman_d2x4
+FROM sp JOIN mk USING (c_nationkey)
+"""
+
+ANALYTICS_QUERIES["nation_trend_rank_stats"] = (
+    q_nation_trend_rank_stats,
+    SQL_NATION_TREND_RANK_STATS,
+)
