@@ -5129,7 +5129,14 @@ ANALYTICS_QUERIES["nation_revenue_hhi"] = (
 
 # --- perceptual-hash media near-dup -------------------------------------------
 
-_PHASH_MAX_HAMMING = 6
+#: Hamming radius for pigeonhole blocking. 4 -> five 12-13-bit chunks
+#: -> 4-8k buckets per chunk; candidate volume under UNIFORM hashes is
+#: ~n^2 / 2^width per chunk, so wider chunks (smaller radius) are what
+#: keeps blocking subquadratic when the corpus has no perceptual
+#: structure (the stub decoder's sha256 pixels are the worst case —
+#: radius 6's 9-bit chunks measured 9.6x growth on 10x docs; radius
+#: 4's 13-bit chunks keep bucket loads single-digit at 50k docs).
+_PHASH_MAX_HAMMING = 4
 
 
 def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5179,13 +5186,14 @@ q_media_phash_near_dup.__doc__ = q_media_phash_near_dup.__doc__.format(
 
 
 def _phash_sql() -> str:
+    # Row-wise list algebra throughout: an earlier formulation joined a
+    # 64-row pixel table against the DCT constants twice (64x row
+    # blow-up -> a 204M-row aggregate that spilled DuckDB's temp disk
+    # at sf1); folding the DCT per media row keeps the oracle
+    # constant-memory at any corpus size.
     from .operators.multimodal import PHASH_DCT
 
-    consts = ", ".join(
-        f"({u}, {x}, {c})"
-        for u, row in enumerate(PHASH_DCT)
-        for x, c in enumerate(row)
-    )
+    cl = "[" + ", ".join(str(c) for row in PHASH_DCT for c in row) + "]"
     n_chunks = _PHASH_MAX_HAMMING + 1
     widths = [
         64 // n_chunks + (1 if i < 64 % n_chunks else 0)
@@ -5201,34 +5209,33 @@ WITH m AS (
          sha256(text) AS h1, sha256(text || chr(1)) AS h2
   FROM documents
 ),
-px AS (
-  SELECT media_id, i,
-         CAST(concat('0x', substr(CASE WHEN i < 32 THEN h1 ELSE h2 END,
-                                  (i % 32) * 2 + 1, 2)) AS BIGINT) AS p
-  FROM m, (SELECT unnest(generate_series(0, 63)) AS i)
+cst AS (SELECT {cl} AS cl),
+pxl AS (
+  SELECT media_id,
+         list_transform(generate_series(0, 63), i ->
+           CAST(concat('0x', substr(CASE WHEN i < 32 THEN h1 ELSE h2 END,
+                                    (i % 32) * 2 + 1, 2)) AS BIGINT)) AS px
+  FROM m
 ),
-dct(u, x, cv) AS (VALUES {consts}),
-coef AS (
-  SELECT px.media_id, cu.u AS u, cvv.u AS v,
-         SUM(px.p * cu.cv * cvv.cv) AS coeff
-  FROM px
-  JOIN dct cu ON cu.x = px.i // 8
-  JOIN dct cvv ON cvv.x = px.i % 8
-  GROUP BY 1, 2, 3
+-- ac[k] = DCT coefficient (u = k//8, v = k%8), k = 1..63 (DC dropped):
+-- coeff(u,v) = sum_i px[i] * C[u][i//8] * C[v][i%8], all int64-exact
+co AS (
+  SELECT media_id,
+         list_transform(generate_series(1, 63), k ->
+           list_sum(list_transform(generate_series(0, 63), i ->
+             px[i + 1]
+             * cl[(k // 8) * 8 + (i // 8) + 1]
+             * cl[(k % 8) * 8 + (i % 8) + 1]))) AS ac
+  FROM pxl, cst
 ),
-ranked AS (
-  SELECT media_id, u, v, coeff,
-         row_number() OVER (PARTITION BY media_id ORDER BY coeff) AS rn
-  FROM coef WHERE NOT (u = 0 AND v = 0)
-),
-med AS (SELECT media_id, coeff AS mv FROM ranked WHERE rn = 32),
+co2 AS (SELECT media_id, ac, list_sort(ac)[32] AS med FROM co),
 ph AS (
-  SELECT r.media_id,
-         CAST(SUM(CASE WHEN r.coeff > med.mv
-                  THEN CAST(1 AS BIGINT) << (r.u * 8 + r.v - 1)
-                  ELSE 0 END) AS BIGINT) AS phash
-  FROM ranked r JOIN med USING (media_id)
-  GROUP BY r.media_id
+  SELECT media_id,
+         CAST(list_sum(list_transform(generate_series(1, 63), j ->
+           CASE WHEN ac[j] > med
+                THEN CAST(1 AS BIGINT) << (j - 1)
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+  FROM co2
 ),
 chunks AS (
   SELECT media_id, phash, ch.i AS chunk,
