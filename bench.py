@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "nation_revenue_hhi",
     "media_phash_near_dup",
     "nation_trend_rank_stats",
+    "quality_classifier_gd_train",
+    "quality_classifier_gd_score",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -1487,3 +1487,186 @@ CURATION_QUERIES["quality_rank_calibration"] = (
     q_quality_rank_calibration,
     SQL_QUALITY_RANK_CALIBRATION,
 )
+
+
+# --- iterative (perceptron) classifier training --------------------------------
+
+_GD_ROUNDS = 4
+_GD_MOD = 2001
+
+
+def _gd_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared labeled set (same convention as
+    quality_classifier_train): even doc_ids, positive = lang 'en'."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "__label", F.col("lang") == "en"
+    )
+
+
+def q_quality_classifier_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE distributed classifier training (operators/text.py
+    perceptron_train) next to the closed-form NB trainer: {r} rounds
+    of full-batch unit-step perceptron over the hashed design matrix
+    — margins via one broadcast join of the M-row weight table per
+    round, batch update from the misclassified set, M rows of driver
+    traffic per round.  Unit step = NO division and NO float, so the
+    oracle replays the ENTIRE training trajectory (not just the final
+    weights) as a fixed unroll.  Output: the training curve —
+    (round, n_errors BEFORE the round's update, weight_l1 after it).
+    A pure-Python reference and the error-descent property are
+    pytest-pinned."""
+    from .operators.text import perceptron_train
+
+    _, curve = perceptron_train(
+        _gd_labeled(spark, sf_dir),
+        "__label",
+        "doc_id",
+        feature_mod=_GD_MOD,
+        rounds=_GD_ROUNDS,
+    )
+    return spark.createDataFrame(
+        [(int(r), int(e), int(l)) for r, e, l in curve],
+        "round long, n_errors long, weight_l1 long",
+    )
+
+
+q_quality_classifier_gd_train.__doc__ = (
+    q_quality_classifier_gd_train.__doc__.format(r=_GD_ROUNDS)
+)
+
+
+def q_quality_classifier_gd_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train (perceptron, {r} rounds) -> broadcast -> score EVERY
+    document -> per-source report: the GD twin of
+    quality_classifier_trained_score / source_quality_report.  The
+    learned table rides the same map_from_entries broadcast and the
+    scoring stays the zero-shuffle in-row integer fold; token-less
+    documents score the exact 0 the empty fold produces."""
+    from .operators.text import (
+        hashed_linear_score_trained,
+        perceptron_train,
+    )
+
+    weights, _ = perceptron_train(
+        _gd_labeled(spark, sf_dir),
+        "__label",
+        "doc_id",
+        feature_mod=_GD_MOD,
+        rounds=_GD_ROUNDS,
+    )
+    wdf = spark.createDataFrame(
+        list(weights.items()) or [(0, 0)], "feature long, weight long"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score_trained(
+        docs, wdf, feature_mod=_GD_MOD, threshold=0
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("label") == "keep", 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+        F.sum("score").alias("total_score"),
+    )
+
+
+q_quality_classifier_gd_score.__doc__ = (
+    q_quality_classifier_gd_score.__doc__.format(r=_GD_ROUNDS)
+)
+
+
+def _gd_unroll_sql(rounds: int) -> str:
+    """Shared fixed-unroll of the batch-perceptron trajectory: CTEs
+    x (design matrix), err{{r}}, w{{r}} for r = 1..rounds."""
+    parts = [
+        f"""
+WITH x AS MATERIALIZED (
+  SELECT doc_id, pos,
+         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {_GD_MOD}
+           AS feature,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, (lang = 'en') AS pos,
+               unnest(string_split(trim(text), ' ')) AS t
+        FROM documents WHERE doc_id % 2 = 0)
+  GROUP BY 1, 2, 3
+),
+err1 AS MATERIALIZED (SELECT DISTINCT doc_id, pos FROM x),
+w1 AS MATERIALIZED (
+  SELECT feature,
+         CAST(SUM(CASE WHEN pos THEN cnt ELSE -cnt END) AS BIGINT) AS w
+  FROM x JOIN err1 USING (doc_id, pos) GROUP BY feature
+)"""
+    ]
+    for r in range(2, rounds + 1):
+        parts.append(
+            f""",
+mar{r} AS (
+  SELECT x.doc_id, x.pos, SUM(x.cnt * COALESCE(w.w, 0)) AS m
+  FROM x LEFT JOIN w{r - 1} w USING (feature)
+  GROUP BY 1, 2
+),
+err{r} AS MATERIALIZED (
+  SELECT doc_id, pos FROM mar{r}
+  WHERE (pos AND m <= 0) OR (NOT pos AND m >= 0)
+),
+g{r} AS (
+  SELECT feature,
+         CAST(SUM(CASE WHEN pos THEN cnt ELSE -cnt END) AS BIGINT) AS g
+  FROM x JOIN err{r} USING (doc_id, pos) GROUP BY feature
+),
+w{r} AS MATERIALIZED (
+  SELECT feature, CAST(SUM(v) AS BIGINT) AS w FROM (
+    SELECT feature, w AS v FROM w{r - 1}
+    UNION ALL SELECT feature, g AS v FROM g{r}
+  ) GROUP BY feature
+)"""
+        )
+    return "".join(parts)
+
+
+def _gd_train_sql(rounds: int = _GD_ROUNDS) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM err{r}) AS n_errors,"
+        f" (SELECT CAST(SUM(ABS(w)) AS BIGINT) FROM w{r}) AS weight_l1"
+        for r in range(1, rounds + 1)
+    )
+    return _gd_unroll_sql(rounds) + "\n" + rows
+
+
+def _gd_score_sql(rounds: int = _GD_ROUNDS) -> str:
+    return (
+        _gd_unroll_sql(rounds)
+        + f""",
+alltok AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {_GD_MOD}
+           AS feature
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+        FROM documents)
+),
+sc AS (
+  SELECT a.doc_id, SUM(COALESCE(w.w, 0)) AS score
+  FROM alltok a LEFT JOIN w{rounds} w USING (feature)
+  GROUP BY a.doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN COALESCE(sc.score, 0) >= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep,
+       CAST(SUM(COALESCE(sc.score, 0)) AS BIGINT) AS total_score
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+GROUP BY d.source
+"""
+    )
+
+
+CURATION_QUERIES["quality_classifier_gd_train"] = (
+    q_quality_classifier_gd_train,
+    _gd_train_sql(),
+)
+CURATION_QUERIES["quality_classifier_gd_score"] = (
+    q_quality_classifier_gd_score,
+    _gd_score_sql(),
+)

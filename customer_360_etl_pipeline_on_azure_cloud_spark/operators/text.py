@@ -1085,3 +1085,113 @@ def dsir_topk(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.row_number().over(w).cast("long").alias("sel_rank"),
     )
+
+
+def perceptron_train(
+    labeled: DataFrame,
+    label_col: str,
+    id_col: str,
+    text_col: str = "text",
+    feature_mod: int = 2001,
+    rounds: int = 4,
+):
+    """Distributed ITERATIVE training for the hashed linear classifier
+    — the gradient-descent-shaped companion to the closed-form
+    :func:`nb_train_weights`: full-batch perceptron [Rosenblatt 1958;
+    the batch subgradient form], unit step, K synchronous rounds.
+
+    Per round, with current weights w: every doc's margin is
+    ``sum_f w_f * x_{d,f}`` (x = token counts per hashed feature);
+    docs on the wrong side (positive with margin <= 0, negative with
+    margin >= 0 — boundary counted as error so the all-zero init
+    breaks symmetry) contribute ``±x_d`` to the batch update
+    ``w <- w + sum_errors y_d x_d``.  Unit step means NO division and
+    NO float anywhere — every round is exact integer algebra, so a
+    fixed-unroll SQL twin replays the ENTIRE training trajectory
+    bit-for-bit (the property neither float SGD nor log-space NB can
+    offer).
+
+    Returns ``(weights, curve)``: ``weights`` a dict
+    ``feature -> weight`` (at most ``feature_mod`` entries — the
+    hashing trick bounds driver state BY CONSTRUCTION), ``curve`` a
+    list of ``(round, n_errors, weight_l1)`` rows — n_errors measured
+    BEFORE that round's update, weight_l1 after it.
+
+    ``id_col`` must be a real unique document id (NEVER
+    monotonically_increasing_id — partitioning-dependent, the exact
+    non-determinism this engine re-specified away).  Token-less
+    documents contribute no design-matrix rows and therefore no
+    updates.
+
+    Scale shape: the (doc, feature, count) design matrix is built once
+    (one explode + hash aggregate) and persisted DISK_ONLY; each round
+    is one broadcast join of the M-row weight table + two map-side-
+    combinable aggregates; driver traffic is M rows per round (the
+    same bounded-loop contract as BPE training's 1 row/round).
+    Weights grow by at most sum(|x|) per round — BIGINT-safe into the
+    billions of token occurrences; roll the margin sum in
+    decimal(38,0) beyond that.
+    """
+    from pyspark import StorageLevel
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    x = (
+        labeled.select(
+            F.col(label_col).alias("__pos"),
+            F.col(id_col).alias("__rid"),
+            F.explode(tokens(F.col(text_col), " ")).alias("__t"),
+        )
+        .select(
+            "__pos",
+            "__rid",
+            hashed_feature(F.col("__t"), feature_mod).alias("feature"),
+        )
+        .groupBy("__rid", "__pos", "feature")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    spark = labeled.sparkSession
+    weights: dict[int, int] = {}
+    curve: list[tuple[int, int, int]] = []
+    try:
+        for r in range(1, rounds + 1):
+            if weights:
+                wdf = F.broadcast(
+                    spark.createDataFrame(
+                        list(weights.items()), "feature long, w long"
+                    )
+                )
+                joined = x.join(wdf, "feature", "left").withColumn(
+                    "w", F.coalesce("w", F.lit(0))
+                )
+            else:
+                joined = x.withColumn("w", F.lit(0).cast("long"))
+            margins = joined.groupBy("__rid", "__pos").agg(
+                F.sum(F.col("cnt") * F.col("w")).alias("m")
+            )
+            err = margins.filter(
+                (F.col("__pos") & (F.col("m") <= 0))
+                | (~F.col("__pos") & (F.col("m") >= 0))
+            ).select("__rid", "__pos")
+            grad = (
+                x.join(err, ["__rid", "__pos"])
+                .groupBy("feature")
+                .agg(
+                    F.sum(
+                        F.when(F.col("__pos"), F.col("cnt")).otherwise(
+                            -F.col("cnt")
+                        )
+                    ).alias("g")
+                )
+            )
+            n_errors = err.count()
+            for row in grad.collect():
+                weights[row["feature"]] = (
+                    weights.get(row["feature"], 0) + row["g"]
+                )
+            w_l1 = sum(abs(v) for v in weights.values())
+            curve.append((r, n_errors, w_l1))
+    finally:
+        x.unpersist()
+    return weights, curve

@@ -129,6 +129,8 @@ QUERIES = [
     "layout_skipping_audit",
     "customer_survival",  # attribution needs events, hhi needs supplier
     "media_phash_near_dup",
+    "quality_classifier_gd_train",
+    "quality_classifier_gd_score",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")

@@ -105,6 +105,8 @@ QUERIES = [
     "layout_skipping_audit",
     "customer_survival",
     "media_phash_near_dup",
+    "quality_classifier_gd_train",
+    "quality_classifier_gd_score",
 ]
 
 
