@@ -217,6 +217,8 @@ BENCH_QUERIES = [
     "nation_trend_rank_stats",
     "quality_classifier_gd_train",
     "quality_classifier_gd_score",
+    "revenue_seasonal_outliers",
+    "source_mixture_temperature",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -5406,3 +5406,129 @@ ANALYTICS_QUERIES["nation_trend_rank_stats"] = (
     q_nation_trend_rank_stats,
     SQL_NATION_TREND_RANK_STATS,
 )
+
+
+# --- seasonal residual outliers -----------------------------------------------
+
+_SEAS_MAD_K = 3
+
+
+def q_revenue_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the seasonally-adjusted series —
+    what revenue_seasonal_decomp's deferred divisions were FOR: within
+    each calendar month's group of detrended observations, flag months
+    whose deviation from the group's seasonal level exceeds
+    {k}x the group MAD.  Comparing within the calendar-month group
+    keeps every quantity on ONE common integer scale
+    (dev = detrended24 * n_c - seasonal_sum24, scale 24*n_c for all
+    members of group c), so medians are integer lower-medians and the
+    {k}x-MAD test is a plain integer comparison — no division, no
+    float, bit-exact in both engines.  (A cross-group comparison would
+    need rational normalization across different n_c — exactly the
+    trap the within-group formulation avoids.)
+
+    Output per month with a defined trend: the deviation, its group
+    median/MAD, and the flag.  Scale shape: identical to
+    revenue_seasonal_decomp — one fact aggregate to month grain, then
+    calendar-bounded algebra.
+    """
+    base = q_revenue_seasonal_decomp(spark, sf_dir).where(
+        F.col("trend24").isNotNull() & (F.col("seasonal_n") > 0)
+    )
+    dev = base.withColumn(
+        "cal_month", F.col("ym") % 100
+    ).withColumn(
+        "dev",
+        F.col("detrended24") * F.col("seasonal_n")
+        - F.col("seasonal_sum24"),
+    )
+    grp = Window.partitionBy("cal_month")
+    # integer lower median: the ((n+1) div 2)-th smallest
+    ordv = Window.partitionBy("cal_month").orderBy("dev", "ym")
+    with_med = (
+        dev.withColumn("rn", F.row_number().over(ordv))
+        .withColumn("n_grp", F.count(F.lit(1)).over(grp))
+        .withColumn(
+            "med",
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n_grp + 1) div 2"),
+                    F.col("dev"),
+                )
+            ).over(grp),
+        )
+    )
+    abs_dev = with_med.withColumn(
+        "ad", F.abs(F.col("dev") - F.col("med"))
+    )
+    orda = Window.partitionBy("cal_month").orderBy("ad", "ym")
+    with_mad = (
+        abs_dev.withColumn("rna", F.row_number().over(orda))
+        .withColumn(
+            "mad",
+            F.max(
+                F.when(
+                    F.col("rna") == F.expr("(n_grp + 1) div 2"),
+                    F.col("ad"),
+                )
+            ).over(grp),
+        )
+    )
+    return with_mad.select(
+        "ym",
+        "cal_month",
+        "dev",
+        "med",
+        "mad",
+        (
+            F.abs(F.col("dev") - F.col("med"))
+            > F.lit(_SEAS_MAD_K) * F.col("mad")
+        ).alias("is_outlier"),
+    )
+
+
+q_revenue_seasonal_outliers.__doc__ = (
+    q_revenue_seasonal_outliers.__doc__.format(k=_SEAS_MAD_K)
+)
+
+SQL_REVENUE_SEASONAL_OUTLIERS = f"""
+WITH decomp AS ({SQL_REVENUE_SEASONAL_DECOMP.replace('d.ym', 'd.ym').strip()}),
+dv AS (
+  SELECT ym, ym % 100 AS cal_month,
+         detrended24 * seasonal_n - seasonal_sum24 AS dev
+  FROM decomp
+  WHERE trend24 IS NOT NULL AND seasonal_n > 0
+),
+med AS (
+  SELECT cal_month, dev AS med FROM (
+    SELECT cal_month, dev,
+           row_number() OVER (PARTITION BY cal_month ORDER BY dev, ym)
+             AS rn,
+           COUNT(*) OVER (PARTITION BY cal_month) AS n_grp
+    FROM dv
+  ) WHERE rn = (n_grp + 1) // 2
+),
+ad AS (
+  SELECT dv.ym, dv.cal_month, dv.dev, med.med,
+         ABS(dv.dev - med.med) AS adv
+  FROM dv JOIN med USING (cal_month)
+),
+mad AS (
+  SELECT cal_month, adv AS mad FROM (
+    SELECT cal_month, adv,
+           row_number() OVER (PARTITION BY cal_month ORDER BY adv, ym)
+             AS rn,
+           COUNT(*) OVER (PARTITION BY cal_month) AS n_grp
+    FROM ad
+  ) WHERE rn = (n_grp + 1) // 2
+)
+SELECT ad.ym, ad.cal_month, CAST(ad.dev AS BIGINT) AS dev,
+       CAST(ad.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+       ABS(ad.dev - ad.med) > {_SEAS_MAD_K} * mad.mad AS is_outlier
+FROM ad JOIN mad USING (cal_month)
+"""
+
+ANALYTICS_QUERIES["revenue_seasonal_outliers"] = (
+    q_revenue_seasonal_outliers,
+    SQL_REVENUE_SEASONAL_OUTLIERS,
+)

@@ -15,7 +15,7 @@ same pattern string identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.dedup import word_shingles
@@ -1669,4 +1669,140 @@ CURATION_QUERIES["quality_classifier_gd_train"] = (
 CURATION_QUERIES["quality_classifier_gd_score"] = (
     q_quality_classifier_gd_score,
     _gd_score_sql(),
+)
+
+
+# --- temperature-scaled mixture quotas ------------------------------------------
+
+_TEMP_DOC_BUDGET = 1000
+
+
+def q_source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture allocation — the multilingual-
+    pretraining recipe (weights ∝ n^T, T = 1/2 here) next to
+    source_mixture_plan's per-source cap: a {b}-document budget is
+    split across sources proportionally to isqrt(n_tokens), boosting
+    small sources relative to raw proportions, with the fractional
+    quotas resolved by LARGEST-REMAINDER (Hamilton) rounding so they
+    sum to the budget EXACTLY.
+
+    Every step is exact integer arithmetic: T=1/2 means the weight is
+    the INTEGER square root (floor(sqrt) computed from the double and
+    then corrected by one exact integer test each way — bit-safe in
+    both engines for any int64), the floor quota is
+    ``(B * w) div W``, remainders are exact integer residues, and the
+    +1 top-ups go to the largest remainders (source tiebreak).  No
+    float ratio ever crosses engines.
+
+    Scale notes: one corpus aggregate to source grain; the quota
+    algebra runs on the sources-sized frame (the one window is
+    sources-bounded).  Applying the plan is the existing md5-gate /
+    per-source top-k machinery (source_mixture_plan, lang_quota_sample).
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias(
+            "ntok"
+        ),
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum("ntok").alias("n_tokens"),
+    )
+    s0 = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    isqrt = (
+        totals.withColumn("s0", s0)
+        .withColumn(
+            "s1",
+            F.col("s0")
+            - F.when(F.col("s0") * F.col("s0") > F.col("n_tokens"), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "w",
+            F.col("s1")
+            + F.when(
+                (F.col("s1") + 1) * (F.col("s1") + 1)
+                <= F.col("n_tokens"),
+                1,
+            ).otherwise(0),
+        )
+        .drop("s0", "s1")
+    )
+    tot_w = isqrt.agg(F.sum("w").alias("w_total"))
+    q = (
+        isqrt.crossJoin(F.broadcast(tot_w))
+        .withColumn(
+            "q0", F.expr(f"({_TEMP_DOC_BUDGET} * w) div w_total")
+        )
+        .withColumn("rem", F.expr(f"({_TEMP_DOC_BUDGET} * w) % w_total"))
+    )
+    wsum = Window.partitionBy()
+    wrank = Window.orderBy(F.col("rem").desc(), "source")
+    return (
+        q.withColumn("leftover", _TEMP_DOC_BUDGET - F.sum("q0").over(wsum))
+        .withColumn("rk", F.row_number().over(wrank))
+        .select(
+            "source",
+            "n_docs_total",
+            "n_tokens",
+            F.col("w").alias("w_isqrt_tokens"),
+            (
+                F.col("q0")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("quota_docs"),
+        )
+    )
+
+
+q_source_mixture_temperature.__doc__ = (
+    q_source_mixture_temperature.__doc__.format(b=_TEMP_DOC_BUDGET)
+)
+
+SQL_SOURCE_MIXTURE_TEMPERATURE = f"""
+WITH totals AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+         CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+isq AS (
+  SELECT *,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+  FROM totals
+),
+isq2 AS (
+  SELECT *, s0 - CASE WHEN s0 * s0 > n_tokens THEN 1 ELSE 0 END AS s1
+  FROM isq
+),
+wtab AS (
+  SELECT source, n_docs_total, n_tokens,
+         s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens THEN 1 ELSE 0 END
+           AS w
+  FROM isq2
+),
+tw AS (SELECT SUM(w) AS w_total FROM wtab),
+q AS (
+  SELECT wtab.*,
+         ({_TEMP_DOC_BUDGET} * w) // w_total AS q0,
+         ({_TEMP_DOC_BUDGET} * w) % w_total AS rem
+  FROM wtab, tw
+),
+r AS (
+  SELECT *,
+         {_TEMP_DOC_BUDGET} - SUM(q0) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk
+  FROM q
+)
+SELECT source, n_docs_total, n_tokens,
+       CAST(w AS BIGINT) AS w_isqrt_tokens,
+       CAST(q0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS quota_docs
+FROM r
+"""
+
+CURATION_QUERIES["source_mixture_temperature"] = (
+    q_source_mixture_temperature,
+    SQL_SOURCE_MIXTURE_TEMPERATURE,
 )

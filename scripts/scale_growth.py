@@ -107,6 +107,8 @@ QUERIES = [
     "media_phash_near_dup",
     "quality_classifier_gd_train",
     "quality_classifier_gd_score",
+    "revenue_seasonal_outliers",
+    "source_mixture_temperature",
 ]
 
 
