@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "quality_classifier_gd_score",
     "revenue_seasonal_outliers",
     "source_mixture_temperature",
+    "incremental_components_update",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

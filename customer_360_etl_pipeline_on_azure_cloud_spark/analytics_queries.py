@@ -5532,3 +5532,99 @@ ANALYTICS_QUERIES["revenue_seasonal_outliers"] = (
     q_revenue_seasonal_outliers,
     SQL_REVENUE_SEASONAL_OUTLIERS,
 )
+
+
+# --- incremental connected-components maintenance -------------------------------
+
+
+def q_incremental_components_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance for the dedup cluster labeling — the
+    piece that turns connected components from a batch job into a
+    DAILY one: the standing corpus (doc_id % 10 != 0) already has a
+    (id, component) labeling; when new documents arrive, the update
+    closes ONLY (label edges UNION pairs touching the arrivals) — the
+    old PAIR SET is never re-read or re-shingled, because the
+    vertex-sized label table preserves exactly its connectivity
+    (id—component edges connect precisely the members of each old
+    component; a standard union-find-style argument, pinned as the
+    from-scratch-equality theorem in pytest on random graphs).
+    Output: the refreshed full labeling ``(doc_id, component,
+    is_new)`` — identical to a from-scratch closure over ALL pairs,
+    which is exactly what the oracle computes.
+
+    Scale notes: the incremental closure runs on |V| label edges +
+    |new pairs| — independent of the historical pair volume; arrival
+    pair-probing here uses the exact shared-shingle join for oracle
+    parity (at corpus scale the probe is minhash_lsh_join against the
+    persisted index — the incremental_corpus_dedup_indexed path, same
+    contract).
+    """
+    from .operators.dedup import jaccard_pairs
+    from .operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    old_pairs = jaccard_pairs(
+        corpus, n=3, threshold_pct=30, exact=True
+    ).select("id_a", "id_b")
+    labels_old = connected_components(
+        old_pairs, vertices=corpus.select("doc_id")
+    )
+    all_pairs = jaccard_pairs(
+        docs, n=3, threshold_pct=30, exact=True
+    ).select("id_a", "id_b")
+    new_pairs = all_pairs.filter(
+        (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
+    )
+    label_edges = labels_old.select(
+        F.col("id").alias("id_a"), F.col("component").alias("id_b")
+    )
+    refreshed = connected_components(
+        label_edges.unionByName(new_pairs),
+        vertices=docs.select("doc_id"),
+    )
+    return refreshed.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") % 10 == 0).alias("is_new"),
+    )
+
+
+SQL_INCREMENTAL_COMPONENTS_UPDATE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+        FROM toks WHERE len(t) >= 3)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT id_a, id_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 100 >= (sa.nsh + sb.nsh - inter) * 30
+),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL SELECT id_b AS u, id_a AS v FROM edges
+),
+reach(v, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.v, e.v FROM reach JOIN e ON reach.r = e.u
+)
+SELECT v AS doc_id, MIN(r) AS component, (v % 10 = 0) AS is_new
+FROM reach GROUP BY v
+"""
+
+ANALYTICS_QUERIES["incremental_components_update"] = (
+    q_incremental_components_update,
+    SQL_INCREMENTAL_COMPONENTS_UPDATE,
+)

@@ -133,6 +133,7 @@ QUERIES = [
     "quality_classifier_gd_score",
     "revenue_seasonal_outliers",
     "source_mixture_temperature",
+    "incremental_components_update",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")
