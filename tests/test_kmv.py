@@ -88,3 +88,22 @@ def test_estimates_land_near_exact(spark):
 def test_k_validation(spark):
     with pytest.raises(ValueError):
         kmv_sketch(_rows(spark, [("a", 1)]), "grp", "v", 1)
+
+
+def test_sketch_is_mergeable(spark):
+    # bottom-k of the UNION of two groups' sketches == the sketch of
+    # the concatenated rows — the stop-rescanning-history contract.
+    rng = random.Random(23)
+    day1 = [("u", rng.randrange(10_000)) for _ in range(1_500)]
+    day2 = [("u", rng.randrange(5_000, 15_000)) for _ in range(1_500)]
+    k = 48
+    sk1 = _ref_sketch(day1, k)["u"]
+    sk2 = _ref_sketch(day2, k)["u"]
+    merged_from_sketches = sorted(set(sk1) | set(sk2))[:k]
+    full = sorted(
+        r["h"]
+        for r in kmv_sketch(
+            _rows(spark, day1 + day2), "grp", "v", k
+        ).collect()
+    )
+    assert full == merged_from_sketches

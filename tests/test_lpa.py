@@ -85,3 +85,25 @@ def test_matches_reference_on_random_graphs(spark, seed):
 def test_rounds_validation(spark):
     with pytest.raises(ValueError):
         label_propagation(_edges(spark, [(1, 2)]), rounds=0)
+
+
+def test_oscillating_graph_is_still_deterministic(spark):
+    # A 4-cycle (bipartite) can oscillate under synchronous LPA; the
+    # operator's contract is "exact result for the given round count",
+    # so equal rounds must give equal labels across partitionings and
+    # must match the reference at every round count.
+    cyc = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    for rounds in (1, 2, 3, 4):
+        a = {
+            r["id"]: r["label"]
+            for r in label_propagation(
+                _edges(spark, cyc), rounds=rounds
+            ).collect()
+        }
+        b = {
+            r["id"]: r["label"]
+            for r in label_propagation(
+                _edges(spark, cyc).repartition(7), rounds=rounds
+            ).collect()
+        }
+        assert a == b == _lpa_ref(cyc, rounds), f"rounds={rounds}"
