@@ -5564,15 +5564,22 @@ def q_incremental_components_update(spark: SparkSession, sf_dir: str) -> DataFra
 
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    old_pairs = jaccard_pairs(
-        corpus, n=3, threshold_pct=30, exact=True
-    ).select("id_a", "id_b")
+    # ONE shingle self-join; both the standing-corpus pair set and the
+    # arrival pair set are filters of it (pairs among corpus docs are
+    # exactly the all-docs pairs with neither side new, since shingle
+    # intersection of two docs doesn't depend on the rest of the set).
+    # localCheckpoint: consumed twice; pair sets are output-sized.
+    all_pairs = (
+        jaccard_pairs(docs, n=3, threshold_pct=30, exact=True)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    old_pairs = all_pairs.filter(
+        (F.col("id_a") % 10 != 0) & (F.col("id_b") % 10 != 0)
+    )
     labels_old = connected_components(
         old_pairs, vertices=corpus.select("doc_id")
     )
-    all_pairs = jaccard_pairs(
-        docs, n=3, threshold_pct=30, exact=True
-    ).select("id_a", "id_b")
     new_pairs = all_pairs.filter(
         (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
     )
