@@ -71,3 +71,22 @@ def test_n_files_validation(spark):
     df = spark.createDataFrame([(1, 1)], "px long, sx long")
     with pytest.raises(ValueError):
         linear_file_bounds(df, ["px", "sx"], 0)
+
+
+def test_zorder_beats_linear_on_second_dimension(spark):
+    """The audit's reason to exist: the linear layout must scan far
+    more files for second-dimension predicates than Z-order does."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.analytics_queries import (
+        q_layout_skipping_audit,
+    )
+
+    got = {
+        (r["layout"], r["pred_dim"]): r["files_scanned"]
+        for r in q_layout_skipping_audit(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got[("linear", "sx")] > 2 * got[("zorder", "sx")]
+    # the linear layout prunes its own sort dimension well but is
+    # blind on the second one — the gap IS the finding
+    assert got[("linear", "sx")] > 2 * got[("linear", "px")]
