@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "revenue_seasonal_outliers",
     "source_mixture_temperature",
     "incremental_components_update",
+    "join_skew_audit",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -5635,3 +5635,161 @@ ANALYTICS_QUERIES["incremental_components_update"] = (
     q_incremental_components_update,
     SQL_INCREMENTAL_COMPONENTS_UPDATE,
 )
+
+
+# --- join-key skew audit ---------------------------------------------------------
+
+
+def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report a 100 TB pipeline runs BEFORE picking a join
+    strategy (broadcast / salt / AQE-skew-join): the full shape of the
+    lineitem join-key distribution (l_orderkey), exactly.  One row:
+    key count, row count, max multiplicity, exact p50/p99 multiplicity,
+    the row share held by the hottest 1% of keys, and the Gini of key
+    multiplicities — all integers or exact ppm (truncating division of
+    non-negative quantities).
+
+    The trick that keeps it scale-clean: after ONE fact-sized
+    aggregate (rows per key), everything operates on the
+    FREQUENCY-OF-FREQUENCY histogram — (multiplicity, n_keys) pairs,
+    whose cardinality is bounded by the number of DISTINCT
+    multiplicities (single digits for lines-per-order; at worst
+    O(sqrt(rows)) for any distribution since multiplicities m_i with
+    sum m_i = N admit at most ~sqrt(2N) distinct values).  Exact
+    quantiles come from cumulative counts over that tiny frame (the
+    one unpartitioned window is histogram-sized, never key-sized);
+    the grouped-data rank identity gives the exact Gini without
+    sorting keys: for buckets sorted by multiplicity v_j with c_j keys
+    and C_j keys before, 2*sum(rank_i * x_i) =
+    sum_j v_j * c_j * (2*C_j + c_j + 1).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    freq = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("m"))
+    hist = freq.groupBy("m").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wd = Window.orderBy(F.col("m").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        hist.withColumn("cum_keys", F.sum("c").over(w))
+        .withColumn("cum_keys_desc", F.sum("c").over(wd))
+        .withColumn("cum_rows_desc", F.sum(F.col("m") * F.col("c")).over(wd))
+    )
+    tot = cum.agg(
+        F.sum("c").alias("n_keys"),
+        F.sum(F.col("m") * F.col("c")).alias("n_rows"),
+        F.max("m").alias("max_freq"),
+        # grouped-data rank identity (ascending-multiplicity ranks)
+        F.sum(
+            F.col("m")
+            * F.col("c")
+            * (2 * (F.col("cum_keys") - F.col("c")) + F.col("c") + 1)
+        ).alias("sum_rx2"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    # exact lower quantiles of the multiplicity multiset
+    p50 = j.filter(
+        F.col("cum_keys") >= F.expr("(n_keys + 1) div 2")
+    ).agg(F.min("m").alias("p50_freq"))
+    p99 = j.filter(
+        # k-th smallest with k = ceil(0.99 * n_keys)
+        F.col("cum_keys") * 100 >= F.col("n_keys") * 99
+    ).agg(F.min("m").alias("p99_freq"))
+    # hottest ceil(1%) of keys: walk buckets from the top; partial
+    # bucket contributes (k - keys_above) * m
+    top = (
+        j.withColumn("k_top", F.expr("(n_keys + 99) div 100"))
+        .withColumn(
+            "share_rows",
+            F.when(
+                F.col("cum_keys_desc") <= F.col("k_top"),
+                F.col("cum_rows_desc"),
+            ).otherwise(
+                F.col("cum_rows_desc")
+                - (F.col("cum_keys_desc") - F.col("k_top")) * F.col("m")
+            ),
+        )
+        .filter(F.col("cum_keys_desc") >= F.col("k_top"))
+        # exact only at the FIRST qualifying bucket of the descending
+        # walk (the one holding the k_top-th hottest key) — deeper
+        # buckets subtract their own smaller m for keys that belong to
+        # larger buckets and overstate; max_by(m) picks the right one
+        .agg(F.expr("max_by(share_rows, m)").alias("top1pct_rows"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .crossJoin(F.broadcast(top))
+    )
+    return out.select(
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        "p50_freq",
+        "p99_freq",
+        F.expr("(top1pct_rows * 1000000) div n_rows").alias(
+            "top1pct_share_ppm"
+        ),
+        F.expr(
+            "((2 * sum_rx2 - 2 * (n_keys + 1) * n_rows) * 1000000) "
+            "div (2 * n_keys * n_rows)"
+        ).alias("freq_gini_ppm"),
+    )
+
+
+SQL_JOIN_SKEW_AUDIT = """
+WITH freq AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS m
+  FROM lineitem GROUP BY l_orderkey
+),
+hist AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM freq GROUP BY m),
+cum AS (
+  SELECT m, c,
+         CAST(SUM(c) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_keys,
+         CAST(SUM(c) OVER (ORDER BY m DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_keys_desc,
+         CAST(SUM(m * c) OVER (ORDER BY m DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_rows_desc
+  FROM hist
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_keys,
+         CAST(SUM(m * c) AS BIGINT) AS n_rows,
+         MAX(m) AS max_freq,
+         CAST(SUM(m * c * (2 * (cum_keys - c) + c + 1)) AS BIGINT)
+           AS sum_rx2
+  FROM cum
+),
+p50 AS (
+  SELECT MIN(m) AS p50_freq FROM cum, tot
+  WHERE cum_keys >= (n_keys + 1) // 2
+),
+p99 AS (
+  SELECT MIN(m) AS p99_freq FROM cum, tot
+  WHERE cum_keys * 100 >= n_keys * 99
+),
+top AS (
+  -- exact only at the FIRST qualifying bucket of the descending walk
+  -- (see the Spark twin): arg_max(_, m) selects it
+  SELECT arg_max(CASE WHEN cum_keys_desc <= k_top THEN cum_rows_desc
+                      ELSE cum_rows_desc - (cum_keys_desc - k_top) * m
+                 END, m) AS top1pct_rows
+  FROM (SELECT cum.*, (n_keys + 99) // 100 AS k_top, n_keys
+        FROM cum, tot)
+  WHERE cum_keys_desc >= k_top
+)
+SELECT n_keys, n_rows, max_freq, p50_freq, p99_freq,
+       CAST((top1pct_rows * 1000000) // n_rows AS BIGINT)
+         AS top1pct_share_ppm,
+       CAST(((2 * sum_rx2 - 2 * (n_keys + 1) * n_rows) * 1000000)
+            // (2 * n_keys * n_rows) AS BIGINT) AS freq_gini_ppm
+FROM tot, p50, p99, top
+"""
+
+ANALYTICS_QUERIES["join_skew_audit"] = (
+    q_join_skew_audit,
+    SQL_JOIN_SKEW_AUDIT,
+)

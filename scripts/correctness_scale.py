@@ -134,6 +134,7 @@ QUERIES = [
     "revenue_seasonal_outliers",
     "source_mixture_temperature",
     "incremental_components_update",
+    "join_skew_audit",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")
