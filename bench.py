@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "source_mixture_temperature",
     "incremental_components_update",
     "join_skew_audit",
+    "streaming_sketch_rollup",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -5793,3 +5793,79 @@ ANALYTICS_QUERIES["join_skew_audit"] = (
     q_join_skew_audit,
     SQL_JOIN_SKEW_AUDIT,
 )
+
+
+# --- streaming histogram-sketch rollup -------------------------------------------
+
+
+def q_streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The histogram-sketch rollup AT INGEST RATE — the deployment
+    shape mergeable sketches exist for: orders arrive in >= 2
+    file-source micro-batches, EACH batch emits its own per-day
+    histogram-sketch rows (operators/aggregates.py histogram_sketch)
+    through the scale-safe per-batch parquet sink
+    (sink_foreach_batch — no driver-side accumulation), and the final
+    monthly/overall p50/p90/p99 come from merging the SINK rows by
+    plain bin-wise count sums.  A day whose orders straddle a batch
+    boundary leaves two partial sketch rows for the same (day, bin) —
+    the merge absorbing them IS the mergeability property, exercised
+    under real micro-batching rather than claimed.
+
+    Shares histogram_rollup_quantiles' exact oracle: per-row binning
+    is batch-independent and the merge is associative integer
+    addition, so the streamed result must equal the one-shot batch
+    rollup bit-for-bit — the hash-match is the batching-invariance
+    statement (same contract as streaming_quality_gate /
+    streaming_dq_gate).
+    """
+    import os
+    import tempfile
+
+    from .operators.aggregates import histogram_quantiles, histogram_sketch
+    from .streaming.incremental import (
+        read_batch_sink,
+        sink_foreach_batch,
+        stream_file_source,
+    )
+
+    LO, HI, NB = 0, 64_000_000, 64  # cents; width = 1,000,000 exactly
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="c360_stream_hist_")
+    arrivals = os.path.join(tmp, "arrivals")
+    orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+    orders.filter(F.col("o_orderkey") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+    stream = stream_file_source(
+        spark, arrivals, orders.schema, max_files_per_trigger=1
+    )
+    sink = os.path.join(tmp, "sketches")
+
+    def sketch(batch_df: DataFrame) -> DataFrame:
+        rows = batch_df.select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            money_cents("o_totalprice").alias("c"),
+        )
+        return histogram_sketch(rows, "c", ["day"], LO, HI, NB)
+
+    sink_foreach_batch(stream, os.path.join(tmp, "ckpt"), sink, sketch)
+    daily = read_batch_sink(spark, sink)
+    monthly = daily.groupBy(
+        F.substring("day", 1, 7).alias("scope"), "bin"
+    ).agg(F.sum("cnt").alias("cnt"))
+    overall = (
+        daily.groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("ALL").alias("scope"), "bin", "cnt")
+    )
+    return histogram_quantiles(
+        monthly.unionByName(overall), ["scope"], [50, 90, 99], LO, HI, NB
+    )
+
+
+ANALYTICS_QUERIES["streaming_sketch_rollup"] = (
+    q_streaming_sketch_rollup,
+    SQL_HISTOGRAM_ROLLUP_QUANTILES,
+)

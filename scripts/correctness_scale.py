@@ -135,6 +135,7 @@ QUERIES = [
     "source_mixture_temperature",
     "incremental_components_update",
     "join_skew_audit",
+    "streaming_sketch_rollup",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")

@@ -111,6 +111,7 @@ QUERIES = [
     "source_mixture_temperature",
     "incremental_components_update",
     "join_skew_audit",
+    "streaming_sketch_rollup",
 ]
 
 
