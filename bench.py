@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "incremental_components_update",
     "join_skew_audit",
     "streaming_sketch_rollup",
+    "classifier_calibration",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -1806,3 +1806,122 @@ CURATION_QUERIES["source_mixture_temperature"] = (
     q_source_mixture_temperature,
     SQL_SOURCE_MIXTURE_TEMPERATURE,
 )
+
+
+# --- classifier calibration curve ------------------------------------------------
+
+_CAL_BUCKETS = 10
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the trained quality classifier — the
+    model-QA table next to training (does a higher score actually mean
+    a higher positive rate?): held-in labeled docs scored with the
+    NB-trained weights, bucketed into exact score deciles (the
+    integer percentile formula of customer_rfm: decile =
+    ((rank-1) * {b}) div n + 1, rank ordered by (score, doc_id) — no
+    approximate ntile), and per decile the empirical positive count
+    against the score range.  A monotone-ish n_pos/n_docs across
+    deciles is what 'the classifier orders quality correctly' means;
+    the integer columns let the caller compute the rate at any
+    precision.
+
+    Scale notes: train is one hash aggregate (feature_mod-bounded);
+    scoring is the zero-shuffle broadcast-map fold.  The decile rank
+    runs as ONE unpartitioned window over the labeled set — fine for
+    a labeled TRAINING set (always curated, orders of magnitude below
+    corpus scale); for corpus-wide calibration swap in the two-pass
+    quantile_cutoffs path or partition by source as
+    quality_rank_calibration does.
+    """
+    from .operators.text import (
+        hashed_linear_score_trained,
+        nb_train_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "__label", F.col("lang") == "en"
+    )
+    trained = nb_train_weights(labeled, "__label", text_col="text")
+    scored = hashed_linear_score_trained(labeled, trained).select(
+        "doc_id", "__label", "score"
+    )
+    w = Window.orderBy("score", "doc_id")
+    n1 = Window.partitionBy()
+    bucketed = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(n1))
+        .withColumn(
+            "decile", F.expr(f"((rk - 1) * {_CAL_BUCKETS}) div n + 1")
+        )
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("__label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.min("score").alias("score_lo"),
+        F.max("score").alias("score_hi"),
+    )
+
+
+q_classifier_calibration.__doc__ = q_classifier_calibration.__doc__.format(
+    b=_CAL_BUCKETS
+)
+
+SQL_CLASSIFIER_CALIBRATION = f"""
+WITH tok AS (
+  SELECT (lang = 'en') AS pos,
+         unnest(string_split(trim(text), ' ')) AS t
+  FROM documents WHERE doc_id % 2 = 0
+),
+counts AS (
+  SELECT CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 2001
+           AS feature,
+         CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) FILTER (WHERE NOT pos) AS BIGINT) AS n_neg
+  FROM tok GROUP BY 1
+),
+wts AS (
+  SELECT feature,
+         ((n_pos + 1) * 1000000) // (n_pos + n_neg + 2) - 500000 AS w
+  FROM counts
+),
+dtok AS (
+  SELECT doc_id, (lang = 'en') AS pos,
+         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 2001
+           AS feature
+  FROM (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS t
+        FROM documents WHERE doc_id % 2 = 0)
+),
+sc AS (
+  SELECT d.doc_id, ANY_VALUE(d.pos) AS pos,
+         CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score
+  FROM dtok d LEFT JOIN wts w USING (feature)
+  GROUP BY d.doc_id
+),
+-- token-less docs score exactly 0 (the empty fold)
+allsc AS (
+  SELECT l.doc_id, (l.lang = 'en') AS pos,
+         COALESCE(sc.score, 0) AS score
+  FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0) l
+  LEFT JOIN sc USING (doc_id)
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY score, doc_id) AS r,
+         COUNT(*) OVER () AS n
+  FROM allsc
+)
+SELECT ((r - 1) * {_CAL_BUCKETS}) // n + 1 AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+       MIN(score) AS score_lo,
+       MAX(score) AS score_hi
+FROM rk GROUP BY 1
+"""
+
+CURATION_QUERIES["classifier_calibration"] = (
+    q_classifier_calibration,
+    SQL_CLASSIFIER_CALIBRATION,
+)

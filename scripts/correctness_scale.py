@@ -136,6 +136,7 @@ QUERIES = [
     "incremental_components_update",
     "join_skew_audit",
     "streaming_sketch_rollup",
+    "classifier_calibration",
 ]
 
 TABLES = ("documents", "embeddings", "orders", "lineitem")

@@ -112,6 +112,7 @@ QUERIES = [
     "incremental_components_update",
     "join_skew_audit",
     "streaming_sketch_rollup",
+    "classifier_calibration",
 ]
 
 
