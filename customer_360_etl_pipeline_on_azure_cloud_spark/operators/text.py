@@ -1170,10 +1170,19 @@ def perceptron_train(
             margins = joined.groupBy("__rid", "__pos").agg(
                 F.sum(F.col("cnt") * F.col("w")).alias("m")
             )
-            err = margins.filter(
-                (F.col("__pos") & (F.col("m") <= 0))
-                | (~F.col("__pos") & (F.col("m") >= 0))
-            ).select("__rid", "__pos")
+            # localCheckpoint: err feeds BOTH the count and the
+            # gradient join — without it each action recomputes the
+            # margins pass (measured ~40% of per-round work). The
+            # frame is (id, flag) rows over the labeled set; blocks
+            # are freed when the loop's next round replaces them.
+            err = (
+                margins.filter(
+                    (F.col("__pos") & (F.col("m") <= 0))
+                    | (~F.col("__pos") & (F.col("m") >= 0))
+                )
+                .select("__rid", "__pos")
+                .localCheckpoint(eager=True)
+            )
             grad = (
                 x.join(err, ["__rid", "__pos"])
                 .groupBy("feature")
