@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "join_skew_audit",
     "streaming_sketch_rollup",
     "classifier_calibration",
+    "point_in_time_features",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -5869,3 +5869,72 @@ ANALYTICS_QUERIES["streaming_sketch_rollup"] = (
     q_streaming_sketch_rollup,
     SQL_HISTOGRAM_ROLLUP_QUANTILES,
 )
+
+
+# --- point-in-time (leakage-safe) feature join -----------------------------------
+
+
+def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe training features — THE correctness rule of ML
+    feature engineering on event data: every feature attached to an
+    order must be computable from STRICTLY EARLIER events only (a
+    feature that peeks at the labeled event or later inflates offline
+    metrics and dies in production).  Per order: how many orders the
+    customer had placed before it, their total spend in cents before
+    it, and days since the previous order — all via cumulative windows
+    ordered by (o_orderdate, o_orderkey) with the current row EXCLUDED
+    (rowsBetween(unboundedPreceding, -1)), the window-native form of a
+    point-in-time join that cannot leak by construction.
+
+    Ties on the same date break by o_orderkey — same total order both
+    engines replay, so the 'strictly earlier' set is deterministic
+    even for same-day orders.  Output keeps BIGINT cents and the raw
+    day gap; first orders carry 0 / 0 / NULL.
+
+    Scale notes: one customer-partitioned window over the fact —
+    hash-partitioned by the feature entity, the same shuffle any
+    feature store pays once; no self-join, no range join, no
+    per-order probe.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        money_cents(F.col("o_totalprice")).alias("vc"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.count(F.lit(1)).over(wprev), F.lit(0)).alias(
+            "prior_orders"
+        ),
+        F.coalesce(F.sum("vc").over(wprev), F.lit(0)).alias(
+            "prior_spend_cents"
+        ),
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate", 1).over(w)
+        ).cast("long").alias("days_since_prev"),
+    )
+
+
+SQL_POINT_IN_TIME_FEATURES = """
+SELECT o_orderkey, o_custkey,
+       CAST(COUNT(*) OVER w_prev AS BIGINT) AS prior_orders,
+       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                     OVER w_prev, 0) AS BIGINT) AS prior_spend_cents,
+       CAST(date_diff('day',
+              lag(o_orderdate, 1) OVER w_ord, o_orderdate) AS BIGINT)
+         AS days_since_prev
+FROM orders
+WINDOW
+  w_prev AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+  w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+ANALYTICS_QUERIES["point_in_time_features"] = (
+    q_point_in_time_features,
+    SQL_POINT_IN_TIME_FEATURES,
+)

@@ -113,6 +113,7 @@ QUERIES = [
     "join_skew_audit",
     "streaming_sketch_rollup",
     "classifier_calibration",
+    "point_in_time_features",
 ]
 
 

@@ -63,3 +63,35 @@ def test_deviations_use_common_group_scale(spark):
     for r in rows:
         by_cm[r["cal_month"]] = by_cm.get(r["cal_month"], 0) + r["dev"]
     assert all(v == 0 for v in by_cm.values())
+
+
+def test_point_in_time_features_never_leak(spark):
+    """Every feature must be reconstructable from STRICTLY earlier
+    orders of the same customer — including the same-day tiebreak."""
+    from collections import defaultdict
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.analytics_queries import (
+        q_point_in_time_features,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    hist = defaultdict(list)
+    for r in orders:
+        hist[r["o_custkey"]].append(
+            (r["o_orderdate"], r["o_orderkey"],
+             round(r["o_totalprice"] * 100))
+        )
+    got = {r["o_orderkey"]: r
+           for r in q_point_in_time_features(spark, SF).collect()}
+    for ck, rows in hist.items():
+        rows.sort()
+        spend = 0
+        prev_date = None
+        for i, (d, ok_, vc) in enumerate(rows):
+            g = got[ok_]
+            assert g["prior_orders"] == i
+            assert g["prior_spend_cents"] == spend
+            expect_gap = None if prev_date is None else (d - prev_date).days
+            assert g["days_since_prev"] == expect_gap
+            spend += int(vc)
+            prev_date = d
