@@ -4718,13 +4718,21 @@ cum AS (
   FROM keyed
 ),
 tot AS (SELECT SUM(n) AS total FROM keyed),
-spans AS (
-  SELECT px, sx,
+spans_raw AS MATERIALIZED (
+  -- MATERIALIZED: DuckDB 1.x binder mis-binds an unnest alias referenced
+  -- through an inlined CTE filter; materializing is also free here (the
+  -- CTE is key-domain-sized, not fact-sized).
+  SELECT px, sx, total,
          unnest(generate_series(
            CAST(((end_rank - n) * {_SKIP_FILES}) // total AS BIGINT),
            CAST(((end_rank - 1) * {_SKIP_FILES}) // total AS BIGINT)))
            AS file_id
   FROM cum, tot
+),
+spans AS (
+  SELECT px, sx, file_id FROM spans_raw
+  WHERE (file_id * total + {_SKIP_FILES} - 1) // {_SKIP_FILES}
+      < ((file_id + 1) * total + {_SKIP_FILES} - 1) // {_SKIP_FILES}
 ),
 lin AS (
   SELECT 'linear' AS layout, file_id,

@@ -91,7 +91,13 @@ def linear_file_bounds(
     map each key's rank interval ``[start, end)`` to the file span
     ``[floor(start * n_files / total), floor((end-1) * n_files /
     total)]`` it would occupy in the sorted write, explode the span,
-    min/max per file.  Equal keys may straddle a file boundary, but
+    min/max per file.  When ``n_files`` exceeds the row count some
+    file ids receive NO rows (``floor(r * n_files / total)`` skips
+    them); the span explode would still emit those ids, so the explode
+    is followed by a keep-only-nonempty filter: file ``f`` is real iff
+    ``ceil(f * total / n_files) < ceil((f+1) * total / n_files)``
+    (its rank interval is non-empty) — a no-op whenever
+    ``total >= n_files``.  Equal keys may straddle a file boundary, but
     bounds depend only on the sorted key MULTISET, so the result is
     deterministic and exactly SQL-replayable.  The one unpartitioned
     window runs over the key-domain aggregate — callers guarantee the
@@ -121,8 +127,16 @@ def linear_file_bounds(
         )
         .select(
             *cols,
+            F.col("total"),
             F.explode(F.sequence("fs", "fe")).alias("file_id"),
         )
+        .where(
+            F.expr(
+                f"(file_id * total + {n_files} - 1) div {n_files}"
+                f" < ((file_id + 1) * total + {n_files} - 1) div {n_files}"
+            )
+        )
+        .drop("total")
     )
     aggs = []
     for c in cols:
