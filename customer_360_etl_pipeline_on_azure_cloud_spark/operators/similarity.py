@@ -23,6 +23,7 @@ from typing import NamedTuple
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1533,6 +1534,207 @@ def pq_codebooks(
     )
 
 
+def pq_codebooks_distributed(
+    corpus: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 4,
+    scale: int = 1 << 20,
+    coarse_cents: np.ndarray | None = None,
+    init: np.ndarray | None = None,
+    seed: int = 11,
+) -> np.ndarray:
+    """Distributed per-subspace PQ codebook fit: the WHOLE corpus
+    trains every subspace codebook — removes the last trainer that
+    depended on a driver-side ``limit(sample_size)`` sample (r6
+    verdict item 3; :func:`pq_codebooks` over a sample remains the
+    FAISS-standard fast path and the equality baseline).
+
+    FUSED across subspaces: each Lloyd round is ONE Arrow pass that
+    L2-normalizes a batch, optionally subtracts the nearest coarse
+    centroid (``coarse_cents`` given -> RESIDUAL codebooks, the IVFPQ
+    trainer), quantizes to fixed point, assigns every row in all m
+    subspaces, and reduces the batch to at most ``m * ksub`` partial
+    rows (cell count + int64 coordinate sums).  Corpus passes per fit
+    = 1 (init sample) + ``iters``, independent of m — vs
+    ``m * (seed_rounds + iters)`` for m separate
+    :func:`kmeans_distributed` calls.
+
+    Determinism (the registry requirement): normalization/residual/
+    quantization are row-local (split-invariant); assignments argmin
+    over :func:`_exact_int_sq_dists` on the quantized coordinates;
+    the cross-batch merge sums int64 coordinates as decimal(38,0) —
+    exact and order-free — so the codebooks are identical under any
+    partitioning/AQE split.  Init is a hash-ordered corpus sample
+    (md5 of id + seed, ties by id: a total order, so the same
+    ``m * ksub`` subvectors are chosen under any partitioning);
+    ``init`` overrides it with explicit ``(m, ksub, d/m)`` codebooks
+    (the pytest equality pin vs the sample fit uses this).
+
+    Driver-side state: the ``(m, ksub, d/m)`` codebook matrix =
+    ``ksub * d`` doubles, plus ``ksub * d`` aggregate rows per round —
+    independent of corpus size.  Returns ``(m, ksub, d/m)``.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if m < 1 or ksub < 1:
+        raise ValueError("pq_codebooks_distributed: m and ksub must be >= 1")
+    cents = (
+        None
+        if coarse_cents is None
+        else np.asarray(coarse_cents, dtype=np.float64)
+    )
+    c_sq = None if cents is None else (cents**2).sum(axis=1)
+    fscale = float(scale)
+
+    prep_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qvec", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def prep(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            nrm = np.linalg.norm(V, axis=1)
+            V = V / np.where(nrm == 0, 1.0, nrm)[:, None]
+            if cents is not None:
+                cell = (-2.0 * (V @ cents.T) + c_sq[None, :]).argmin(axis=1)
+                V = V - cents[cell]
+            Qv = np.rint(V * fscale).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "qvec": list(Qv),
+                }
+            )
+
+    prepared = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(prep, prep_schema)
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    try:
+        head = prepared.select(F.size("qvec").alias("d")).limit(1).collect()
+        if not head:
+            raise ValueError("pq_codebooks_distributed: empty corpus")
+        d = int(head[0]["d"])
+        if d % m != 0:
+            raise ValueError(
+                f"pq_codebooks_distributed: dim {d} not divisible by m={m}"
+            )
+        dsub = d // m
+
+        if init is not None:
+            books = np.asarray(init, dtype=np.float64).copy()
+            if books.shape != (m, ksub, dsub):
+                raise ValueError(
+                    "pq_codebooks_distributed: init shape "
+                    f"{books.shape} != {(m, ksub, dsub)}"
+                )
+        else:
+            # hash-ordered init sample: 4*ksub rows gives each subspace
+            # slack to pick ksub DISTINCT subvectors (duplicate init
+            # centroids are tolerated on degenerate corpora — Lloyd
+            # leaves an empty cell's centroid in place)
+            hkey = F.md5(F.concat_ws("|", F.col("id"), F.lit(f"pqinit|{seed}")))
+            rows = (
+                prepared.withColumn("__h", hkey)
+                .orderBy("__h", "id")
+                .limit(4 * ksub)
+                .collect()
+            )
+            S = np.array([np.asarray(r["qvec"], dtype=np.int64) for r in rows])
+            books = np.empty((m, ksub, dsub), dtype=np.float64)
+            for j in range(m):
+                sub = S[:, j * dsub : (j + 1) * dsub]
+                _, first_idx = np.unique(sub, axis=0, return_index=True)
+                keep = np.sort(first_idx)[:ksub]
+                chosen = sub[keep]
+                if len(chosen) < ksub:  # degenerate: recycle in order
+                    reps = -(-ksub // len(chosen))
+                    chosen = np.tile(chosen, (reps, 1))[:ksub]
+                books[j] = chosen.astype(np.float64) / fscale
+
+        stats_schema = T.StructType(
+            [
+                T.StructField("j", T.IntegerType()),
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("qsum", T.ArrayType(T.LongType())),
+            ]
+        )
+
+        for _ in range(iters):
+            Cq = np.rint(books * fscale).astype(np.int64)  # (m, ksub, dsub)
+
+            def stats(batches, Cq=Cq):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    Q = np.array(
+                        [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
+                    )
+                    out_j, out_c, out_n, out_s = [], [], [], []
+                    for j in range(m):
+                        Qj = np.ascontiguousarray(
+                            Q[:, j * dsub : (j + 1) * dsub]
+                        )
+                        cells = _exact_int_sq_dists(Qj, Cq[j]).argmin(axis=1)
+                        present = np.unique(cells)
+                        acc = np.zeros((ksub, dsub), dtype=np.int64)
+                        np.add.at(acc, cells, Qj)
+                        cnt = np.bincount(cells, minlength=ksub)
+                        out_j.append(np.full(len(present), j, dtype=np.int32))
+                        out_c.append(present.astype(np.int32))
+                        out_n.append(cnt[present].astype(np.int64))
+                        out_s.extend(acc[c] for c in present)
+                    yield pd.DataFrame(
+                        {
+                            "j": np.concatenate(out_j),
+                            "cell": np.concatenate(out_c),
+                            "n": np.concatenate(out_n),
+                            "qsum": out_s,
+                        }
+                    )
+
+            merged = (
+                prepared.mapInPandas(stats, stats_schema)
+                .select("j", "cell", "n", F.posexplode("qsum").alias("pos", "qs"))
+                .groupBy("j", "cell", "pos")
+                .agg(
+                    F.sum(F.col("qs").cast("decimal(38,0)")).alias("qsum"),
+                    F.sum(
+                        F.when(F.col("pos") == 0, F.col("n")).otherwise(F.lit(0))
+                    ).alias("n0"),
+                )
+                .collect()
+            )
+            counts: dict[tuple[int, int], int] = {}
+            for r in merged:
+                if r["pos"] == 0:
+                    counts[(r["j"], r["cell"])] = int(r["n0"])
+            new = books.copy()
+            for r in merged:
+                n = counts.get((r["j"], r["cell"]), 0)
+                if n > 0:
+                    new[r["j"], r["cell"], r["pos"]] = float(int(r["qsum"])) / (
+                        fscale * n
+                    )
+            books = new
+        return books
+    finally:
+        prepared.unpersist()
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1544,15 +1746,23 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    codebook_fit: str = "distributed",
 ) -> DataFrame:
     """Approximate top-k via PRODUCT QUANTIZATION with exact
     refinement — the FAISS-style compressed-domain scan, DataFrame-
     shaped, completing the ANN family (brute force / SRP-LSH / IVF /
     PQ):
 
-      1. codebooks from a deterministic sample (m subspaces x ksub
-         centroids over L2-normalized vectors, so L2 ranks like
-         cosine: ||a-b||^2 = 2 - 2cos on the unit sphere),
+      1. codebooks: ``codebook_fit="distributed"`` (default) trains
+         each of the m subspace codebooks on the WHOLE corpus with
+         :func:`pq_codebooks_distributed` (fused rounds: one Arrow
+         pass per Lloyd iteration regardless of m, integer-exact
+         reductions — no driver-sample trainer cap);
+         ``codebook_fit="sample"`` is the FAISS-standard fast path: a
+         deterministic ``orderBy(id).limit(sample_size)`` sample fit
+         driver-side.  Either way: m subspaces x ksub centroids over
+         L2-normalized vectors, so L2 ranks like cosine:
+         ||a-b||^2 = 2 - 2cos on the unit sphere,
       2. ENCODE: one Arrow pass maps each corpus vector to m small
          codes — m bytes of quantized state per vector instead of
          d*8, the ~64x memory compression that lets a 100 TB vector
@@ -1584,22 +1794,43 @@ def pq_topk(
     from pyspark.sql import types as T
 
     if shortlist == "auto":
-        # the ADC ranking error on structure-free (worst-case) data needs
-        # a shortlist that scales with the corpus: 5% keeps the refined
-        # top-k inside the exact top-20 on pure noise at every tested
-        # scale (real corpora with neighbor structure need far less)
-        shortlist = max(100, -(-corpus.count() // 20))
-    sample_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
-    )
-    if not sample_rows:
-        raise ValueError("pq_topk: empty corpus")
-    S = np.array([np.asarray(r[1], dtype=np.float64) for r in sample_rows])
-    norms = np.linalg.norm(S, axis=1)
-    S = S / np.where(norms == 0, 1.0, norms)[:, None]
-    d = S.shape[1]
-    dsub = d // m
-    books = pq_codebooks(S, m, ksub)  # (m, ksub, dsub)
+        # corpus-size-INDEPENDENT refine bound (r6 verdict item 4 —
+        # the old 5%-of-corpus policy made the exact-rerank stage
+        # linear in the corpus and cost an extra count() job): the ADC
+        # rank displacement is bounded by how many candidates can sit
+        # within the quantization-error band around the k-th true
+        # distance, which shrinks with m (more subspaces = finer
+        # scores); 64*k (= 4*k*ksub at the ksub=16 default) covers the
+        # worst displacement observed on structure-free noise at every
+        # tested scale (sf0.01/0.1/1: exact-top-20 members never
+        # ranked past ~200 by ADC; real corpora with neighbor
+        # structure displace far less).  The recall pins in
+        # tests/test_extensions.py and the registered summary oracles
+        # gate this bound at every SF.
+        shortlist = max(100, 64 * k)
+    if codebook_fit == "distributed":
+        books = pq_codebooks_distributed(
+            corpus, m, ksub, id_col=id_col, vec_col=vec_col
+        )  # (m, ksub, dsub)
+        dsub = books.shape[2]
+        d = m * dsub
+    elif codebook_fit == "sample":
+        sample_rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        )
+        if not sample_rows:
+            raise ValueError("pq_topk: empty corpus")
+        S = np.array([np.asarray(r[1], dtype=np.float64) for r in sample_rows])
+        norms = np.linalg.norm(S, axis=1)
+        S = S / np.where(norms == 0, 1.0, norms)[:, None]
+        d = S.shape[1]
+        dsub = d // m
+        books = pq_codebooks(S, m, ksub)  # (m, ksub, dsub)
+    else:
+        raise ValueError(f"pq_topk: unknown codebook_fit {codebook_fit!r}")
 
     code_schema = T.StructType(
         [
@@ -1737,13 +1968,43 @@ def _ivfpq_fit(
     sample_size: int,
     id_col: str,
     vec_col: str,
+    codebook_fit: str = "distributed",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Fit the IVFPQ quantizer pair from the deterministic ordered
-    sample: coarse centroids over L2-normalized vectors + RESIDUAL
-    product-quantization codebooks (residuals v - centroid are
-    smaller and better centered than raw vectors — the reason IVFPQ
-    encodes them).  Returns ``(centroids (k, d), books (m, ksub,
-    d/m))``."""
+    """Fit the IVFPQ quantizer pair: coarse centroids over
+    L2-normalized vectors + RESIDUAL product-quantization codebooks
+    (residuals v - centroid are smaller and better centered than raw
+    vectors — the reason IVFPQ encodes them).
+
+    ``codebook_fit="distributed"`` (default) fits BOTH quantizers on
+    the whole corpus — coarse centroids with :func:`kmeans_distributed`
+    over the JVM-normalized vectors, residual codebooks with
+    :func:`pq_codebooks_distributed` (``coarse_cents`` mode) — no
+    driver-sample trainer cap anywhere.  ``codebook_fit="sample"`` is
+    the FAISS-standard fast path over the deterministic ordered
+    sample.  Returns ``(centroids (k, d), books (m, ksub, d/m))``."""
+    if codebook_fit == "distributed":
+        unit = with_norm(corpus, vec_col).select(
+            F.col(id_col).alias(id_col),
+            # element-wise divide; __norm is lambda-captured so it may
+            # re-inline per element (O(d) each) — at vector dims that
+            # is d^2 flops/row, dwarfed by the Arrow fit passes
+            F.transform(
+                F.col("__vec"),
+                lambda x: x
+                / F.when(F.col("__norm") == 0, F.lit(1.0)).otherwise(
+                    F.col("__norm")
+                ),
+            ).alias(vec_col),
+        )
+        cents = kmeans_distributed(
+            unit, k=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+        books = pq_codebooks_distributed(
+            corpus, m, ksub, id_col=id_col, vec_col=vec_col, coarse_cents=cents
+        )
+        return cents, books
+    if codebook_fit != "sample":
+        raise ValueError(f"ivfpq: unknown codebook_fit {codebook_fit!r}")
     sample_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
     )
@@ -1953,6 +2214,7 @@ def cosine_topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    codebook_fit: str = "distributed",
 ) -> DataFrame:
     """The full FAISS IVFPQ construction [Jégou et al. 2011],
     DataFrame-shaped: a coarse quantizer partitions the corpus into
@@ -1963,9 +2225,10 @@ def cosine_topk_ivfpq(
 
       * cell pruning cuts candidates to ~nprobe/n_centroids of the
         corpus BEFORE any scoring,
-      * residual PQ (codebooks fit on sample residuals, which are
-        smaller and better centered than raw vectors — the reason
-        IVFPQ encodes residuals) scores those candidates from m-byte
+      * residual PQ (codebooks fit on residuals, which are smaller
+        and better centered than raw vectors — the reason IVFPQ
+        encodes residuals; whole-corpus fit by default, see
+        :func:`_ivfpq_fit`) scores those candidates from m-byte
         codes via per-(query, cell) lookup tables,
       * the per-query shortlist re-ranks by exact cosine.
 
@@ -1985,9 +2248,14 @@ def cosine_topk_ivfpq(
     Output: ``(query_id, rk, neighbor_id)``.
     """
     if shortlist == "auto":
-        shortlist = max(100, -(-corpus.count() // 20))
+        # corpus-size-independent refine bound (see pq_topk: ADC rank
+        # displacement is quantization-error-bounded, and here the
+        # probed-cell pruning already caps candidates at
+        # ~nprobe/n_centroids of the corpus); no count() job
+        shortlist = max(100, 64 * k)
     cents, books = _ivfpq_fit(
-        corpus, n_centroids, m, ksub, sample_size, id_col, vec_col
+        corpus, n_centroids, m, ksub, sample_size, id_col, vec_col,
+        codebook_fit=codebook_fit,
     )
     coded = _ivfpq_encode(corpus, cents, books, id_col, vec_col)
     return _ivfpq_probe(
@@ -2007,6 +2275,7 @@ def write_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    codebook_fit: str = "distributed",
 ) -> None:
     """Persist an IVFPQ index as managed tables — the compressed
     sibling of :func:`write_ivf_index`:
@@ -2049,7 +2318,8 @@ def write_ivfpq_index(
         if fs.exists(path):
             fs.delete(path, True)
     cents, books = _ivfpq_fit(
-        corpus, n_centroids, m, ksub, sample_size, id_col, vec_col
+        corpus, n_centroids, m, ksub, sample_size, id_col, vec_col,
+        codebook_fit=codebook_fit,
     )
     coded = _ivfpq_encode(corpus, cents, books, id_col, vec_col)
     write_bucketed(
@@ -2156,7 +2426,9 @@ def cosine_topk_ivfpq_indexed(
     spark = corpus.sparkSession
     coded, cents, books, _meta = read_ivfpq_index(spark, name)
     if shortlist == "auto":
-        shortlist = max(100, -(-coded.count() // 20))
+        # same corpus-size-independent bound as cosine_topk_ivfpq —
+        # keeps the indexed probe's plan free of a count() job
+        shortlist = max(100, 64 * k)
     return _ivfpq_probe(
         coded, cents, books, corpus, queries, k, nprobe, int(shortlist),
         id_col, vec_col, exclude_self, cell_filter=True,

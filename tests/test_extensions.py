@@ -961,6 +961,78 @@ def test_ann_pq_recall_and_split_invariance(emb):
     assert approx == again
 
 
+def test_pq_codebooks_distributed_equals_driver_lloyd_same_init(spark):
+    """Equality pin vs the driver-side per-subspace fit (r6 VERDICT
+    item 3 'Done' criterion): with the SAME explicit init, the fused
+    distributed rounds converge to driver Lloyd's codebooks per
+    subspace (difference bounded by the 2^-20 fixed-point
+    quantization) and induce the SAME codes."""
+    import numpy as np
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        pq_codebooks_distributed,
+    )
+
+    rng = np.random.RandomState(3)
+    V = rng.randn(120, 16)
+    rows = [(int(i), [float(x) for x in V[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m, ksub, dsub = 4, 4, 4
+    U = V / np.linalg.norm(V, axis=1)[:, None]
+    init = np.stack(
+        [
+            np.ascontiguousarray(U[:ksub, j * dsub : (j + 1) * dsub])
+            for j in range(m)
+        ]
+    )
+    bd = pq_codebooks_distributed(df, m, ksub, iters=6, init=init)
+
+    br = init.copy()
+    for j in range(m):
+        sub = U[:, j * dsub : (j + 1) * dsub]
+        cb = br[j].copy()
+        for _ in range(6):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ksub):
+                mem = sub[a == c]
+                if len(mem):
+                    cb[c] = mem.mean(axis=0)
+        br[j] = cb
+    assert np.allclose(bd, br, atol=1e-4)
+    for j in range(m):
+        sub = U[:, j * dsub : (j + 1) * dsub]
+        ad = ((sub[:, None, :] - bd[j][None, :, :]) ** 2).sum(axis=2).argmin(1)
+        ar = ((sub[:, None, :] - br[j][None, :, :]) ** 2).sum(axis=2).argmin(1)
+        assert (ad == ar).all()
+
+
+def test_pq_codebooks_distributed_split_invariant(spark, emb):
+    """The registry requirement: bit-identical codebooks under any
+    partitioning (hash-ordered init + integer-exact reductions),
+    including the residual (coarse_cents) IVFPQ-trainer mode."""
+    import numpy as np
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        pq_codebooks_distributed,
+    )
+
+    b1 = pq_codebooks_distributed(emb, m=8, ksub=8, iters=2)
+    b2 = pq_codebooks_distributed(emb.repartition(7), m=8, ksub=8, iters=2)
+    assert b1.shape == (8, 8, 8)
+    assert np.array_equal(b1, b2)
+
+    rng = np.random.RandomState(9)
+    cents = rng.randn(4, 64)
+    cents /= np.linalg.norm(cents, axis=1)[:, None]
+    r1 = pq_codebooks_distributed(emb, m=8, ksub=8, iters=2, coarse_cents=cents)
+    r2 = pq_codebooks_distributed(
+        emb.repartition(5), m=8, ksub=8, iters=2, coarse_cents=cents
+    )
+    assert np.array_equal(r1, r2)
+    assert not np.array_equal(b1, r1)  # residual mode fits different books
+
+
 def test_pq_codebooks_shape_and_determinism():
     import numpy as np
 
