@@ -2204,8 +2204,8 @@ SQL_HISTOGRAM_ROLLUP_QUANTILES = """
 WITH b AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS scope,
          LEAST(63, GREATEST(0,
-           CAST(FLOOR(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
-                      * 64 / 64000000) AS BIGINT))) AS bin
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+             // 1000000)) AS bin
   FROM orders
 ), sk AS (
   SELECT scope, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
@@ -5896,7 +5896,16 @@ def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ties on the same date break by o_orderkey — same total order both
     engines replay, so the 'strictly earlier' set is deterministic
-    even for same-day orders.  Output keeps BIGINT cents and the raw
+    even for same-day orders.  ASSUMPTION stated plainly (ADVICE r6):
+    with date-granularity events, a same-day peer order with a
+    SMALLER o_orderkey is treated as strictly earlier, which is
+    leakage-safe only because orderkeys are assigned in arrival
+    order (true of TPC-H-style keys and of any monotonic id); if
+    your keys do NOT follow intra-day time order, switch the frame
+    to a RANGE over the date (strictly earlier DATES only:
+    ``Window.orderBy(unix_date).rangeBetween(unboundedPreceding,
+    -1)``), which excludes all same-day peers at the cost of
+    coarser features.  Output keeps BIGINT cents and the raw
     day gap; first orders carry 0 / 0 / NULL.
 
     Scale notes: one customer-partitioned window over the fact —

@@ -223,9 +223,15 @@ def histogram_sketch(
 ) -> DataFrame:
     """Per-group fixed-width integer histogram — the MERGEABLE quantile
     sketch: ``(group..., bin, cnt)`` with at most ``nbins`` rows per
-    group, where ``bin = clamp(floor((v - lo) * nbins / (hi - lo)),
+    group, where ``bin = clamp((v - lo) div ((hi - lo) / nbins),
     0, nbins - 1)`` over an INTEGER value column (use
-    ``functions.scalar.money_cents`` for money).
+    ``functions.scalar.money_cents`` for money).  The bin is PURE
+    BIGINT division (ADVICE r6: the earlier float form
+    ``floor((v-lo)*nbins/span)`` was exact only while the product
+    stayed under 2^53); ``div`` truncates toward zero where floor
+    would round down, but that difference only arises for v < lo,
+    where the clamp sends both to bin 0 — so the result is
+    unconditionally exact for any BIGINT input.
 
     Unlike ``percentile_approx`` state, these sketches merge by PLAIN
     integer addition (sum counts bin-wise), so a per-day sketch table
@@ -250,11 +256,16 @@ def histogram_sketch(
             "bin_lo/bin_hi from the integer width)"
         )
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    span = hi - lo
-    raw = F.floor((v - F.lit(lo)) * F.lit(nbins) / F.lit(span)).cast("long")
-    bin_ = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), raw))
+    width = (hi - lo) // nbins
+    diff = (v - F.lit(lo)).cast("long")
     return (
-        df.select(*group_cols, bin_.alias("bin"))
+        df.select(*group_cols, diff.alias("__hdiff"))
+        .select(
+            *group_cols,
+            F.expr(
+                f"least({nbins - 1}, greatest(0, __hdiff div {width}))"
+            ).alias("bin"),
+        )
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -461,8 +461,17 @@ def compact_minhash_index(spark, name: str) -> dict[str, int]:
     concurrent probes can hit a missing-table window — but a crash at
     any point leaves a recoverable state: the data always exists under
     the public name, ``__old``, or ``__compact``; nothing is deleted
-    before its replacement is live.  Probe results are bit-identical
-    before and after (pinned by tests); only the file layout changes.
+    before its replacement is live.  OPERATING CONTRACT (ADVICE r6):
+    this is a SINGLE-WRITER batch-maintenance op; schedule it when no
+    probes run, or have probe jobs retry on ``TABLE_OR_VIEW_NOT_FOUND``
+    (the gap is two catalog renames wide).  If truly concurrent
+    probing is ever required, put a view in front of the table and
+    repoint it (``ALTER VIEW ... AS SELECT * FROM {table}__compact``)
+    so readers never see the gap — deliberately not done here because
+    a view-wrapped table loses the bucketed-scan guarantees the
+    zero-Exchange probe plan is pinned on.  Probe results are
+    bit-identical before and after (pinned by tests); only the file
+    layout changes.
 
     Returns ``{table: files_after}`` for observability.  Cost: one
     read + one write of the index tables — O(index), never O(corpus),

@@ -481,7 +481,9 @@ def k_core(
     Rounds needed = peel depth of the graph — bounded by the
     degeneracy ordering, small on dense community graphs; adversarial
     chain graphs peel one layer per round, which is why ``max_iter``
-    exists.  The peel is IDEMPOTENT once converged, so running more
+    exists — and why exhausting it RAISES rather than returning the
+    mid-peel state (which would be a silent superset of the true
+    k-core).  The peel is IDEMPOTENT once converged, so running more
     rounds than needed never changes the answer — the property the
     fixed-unroll DuckDB oracle relies on.
     """
@@ -495,10 +497,12 @@ def k_core(
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
     n_prev = deg.count()
+    converged = False
     for _ in range(max_iter):
         keep = deg.filter(F.col("core_degree") >= k).select("u")
         n_keep = keep.count()
         if n_keep == n_prev:
+            converged = True
             break
         sym = (
             sym.join(keep, "u", "semi")
@@ -511,6 +515,18 @@ def k_core(
             F.count(F.lit(1)).alias("core_degree")
         )
         n_prev = n_keep
+    if not converged:
+        # ADVICE r6: returning mid-peel state would silently be a
+        # SUPERSET of the true k-core (degrees from a not-fully-peeled
+        # graph), contradicting the documented maximal-subgraph
+        # semantics — adversarial chain graphs peel one layer per
+        # round and can exhaust any fixed budget.
+        raise RuntimeError(
+            f"k_core: peel did not reach a fixed point within "
+            f"max_iter={max_iter} rounds ({n_prev} vertices still "
+            f"shrinking); raise max_iter — the result at this point "
+            f"would be an unconverged superset of the true {k}-core"
+        )
     return deg.filter(F.col("core_degree") >= k).select(
         F.col("u").alias("id"), "core_degree"
     )

@@ -1033,7 +1033,12 @@ def compact_ivfpq_index(spark, name: str) -> dict[str, int]:
 def _compact_cell_table(spark, table: str) -> dict[str, int]:
     """One-file-per-bucket rewrite of a cell-bucketed table with the
     rename-out/rename-in/drop-last swap (crash at any step leaves the
-    data live under the public name, ``__old``, or ``__compact``)."""
+    data live under the public name, ``__old``, or ``__compact``).
+    Single-writer batch op: the two-rename swap is not atomic, so
+    schedule compaction when no probes run or retry probes on
+    TABLE_OR_VIEW_NOT_FOUND — same operating contract as
+    ``compact_minhash_index`` (see its docstring for the view-based
+    alternative and why it is deliberately not used)."""
     out: dict[str, int] = {}
     cols = ["cell"]
     auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"

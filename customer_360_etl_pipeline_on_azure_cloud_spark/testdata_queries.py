@@ -3289,35 +3289,45 @@ DRIVER_WINDOW: list[str] = [
     "dedup_user_event", "props_json", "supplier_360", "customer360_merged",
     "reference_e2e",
     # joins / sets / shape
-    "semi_anti_customers", "returnflag_rollup", "users_click_and_purchase",
-    "returnflag_unpivot", "range_join_fact_fact",
+    "range_join_fact_fact",
     # event time (NTZ-regression set — keep driver-visible)
     "asof_last_purchase", "event_gaps", "sessionized_events",
-    "event_time_buckets",
-    # streaming
+    # streaming (windowed/stateful + a foreachBatch-SINK representative)
     "streaming_event_counts", "streaming_sessions",
-    # LLM-data curation: dedup family
+    "streaming_sketch_rollup",
+    # LLM-data curation: dedup family (r7 gate re-curation, VERDICT r6
+    # item 7: winnowing + substring-span-apply now driver-visible)
     "doc_profile", "doc_exact_dedup", "doc_jaccard_pairs",
-    "minhash_near_dup", "simhash_near_dup", "embedding_near_dup",
-    "dedup_clusters",
-    # similarity search
-    "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
-    # text analysis / curation
+    "minhash_near_dup", "embedding_near_dup",
+    "dedup_clusters", "winnowing_dedup_pairs", "substring_dedup_apply",
+    # similarity search (brute/LSH/IVF + the persisted-IVFPQ lifecycle)
+    "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivfpq_indexed",
+    # text analysis / curation (+ classifier TRAINING, not just scoring)
     "bm25_search", "tfidf_keywords", "pii_redaction", "doc_chunking",
     "contamination_check", "doc_packing", "stratified_sample",
+    "quality_classifier_train",
+    # graph census
+    "part_pagerank",
     # sketches / CDC / multimodal
     "heavy_hitters_cms", "scd2_user_state", "orders_upsert",
     "media_decode_features",
 ]
+# NOTE: the actual reorder (window first, tail after) runs at the END
+# of this module, after every registration — see _apply_driver_window().
 
-_missing = [n for n in DRIVER_WINDOW if n not in CORE_QUERIES]
-assert not _missing, f"DRIVER_WINDOW names not registered: {_missing}"
-assert len(DRIVER_WINDOW) == len(set(DRIVER_WINDOW)) == 50
 
-_tail = [n for n in CORE_QUERIES if n not in set(DRIVER_WINDOW)]
-_snapshot = dict(CORE_QUERIES)
-CORE_QUERIES.clear()
-CORE_QUERIES.update({n: _snapshot[n] for n in (*DRIVER_WINDOW, *_tail)})
+def _apply_driver_window() -> None:
+    """Reorder CORE_QUERIES so DRIVER_WINDOW is the first 50 entries
+    (the external driver's gate records exactly the first 50 in
+    registration order). Called once at the very end of this module so
+    window members may be registered anywhere above."""
+    _missing = [n for n in DRIVER_WINDOW if n not in CORE_QUERIES]
+    assert not _missing, f"DRIVER_WINDOW names not registered: {_missing}"
+    assert len(DRIVER_WINDOW) == len(set(DRIVER_WINDOW)) == 50
+    _tail = [n for n in CORE_QUERIES if n not in set(DRIVER_WINDOW)]
+    _snapshot = dict(CORE_QUERIES)
+    CORE_QUERIES.clear()
+    CORE_QUERIES.update({n: _snapshot[n] for n in (*DRIVER_WINDOW, *_tail)})
 
 
 def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3412,3 +3422,6 @@ def q_ann_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORE_QUERIES["ann_topk_ivfpq_indexed"] = (q_ann_topk_ivfpq_indexed, SQL_ANN_SUMMARY)
+
+
+_apply_driver_window()

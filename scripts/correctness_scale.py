@@ -11,8 +11,9 @@ Excluded: the LSH-COINCIDENCE oracles (minhash/simhash/incremental/
 cluster families), whose DuckDB twin is the exact pair set under a
 pinned corpus coincidence that deliberately does not extend to sf1
 (NOTES_r5 measures LSH recall 96.7% there — the documented banding
-trade, not a defect); and queries reading tables the scale generator
-does not produce (events, customer, supplier, part, region, nation).
+trade, not a defect).  Since round 7 the scale generator mirrors all
+ten driver tables (customer/part/supplier/nation/region/events added),
+so the warehouse and events families are covered too.
 
 Writes CORRECTNESS_SCALE_sf1_local.json.
 """
@@ -138,9 +139,50 @@ QUERIES = [
     "streaming_sketch_rollup",
     "classifier_calibration",
     "point_in_time_features",
+    # round-7: the scale generator now mirrors ALL ten driver tables
+    # (customer/part/supplier/nation/region/events added — VERDICT r6
+    # item 5), unlocking the warehouse + events families:
+    "customer_prospects",
+    "revenue_backtest",
+    "part_abc_class",
+    "k_anonymity_audit",
+    "k_anonymity_generalize",
+    "customer_rfm",
+    "nation_revenue_gini",
+    "nation_revenue_hhi",
+    "kmv_audience_overlap",
+    "attribution_multitouch",
+    # the reference-shaped core at 100x the gate scale
+    "supplier_distinct_parts",
+    "user_activeness",
+    "customer_segmentation",
+    "supplier_360",
+    "region_rollup",
+    "top_event_per_user",
+    "dedup_user_event",
+    "user_trend",
+    "supplier_most_flag",
+    "supplier_flag_mix",
+    "union_halves",
+    "positional_zip",
+    "top_customers",
+    "reference_e2e",
+    "heavy_hitters_cms",
+    "sketch_rollup_users",
 ]
 
-TABLES = ("documents", "embeddings", "orders", "lineitem")
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
 
 
 def main() -> None:
