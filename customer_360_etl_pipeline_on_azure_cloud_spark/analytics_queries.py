@@ -2674,7 +2674,14 @@ def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     product ``i * x_i`` and its national sum stay well inside int64 at
     realistic cardinalities (~10^6 customers x 10^5 units per nation ->
     ~10^17; the decimal(38,0) aggregate is the documented escape
-    beyond that).  Customers with no orders count as x = 0 — a
+    beyond that).  The 10^6 scaling is applied by STAGED base-1000
+    long division — ``floor(N*10^6/D)`` as three div/mod steps each
+    multiplying a ``< D`` remainder by only 10^3 — because the naive
+    ``(N * 10^6) div D`` form overflowed int64 at the sf1 sweep
+    (N ~ 1.9e13 per nation there; every staged intermediate is
+    ``< 1000*D``, unconditionally safe while D fits int64; N >= 0
+    always, since revenue is sorted ascending, so div == floor in
+    both engines).  Customers with no orders count as x = 0 — a
     concentration audit that silently dropped them would understate
     inequality.
 
@@ -2708,13 +2715,22 @@ def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("units").alias("total_units"),
             F.sum(F.col("i") * F.col("units")).alias("__six"),
         )
+        .withColumn(
+            "__N", F.expr("2 * __six - (n_customers + 1) * total_units")
+        )
+        .withColumn("__D", F.expr("n_customers * total_units"))
         .select(
             "c_nationkey",
             "n_customers",
             "total_units",
-            F.when(F.col("total_units") > 0,
-                   F.expr("((2 * __six - (n_customers + 1) * total_units)"
-                          " * 1000000L) div (n_customers * total_units)"))
+            F.when(
+                F.col("total_units") > 0,
+                F.expr(
+                    "(__N div __D) * 1000000"
+                    " + (((__N % __D) * 1000) div __D) * 1000"
+                    " + ((((__N % __D) * 1000) % __D) * 1000) div __D"
+                ),
+            )
             .otherwise(F.lit(0)).cast("long").alias("gini_fp"),
         )
     )
@@ -2744,13 +2760,20 @@ agg AS (
          CAST(SUM(units) AS BIGINT) AS total_units,
          CAST(SUM(i * units) AS BIGINT) AS six
   FROM ranked GROUP BY 1
+),
+nd AS (
+  SELECT c_nationkey, n_customers, total_units,
+         CAST(2 * six - (n_customers + 1) * total_units AS BIGINT) AS n_,
+         CAST(n_customers * total_units AS BIGINT) AS d_
+  FROM agg
 )
 SELECT c_nationkey, n_customers, total_units,
        CAST(CASE WHEN total_units > 0
-                 THEN ((2 * six - (n_customers + 1) * total_units) * 1000000)
-                      // (n_customers * total_units)
+                 THEN (n_ // d_) * 1000000
+                      + (((n_ % d_) * 1000) // d_) * 1000
+                      + ((((n_ % d_) * 1000) % d_) * 1000) // d_
                  ELSE 0 END AS BIGINT) AS gini_fp
-FROM agg
+FROM nd
 """
 
 ANALYTICS_QUERIES["nation_revenue_gini"] = (

@@ -9,7 +9,7 @@ cells, broadcast incremental probe) grows ~linearly in corpus size,
 while the labeled-exact paths (uncapped Jaccard) may not — that is why
 they carry caps/LSH scale paths.
 
-Writes SCALE_r5.json and prints a markdown table for NOTES_r5.
+Writes SCALE_r7.json and prints a markdown table for the round notes.
 """
 
 from __future__ import annotations
@@ -114,6 +114,21 @@ QUERIES = [
     "streaming_sketch_rollup",
     "classifier_calibration",
     "point_in_time_features",
+    # round-7: all ten driver tables exist at scale now — warehouse,
+    # events, and the reference-shaped core join the growth table
+    "customer_prospects",
+    "revenue_backtest",
+    "part_abc_class",
+    "k_anonymity_audit",
+    "k_anonymity_generalize",
+    "customer_rfm",
+    "nation_revenue_gini",
+    "nation_revenue_hhi",
+    "kmv_audience_overlap",
+    "attribution_multitouch",
+    "reference_e2e",
+    "user_trend",
+    "supplier_360",
 ]
 
 
@@ -144,7 +159,7 @@ def main() -> None:
     prior = {}
     # subset runs merge into the current round's artifact (falling back
     # to the previous round's as the base)
-    for cand in ("SCALE_r6.json", "SCALE_r5.json"):
+    for cand in ("SCALE_r7.json", "SCALE_r6.json", "SCALE_r5.json"):
         prior_path = os.path.join(root, cand)
         if only and os.path.exists(prior_path):
             with open(prior_path) as fh:
@@ -174,7 +189,7 @@ def main() -> None:
         print(name, rec, flush=True)
 
     merged = {**prior, **out} if prior else out
-    with open(os.path.join(root, "SCALE_r6.json"), "w") as fh:
+    with open(os.path.join(root, "SCALE_r7.json"), "w") as fh:
         json.dump(merged, fh, indent=1)
         fh.write("\n")
 
