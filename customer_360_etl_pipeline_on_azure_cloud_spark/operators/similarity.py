@@ -1984,8 +1984,17 @@ def _ivfpq_fit(
     the whole corpus — coarse centroids with :func:`kmeans_distributed`
     over the JVM-normalized vectors, residual codebooks with
     :func:`pq_codebooks_distributed` (``coarse_cents`` mode) — no
-    driver-sample trainer cap anywhere.  ``codebook_fit="sample"`` is
-    the FAISS-standard fast path over the deterministic ordered
+    driver-sample trainer cap anywhere.  The coarse fit seeds from a
+    hash-ordered whole-corpus sample (md5 of id, ties by id — one
+    TakeOrdered job, deterministic under any partitioning) instead of
+    the full k-means|| reduction, then runs 3 distributed Lloyd
+    rounds: for an IVF coarse quantizer the cells only PARTITION
+    candidates (recall is governed by nprobe, and the ADC scores are
+    exact within probed cells), so seeding quality matters far less
+    than job count — k-means|| seeding spent ~5 extra Spark jobs per
+    fit for no measurable recall gain here (the recall pins and
+    summary oracles gate this at every SF).  ``codebook_fit="sample"``
+    is the FAISS-standard fast path over the deterministic ordered
     sample.  Returns ``(centroids (k, d), books (m, ksub, d/m))``."""
     if codebook_fit == "distributed":
         unit = with_norm(corpus, vec_col).select(
@@ -2001,11 +2010,25 @@ def _ivfpq_fit(
                 ),
             ).alias(vec_col),
         )
+        hkey = F.md5(F.concat_ws("|", F.col(id_col), F.lit("ivfpqseed")))
+        seed_rows = (
+            unit.withColumn("__h", hkey)
+            .orderBy("__h", id_col)
+            .limit(n_centroids)
+            .collect()
+        )
+        if not seed_rows:
+            raise ValueError("ivfpq: empty corpus")
+        init = np.array(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows]
+        )
         cents = kmeans_distributed(
-            unit, k=n_centroids, id_col=id_col, vec_col=vec_col
+            unit, k=len(init), id_col=id_col, vec_col=vec_col,
+            iters=3, init=init,
         )
         books = pq_codebooks_distributed(
-            corpus, m, ksub, id_col=id_col, vec_col=vec_col, coarse_cents=cents
+            corpus, m, ksub, id_col=id_col, vec_col=vec_col,
+            coarse_cents=cents, iters=3,
         )
         return cents, books
     if codebook_fit != "sample":
