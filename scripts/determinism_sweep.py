@@ -48,6 +48,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     out: dict[str, dict] = {}
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    root_ = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    art_ = os.path.join(root_, "DETERMINISM_local.json")
+    if only and os.path.exists(art_):
+        with open(art_) as fh:  # subset reruns merge into the artifact
+            out.update(json.load(fh))
+        queries = {n: queries[n] for n in only.split(",") if n in queries}
     for name, fn in queries.items():
         rec: dict[str, object] = {"match": False, "err": None}
         try:
