@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "streaming_sketch_rollup",
     "classifier_calibration",
     "point_in_time_features",
+    "point_in_time_features_daily",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -5978,3 +5978,71 @@ ANALYTICS_QUERIES["point_in_time_features"] = (
     q_point_in_time_features,
     SQL_POINT_IN_TIME_FEATURES,
 )
+
+
+def q_point_in_time_features_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The RANGE-frame sibling of point_in_time_features (ADVICE r6,
+    executed rather than just documented): features from STRICTLY
+    EARLIER DATES only — a ``rangeBetween(unboundedPreceding, -1)``
+    frame over the integer epoch day excludes ALL same-day peer
+    orders, so leakage-safety holds with NO assumption about
+    orderkey-vs-intra-day-time order (the trade: coarser features —
+    a customer's second order of the day sees none of the first).
+
+    Per order: prior_orders / prior_spend_cents over earlier dates,
+    and days_since_prev as the gap to the customer's latest EARLIER
+    day (``day - max(day) over frame`` — well-defined without any
+    intra-day ordering, which is the point).  Deterministic without
+    tiebreaks: the frame depends only on the DATE, so every same-day
+    permutation of input rows yields identical output.
+
+    Scale shape: identical to the ROWS sibling — one entity-
+    partitioned window over the fact, no self-join, no range join.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_date(F.to_date("o_orderdate")).alias("day"),
+        money_cents(F.col("o_totalprice")).alias("vc"),
+    )
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(wr).alias("prior_orders"),
+        F.coalesce(F.sum("vc").over(wr), F.lit(0)).alias(
+            "prior_spend_cents"
+        ),
+        (F.col("day") - F.max("day").over(wr)).cast("long").alias(
+            "days_since_prev"
+        ),
+    )
+
+
+SQL_POINT_IN_TIME_FEATURES_DAILY = """
+SELECT o_orderkey, o_custkey,
+       CAST(COUNT(*) OVER w AS BIGINT) AS prior_orders,
+       CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT)
+         AS prior_spend_cents,
+       CAST(day - MAX(day) OVER w AS BIGINT) AS days_since_prev
+FROM (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+ANALYTICS_QUERIES["point_in_time_features_daily"] = (
+    q_point_in_time_features_daily,
+    SQL_POINT_IN_TIME_FEATURES_DAILY,
+)

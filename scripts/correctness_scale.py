@@ -124,11 +124,11 @@ QUERIES = [
     "cohort_ltv",
     "bloom_pruned_join",
     "revenue_seasonal_decomp",
-    "sole_delayed_supplier",  # customer_prospects needs customer (sf<=0.1)
+    "sole_delayed_supplier",
     "doc_near_dup_core",
-    "part_communities",  # kmv_audience_overlap needs events (sf<=0.1)
+    "part_communities",
     "layout_skipping_audit",
-    "customer_survival",  # attribution needs events, hhi needs supplier
+    "customer_survival",
     "media_phash_near_dup",
     "quality_classifier_gd_train",
     "quality_classifier_gd_score",
@@ -169,6 +169,7 @@ QUERIES = [
     "reference_e2e",
     "heavy_hitters_cms",
     "sketch_rollup_users",
+    "point_in_time_features_daily",
 ]
 
 TABLES = (

@@ -129,6 +129,7 @@ QUERIES = [
     "reference_e2e",
     "user_trend",
     "supplier_360",
+    "point_in_time_features_daily",
 ]
 
 
