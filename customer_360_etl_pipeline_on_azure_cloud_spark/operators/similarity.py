@@ -1751,22 +1751,29 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
-    codebook_fit: str = "distributed",
+    codebook_fit: str = "sample",
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via PRODUCT QUANTIZATION with exact
     refinement — the FAISS-style compressed-domain scan, DataFrame-
     shaped, completing the ANN family (brute force / SRP-LSH / IVF /
     PQ):
 
-      1. codebooks: ``codebook_fit="distributed"`` (default) trains
-         each of the m subspace codebooks on the WHOLE corpus with
-         :func:`pq_codebooks_distributed` (fused rounds: one Arrow
-         pass per Lloyd iteration regardless of m, integer-exact
-         reductions — no driver-sample trainer cap);
-         ``codebook_fit="sample"`` is the FAISS-standard fast path: a
-         deterministic ``orderBy(id).limit(sample_size)`` sample fit
-         driver-side.  Either way: m subspaces x ksub centroids over
-         L2-normalized vectors, so L2 ranks like cosine:
+      1. codebooks: pass ``codebooks`` (shape ``(m, ksub, d/m)``) to
+         reuse a PRECOMPUTED fit — the 100 TB deployment shape, where
+         codebooks are trained once at index build
+         (:func:`write_ivfpq_index` / :func:`pq_codebooks_distributed`)
+         and every query amortizes them; otherwise
+         ``codebook_fit="sample"`` (default) is the FAISS-standard
+         fast path — a deterministic ``orderBy(id).limit(sample_size)``
+         sample fit driver-side — and ``codebook_fit="distributed"``
+         trains each of the m subspace codebooks on the WHOLE corpus
+         with :func:`pq_codebooks_distributed` (fused rounds: one
+         Arrow pass per Lloyd iteration regardless of m, integer-exact
+         reductions — no driver-sample trainer cap, but 1+iters full
+         corpus passes PER CALL, which is an index-build cost, not an
+         ad-hoc-query cost).  Either way: m subspaces x ksub centroids
+         over L2-normalized vectors, so L2 ranks like cosine:
          ||a-b||^2 = 2 - 2cos on the unit sphere,
       2. ENCODE: one Arrow pass maps each corpus vector to m small
          codes — m bytes of quantized state per vector instead of
@@ -1813,7 +1820,16 @@ def pq_topk(
         # tests/test_extensions.py and the registered summary oracles
         # gate this bound at every SF.
         shortlist = max(100, 64 * k)
-    if codebook_fit == "distributed":
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+        if books.ndim != 3 or books.shape[0] != m or books.shape[1] != ksub:
+            raise ValueError(
+                f"pq_topk: precomputed codebooks shape {books.shape} does "
+                f"not match (m={m}, ksub={ksub}, d/m)"
+            )
+        dsub = books.shape[2]
+        d = m * dsub
+    elif codebook_fit == "distributed":
         books = pq_codebooks_distributed(
             corpus, m, ksub, id_col=id_col, vec_col=vec_col
         )  # (m, ksub, dsub)
@@ -2242,7 +2258,8 @@ def cosine_topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
-    codebook_fit: str = "distributed",
+    codebook_fit: str = "sample",
+    quantizers: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """The full FAISS IVFPQ construction [Jégou et al. 2011],
     DataFrame-shaped: a coarse quantizer partitions the corpus into
@@ -2255,9 +2272,12 @@ def cosine_topk_ivfpq(
         corpus BEFORE any scoring,
       * residual PQ (codebooks fit on residuals, which are smaller
         and better centered than raw vectors — the reason IVFPQ
-        encodes residuals; whole-corpus fit by default, see
-        :func:`_ivfpq_fit`) scores those candidates from m-byte
-        codes via per-(query, cell) lookup tables,
+        encodes residuals; FAISS-standard sample fit by default,
+        ``codebook_fit="distributed"`` for a whole-corpus fit, or
+        pass ``quantizers=(centroids, books)`` to reuse a
+        precomputed pair — see :func:`_ivfpq_fit`) scores those
+        candidates from m-byte codes via per-(query, cell) lookup
+        tables,
       * the per-query shortlist re-ranks by exact cosine.
 
     ADC tables are (nq * nprobe) x m x ksub doubles built driver-side
@@ -2281,10 +2301,26 @@ def cosine_topk_ivfpq(
         # probed-cell pruning already caps candidates at
         # ~nprobe/n_centroids of the corpus); no count() job
         shortlist = max(100, 64 * k)
-    cents, books = _ivfpq_fit(
-        corpus, n_centroids, m, ksub, sample_size, id_col, vec_col,
-        codebook_fit=codebook_fit,
-    )
+    if quantizers is not None:
+        cents = np.asarray(quantizers[0], dtype=np.float64)
+        books = np.asarray(quantizers[1], dtype=np.float64)
+        if (
+            books.ndim != 3
+            or books.shape[0] != m
+            or books.shape[1] != ksub
+            or cents.ndim != 2
+            or cents.shape[1] != m * books.shape[2]
+        ):
+            raise ValueError(
+                "cosine_topk_ivfpq: precomputed quantizers shapes "
+                f"{cents.shape}/{books.shape} do not match "
+                f"(m={m}, ksub={ksub})"
+            )
+    else:
+        cents, books = _ivfpq_fit(
+            corpus, n_centroids, m, ksub, sample_size, id_col, vec_col,
+            codebook_fit=codebook_fit,
+        )
     coded = _ivfpq_encode(corpus, cents, books, id_col, vec_col)
     return _ivfpq_probe(
         coded, cents, books, corpus, queries, k, nprobe, int(shortlist),

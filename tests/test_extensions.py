@@ -1050,6 +1050,63 @@ def test_pq_codebooks_shape_and_determinism():
         pq_codebooks(S, m=7, ksub=16)
 
 
+def test_pq_and_ivfpq_precomputed_codebooks(emb):
+    """r7 verdict item 1: pq_topk/cosine_topk_ivfpq accept PRECOMPUTED
+    quantizers and produce bit-identical results to the in-line fit
+    that trained them — the amortization contract that lets a standing
+    corpus train once (index build) and probe many times.  Shape
+    mismatches are rejected loudly, never silently re-fit."""
+    import numpy as np
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        _ivfpq_fit,
+        cosine_topk_ivfpq,
+        pq_codebooks_distributed,
+        pq_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = pq_codebooks_distributed(emb, m=8, ksub=16)
+    pre = sorted(
+        map(tuple, pq_topk(emb, queries, k=5, codebooks=books).collect())
+    )
+    inline = sorted(
+        map(
+            tuple,
+            pq_topk(emb, queries, k=5, codebook_fit="distributed").collect(),
+        )
+    )
+    assert pre == inline
+    with pytest.raises(ValueError, match="codebooks shape"):
+        pq_topk(emb, queries, k=5, codebooks=books[:4]).collect()
+
+    cents, rbooks = _ivfpq_fit(
+        emb, 16, 8, 16, 2000, "vec_id", "embedding", codebook_fit="sample"
+    )
+    pre2 = sorted(
+        map(
+            tuple,
+            cosine_topk_ivfpq(
+                emb, queries, k=5, n_centroids=16, nprobe=6,
+                quantizers=(cents, rbooks),
+            ).collect(),
+        )
+    )
+    inline2 = sorted(
+        map(
+            tuple,
+            cosine_topk_ivfpq(
+                emb, queries, k=5, n_centroids=16, nprobe=6
+            ).collect(),
+        )
+    )
+    assert pre2 == inline2
+    with pytest.raises(ValueError, match="quantizers shapes"):
+        cosine_topk_ivfpq(
+            emb, queries, k=5, quantizers=(cents[:, :32], rbooks)
+        ).collect()
+
+
 def test_ann_ivfpq_recall_and_split_invariance(emb):
     """IVFPQ (cells -> residual-PQ ADC -> exact refine): recall@5 vs
     brute force on uniform noise, every result inside the exact
@@ -1104,8 +1161,18 @@ def test_ivfpq_index_lifecycle(spark, emb):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = e.filter(F.col("vec_id") < 10)
+    # match write_ivfpq_index's distributed-trainer default so the
+    # equality pin compares identical quantizers (the in-memory ad-hoc
+    # default is the FAISS-standard sample fit — a different, equally
+    # valid codebook)
     mem = sorted(
-        map(tuple, cosine_topk_ivfpq(e, queries, k=5, n_centroids=16, nprobe=6).collect())
+        map(
+            tuple,
+            cosine_topk_ivfpq(
+                e, queries, k=5, n_centroids=16, nprobe=6,
+                codebook_fit="distributed",
+            ).collect(),
+        )
     )
     write_ivfpq_index(e, "t_pytest_ivfpq", n_centroids=16)
     idx = sorted(
