@@ -2679,7 +2679,10 @@ def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplying a ``< D`` remainder by only 10^3 — because the naive
     ``(N * 10^6) div D`` form overflowed int64 at the sf1 sweep
     (N ~ 1.9e13 per nation there; every staged intermediate is
-    ``< 1000*D``, unconditionally safe while D fits int64; N >= 0
+    ``< 1000*D``, safe while ``D < 2^63/1000`` ~ 9.2e15 national
+    revenue units — ~10^5x the sf1 maximum; past that, stage by base
+    10 (six div/mod steps, intermediates < 10*D) or switch the
+    aggregate to decimal(38,0); N >= 0
     always, since revenue is sorted ascending, so div == floor in
     both engines).  Customers with no orders count as x = 0 — a
     concentration audit that silently dropped them would understate

@@ -516,6 +516,17 @@ def k_core(
         )
         n_prev = n_keep
     if not converged:
+        # ADVICE r7: one confirming comparison before raising — a peel
+        # that reaches its fixed point EXACTLY on the final allowed
+        # round leaves the loop without observing the stability (the
+        # check happens at the top of the next round), and max_iter=0
+        # on an input that is already a k-core is the same situation.
+        # The recount is one scalar job; idempotence of the converged
+        # peel makes it sound.
+        converged = (
+            deg.filter(F.col("core_degree") >= k).count() == n_prev
+        )
+    if not converged:
         # ADVICE r6: returning mid-peel state would silently be a
         # SUPERSET of the true k-core (degrees from a not-fully-peeled
         # graph), contradicting the documented maximal-subgraph

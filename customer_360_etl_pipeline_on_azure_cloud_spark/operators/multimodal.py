@@ -81,16 +81,56 @@ def _pil_image_module():
         return None
 
 
+def _grid_feature(lum_rows: list[list[int]], w: int, h: int) -> list[float]:
+    """Shared feature stage for BOTH real-codec paths (ADVICE r7):
+    mean luminance over a 4x2 grid of the native image.  Taking
+    integer luma rows (0-255) rather than decoded bytes means Pillow
+    and the stdlib PNG decoder feed the SAME arithmetic — one decode
+    disagreement fewer between environments."""
+    feat = []
+    for gy in range(2):
+        y0, y1 = gy * h // 2, max(gy * h // 2 + 1, (gy + 1) * h // 2)
+        for gx in range(4):
+            x0, x1 = gx * w // 4, max(gx * w // 4 + 1, (gx + 1) * w // 4)
+            cell = [
+                lum_rows[y][x]
+                for y in range(y0, min(y1, h))
+                for x in range(x0, min(x1, w))
+            ]
+            feat.append((sum(cell) / len(cell)) / 255.0 if cell else 0.0)
+    return feat
+
+
 def _pil_decode(Image, content: bytes) -> tuple[list, int, int]:
     """Real decode path: open the blob, record native dimensions, and
     produce the same 8-float feature shape as the stub (mean luminance
-    of a 4x2 grid — deterministic, model-free)."""
+    of a 4x2 grid — deterministic, model-free).
+
+    Cross-environment agreement (ADVICE r7): Pillow is used ONLY as
+    the codec — decode to RGB, no resampling, no PIL luma — and the
+    luminance + grid stages are the same integer ``(299R + 587G +
+    114B) // 1000`` + :func:`_grid_feature` code the stdlib
+    :func:`_png_decode` path runs, so an 8-bit non-interlaced PNG
+    yields BIT-IDENTICAL features whether or not executors have
+    Pillow.  (PIL's own ``convert("L")`` rounds with a different
+    fixed-point formula and ``resize`` resamples — both would diverge
+    from the fallback by ~1/255.)  Residual divergence is confined to
+    formats only Pillow can decode at all (JPEG, palette / 16-bit /
+    interlaced PNG): those decode here and stub elsewhere."""
     import io
 
-    img = Image.open(io.BytesIO(content)).convert("L")
+    img = Image.open(io.BytesIO(content)).convert("RGB")
     w, h = img.size
-    feat = [p / 255.0 for p in img.resize((4, 2)).getdata()]
-    return feat, w, h
+    px = list(img.getdata())
+    lum_rows = [
+        [
+            (px[y * w + x][0] * 299 + px[y * w + x][1] * 587 + px[y * w + x][2] * 114)
+            // 1000
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    return _grid_feature(lum_rows, w, h), w, h
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -178,15 +218,9 @@ def _png_decode(content: bytes) -> tuple[list, int, int]:
             )
         else:  # gray(+alpha): first channel IS the luminance
             lum_rows.append([line[i] for i in range(0, stride, channels)])
-    # mean luminance over a 4x2 grid of the native image
-    feat = []
-    for gy in range(2):
-        y0, y1 = gy * h // 2, max(gy * h // 2 + 1, (gy + 1) * h // 2)
-        for gx in range(4):
-            x0, x1 = gx * w // 4, max(gx * w // 4 + 1, (gx + 1) * w // 4)
-            cell = [lum_rows[y][x] for y in range(y0, min(y1, h)) for x in range(x0, min(x1, w))]
-            feat.append((sum(cell) / len(cell)) / 255.0 if cell else 0.0)
-    return feat, w, h
+    # mean luminance over a 4x2 grid of the native image — shared with
+    # the Pillow path so both real-codec environments agree bit-for-bit
+    return _grid_feature(lum_rows, w, h), w, h
 
 
 def decode_image_features(
@@ -213,7 +247,17 @@ def decode_image_features(
                 h = meta["height"] if meta is not None else 0
                 mime = (meta["mime"] or "") if meta is not None else ""
                 if Image is not None and mime.startswith("image/"):
-                    f, dw, dh = _pil_decode(Image, content)
+                    try:
+                        f, dw, dh = _pil_decode(Image, content)
+                    except Exception:  # noqa: BLE001 - degrade like the
+                        # stdlib path: a blob Pillow cannot decode takes
+                        # the PNG fallback then the stub, never an error
+                        # (previously a corrupt image/* blob RAISED when
+                        # executors had Pillow but stubbed without it)
+                        try:
+                            f, dw, dh = _png_decode(content)
+                        except Exception:  # noqa: BLE001
+                            f, dw, dh = _fake_decode(content, w, h)
                 elif mime == "image/png":
                     try:
                         f, dw, dh = _png_decode(content)

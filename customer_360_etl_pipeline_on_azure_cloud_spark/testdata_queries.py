@@ -2184,7 +2184,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL recall, which nprobe=1 does not guarantee (it hash-missed
     at sf0.1 on one boundary pair); that stronger contract lives on
     the nprobe=2 siblings semantic_dedup_distributed /
-    semantic_dedup_hierarchical, which remain exact-grouping."""
+    semantic_dedup_hierarchical, which remain exact-grouping.
+
+    Recall FLOOR (ADVICE r7): per-row legality alone would accept a
+    dedup that merges NOTHING (every copy legally self-surviving), so
+    the result also carries one sentinel row (vec_id = -1) whose
+    `legal` asserts that >= 48 of the 50 planted copies actually
+    linked to their source — the observed worst case is ONE boundary
+    miss, so the floor keeps a 2-pair allowance while making zero
+    recall a gate FAILURE, in the gate oracle itself rather than only
+    in pytest."""
     from .operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2199,7 +2208,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = base.unionByName(planted)
-    res = semantic_dedup(corpus, threshold=0.9)
+    # two consumers below (per-row legality + the recall-floor
+    # aggregate); the result is corpus-row-sized and the dedup itself
+    # is the expensive part, so materialize once
+    res = semantic_dedup(corpus, threshold=0.9).localCheckpoint(eager=True)
     legal = F.when(
         F.col("id") < 1_000_000,
         (F.col("component") == F.col("id")) & F.col("is_survivor"),
@@ -2210,7 +2222,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         | ((F.col("component") == F.col("id")) & F.col("is_survivor"))
     )
-    return res.select(F.col("id").alias("vec_id"), legal.alias("legal"))
+    per_row = res.select(F.col("id").alias("vec_id"), legal.alias("legal"))
+    floor_row = (
+        res.filter(
+            (F.col("id") >= 1_000_000)
+            & ~F.col("is_survivor")
+            & (F.col("component") == F.col("id") - 1_000_000)
+        )
+        .agg((F.count(F.lit(1)) >= F.lit(48)).alias("legal"))
+        .select(F.lit(-1).cast("long").alias("vec_id"), "legal")
+    )
+    return per_row.unionByName(floor_row)
 
 
 SQL_SEMANTIC_DEDUP = """
@@ -2231,6 +2253,8 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id, TRUE AS legal FROM embeddings
 UNION ALL
 SELECT CAST(vec_id + 1000000 AS BIGINT) AS vec_id, TRUE AS legal
 FROM embeddings WHERE vec_id < 50
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS vec_id, TRUE AS legal  -- recall floor row
 """
 
 

@@ -51,10 +51,14 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     root_ = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     art_ = os.path.join(root_, "DETERMINISM_local.json")
-    if only and os.path.exists(art_):
-        with open(art_) as fh:  # subset reruns merge into the artifact
-            out.update(json.load(fh))
+    if only:
+        # apply the requested subset unconditionally (ADVICE r7: the
+        # subset must not silently depend on the artifact existing);
+        # only the merge-into-artifact step needs the prior file
         queries = {n: queries[n] for n in only.split(",") if n in queries}
+        if os.path.exists(art_):
+            with open(art_) as fh:  # subset reruns merge into the artifact
+                out.update(json.load(fh))
     for name, fn in queries.items():
         rec: dict[str, object] = {"match": False, "err": None}
         try:

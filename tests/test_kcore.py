@@ -52,6 +52,34 @@ def test_invalid_k_rejected(spark):
         k_core(_edges(spark, [(1, 2)]), k=0)
 
 
+def test_exact_budget_convergence_does_not_raise(spark):
+    """ADVICE r7: a peel that reaches its fixed point exactly on the
+    final allowed round must return the k-core, not raise — the loop
+    only observes stability at the top of the NEXT round, so k_core
+    runs one confirming comparison before raising.  Corner case:
+    max_iter=0 on a graph that is already a k-core."""
+    # K4 + one pendant: round 1 peels the pendant, round 2 observes
+    # stability — so max_iter=1 exits the loop right after the
+    # converging peel without seeing it converge.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    e = _edges(spark, k4 + [(0, 9)])
+    got = {r["id"]: r["core_degree"] for r in k_core(e, k=3, max_iter=1).collect()}
+    assert got == {i: 3 for i in range(4)}
+
+    # already a 3-core: even max_iter=0 is enough (confirming recount)
+    got0 = {
+        r["id"]: r["core_degree"]
+        for r in k_core(_edges(spark, k4), k=3, max_iter=0).collect()
+    }
+    assert got0 == {i: 3 for i in range(4)}
+
+    # genuinely unconverged within budget still raises: chain peels one
+    # layer per round
+    chain = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError, match="fixed point"):
+        k_core(_edges(spark, chain + k4), k=2, max_iter=1)
+
+
 def test_registered_rounds_suffice_on_gate_corpora(spark):
     """doc_near_dup_core caps the peel at _KCORE_ROUNDS for oracle
     parity; pin that the cap is PAST convergence on the shipped corpora

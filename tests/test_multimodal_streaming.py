@@ -147,6 +147,73 @@ def test_png_decode_pure_python_unfilters_and_grids():
         _png_decode(b"not a png at all")
 
 
+def test_pil_and_stdlib_paths_share_feature_arithmetic():
+    """ADVICE r7 cross-environment agreement: _pil_decode now uses the
+    codec ONLY to get RGB pixels and runs the SAME integer-luma +
+    _grid_feature stages as _png_decode, so an 8-bit PNG yields
+    bit-identical features with or without Pillow on executors.
+    Pillow is absent in this container, so the codec stage is
+    simulated with a stub Image module that hands _pil_decode known
+    RGB pixels; the arithmetic downstream of the codec — where the
+    old divergence lived (PIL convert('L') rounding + resize
+    resampling vs box-mean grid) — is exactly what this pins."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.multimodal import (
+        _pil_decode,
+        _png_decode,
+    )
+
+    w, h = 7, 5  # deliberately not multiples of the 4x2 grid
+    px = [
+        ((x * 41 + y * 13) % 256, (x * 7 + y * 101) % 256, (x * 199) % 256)
+        for y in range(h)
+        for x in range(w)
+    ]
+
+    class _Img:
+        size = (w, h)
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def getdata(self):
+            return px
+
+    class _ImageModule:
+        @staticmethod
+        def open(_fp):
+            return _Img()
+
+    feat_pil, dw, dh = _pil_decode(_ImageModule, b"irrelevant")
+    assert (dw, dh) == (w, h)
+
+    # same pixels as a real filter-0 RGB PNG through the stdlib path
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00"
+        + bytes(v for x in range(w) for v in px[y * w + x])
+        for y in range(h)
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    feat_std, _, _ = _png_decode(png)
+    assert feat_pil == feat_std  # bit-identical, not approximately
+
+
 def test_non_image_mime_ignores_codec(media):
     """text/plain rows must use the deterministic stub even when Pillow
     is installed — mime gates the codec, not library availability."""
