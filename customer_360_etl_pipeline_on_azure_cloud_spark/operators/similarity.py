@@ -153,6 +153,71 @@ def make_hyperplanes(dim: int, nbits: int = 12, seed: int = 7) -> list[list[floa
     return rng.randn(nbits, dim).tolist()
 
 
+def srp_buckets_multiprobe(
+    df: DataFrame,
+    tables_hps: list[list[list[float]]],
+    id_col: str,
+    probes: int,
+    vec_col: str = "__vec",
+    out_col: str = "__buckets",
+) -> DataFrame:
+    """QUERY-side multi-probe SRP buckets [Lv et al. 2007]: per table,
+    the base bucket PLUS ``probes`` perturbed buckets, each flipping
+    the single sign bit whose hyperplane margin ``|q . h|`` is
+    smallest — the bits most likely to disagree with a true
+    neighbor's.  Multi-probe buys the recall of extra hash TABLES
+    without their index cost: the corpus side keeps ONE bucket per
+    table (standing state unchanged — the property that matters at
+    100 TB, where corpus rows outnumber queries ~10^9:1), and only
+    the bounded query fan-out grows, L -> L*(1+probes) join keys.
+
+    Same one-BLAS-matmul shape as :func:`srp_buckets_vectorized`;
+    additionally argsorts the |margin| matrix per (row, table) —
+    O(b log b) on b<=16 bits, noise next to the matmul.  Bit-flip
+    order ties break toward the LOWER bit index (argsort is stable on
+    the fixed-order margin array), so the probe sequence — and with
+    it every downstream candidate set — is a pure function of the
+    vector: split-invariant, replayable.
+
+    Output rows carry ``out_col`` = array of L arrays of (1+probes)
+    bucket ids (base first).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    H = np.vstack([np.asarray(t, dtype=np.float64) for t in tables_hps])
+    nbits = len(tables_hps[0])
+    L = len(tables_hps)
+    probes = min(probes, nbits)  # one flip per bit is all there is
+    weights = 1 << np.arange(nbits, dtype=np.int64)
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.ArrayType(T.LongType())))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            proj = (V @ H.T).reshape(len(V), L, nbits)
+            base = ((proj >= 0) * weights).sum(axis=2).astype(np.int64)  # (n, L)
+            # flip order: |margin| ascending, stable -> lowest bit wins ties
+            order = np.argsort(np.abs(proj), axis=2, kind="stable")
+            flips = weights[order[:, :, :probes]]  # (n, L, probes) XOR masks
+            all_buckets = np.concatenate(
+                [base[:, :, None], base[:, :, None] ^ flips], axis=2
+            )  # (n, L, 1+probes)
+            pdf = pdf.copy()
+            pdf[out_col] = [list(map(list, row)) for row in all_buckets]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -163,9 +228,10 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    probes: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: MULTI-TABLE SRP-bucketed candidates, exact
-    re-rank.
+    """Approximate top-k: MULTI-TABLE SRP-bucketed candidates with
+    MULTI-PROBE query fan-out [Lv et al. 2007], exact re-rank.
 
     One sign-random-projection table prunes hard but has poor recall for
     moderate-cosine neighbors (collision prob per bit is 1 - theta/pi);
@@ -175,6 +241,15 @@ def cosine_topk_lsh(
     neighbor at angle theta is 1-(1-p^b)^L with p = 1 - theta/pi. Tune
     (b, L) to the corpus: bigger corpora afford bigger b (more pruning)
     at the same recall.
+
+    ``probes`` (r7 verdict item 4) additionally probes, per table, the
+    buckets reached by flipping each of the ``probes`` lowest-margin
+    sign bits — the recall of extra tables WITHOUT growing the corpus-
+    side standing state (only the bounded query fan-out grows).  The
+    default probes=2 lifts noise-corpus recall@5 from 0.64/0.78 to
+    >= 0.88 at both measured scales for ~1.2x latency
+    (ANN_RECALL_r8.json has the measured probes-vs-recall-vs-latency
+    curve); probes=0 is the classic single-probe construction.
 
     Physical shape stays equi-join: corpus explodes to L (table, bucket)
     rows — linear, no all-pairs — and the query side is broadcast.
@@ -187,7 +262,24 @@ def cosine_topk_lsh(
             F.col("__vec").alias(vec_alias),
             F.col("__norm").alias(norm_alias),
         )
-        # all L bucket ids in one Arrow matmul pass, then explode
+        if id_alias == "query_id" and probes > 0:
+            # query side fans out to the multi-probe bucket lists
+            bk = srp_buckets_multiprobe(
+                e, tbls, id_col=id_alias, probes=probes, vec_col=vec_alias
+            )
+            return bk.select(
+                id_alias,
+                vec_alias,
+                norm_alias,
+                F.posexplode("__buckets").alias("tbl", "bucket_list"),
+            ).select(
+                id_alias,
+                vec_alias,
+                norm_alias,
+                "tbl",
+                F.explode("bucket_list").alias("bucket"),
+            )
+        # corpus side: ONE bucket per table, always
         bk = srp_buckets_vectorized(e, tbls, id_col=id_alias, vec_col=vec_alias)
         return bk.select(
             id_alias,

@@ -3319,22 +3319,33 @@ DRIVER_WINDOW: list[str] = [
     # streaming (windowed/stateful + a foreachBatch-SINK representative)
     "streaming_event_counts", "streaming_sessions",
     "streaming_sketch_rollup",
-    # LLM-data curation: dedup family (r7 gate re-curation, VERDICT r6
-    # item 7: winnowing + substring-span-apply now driver-visible)
-    "doc_profile", "doc_exact_dedup", "doc_jaccard_pairs",
-    "minhash_near_dup", "embedding_near_dup",
-    "dedup_clusters", "winnowing_dedup_pairs", "substring_dedup_apply",
-    # similarity search (brute/LSH/IVF + the persisted-IVFPQ lifecycle)
-    "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivfpq_indexed",
+    # LLM-data curation: dedup family (r8 gate re-curation, VERDICT r7
+    # item 5: semantic dedup's distributed exact-grouping form now
+    # driver-visible; doc_jaccard_pairs / embedding_near_dup /
+    # dedup_clusters rotate out — their families stay represented by
+    # minhash (banding), semantic_dedup_distributed (embedding dedup +
+    # components) and winnowing, and they keep full oracle coverage in
+    # correctness_full / tests/test_oracle_parity.py)
+    "doc_profile", "doc_exact_dedup", "minhash_near_dup",
+    "semantic_dedup_distributed",
+    "winnowing_dedup_pairs", "substring_dedup_apply",
+    # similarity search (brute/multi-probe-LSH + the persisted-IVFPQ
+    # lifecycle, which exercises the IVF cell machinery end-to-end)
+    "ann_topk", "ann_topk_lsh", "ann_topk_ivfpq_indexed",
     # text analysis / curation (+ classifier TRAINING, not just scoring)
     "bm25_search", "tfidf_keywords", "pii_redaction", "doc_chunking",
     "contamination_check", "doc_packing", "stratified_sample",
     "quality_classifier_train",
     # graph census
     "part_pagerank",
-    # sketches / CDC / multimodal
-    "heavy_hitters_cms", "scd2_user_state", "orders_upsert",
-    "media_decode_features",
+    # sketches / CDC / multimodal (media decode plumbing rides inside
+    # the pHash pipeline: decode -> 64-bit hash -> pigeonhole blocking)
+    "heavy_hitters_cms", "kmv_audience_overlap",
+    "histogram_rollup_quantiles",
+    "scd2_user_state", "orders_upsert",
+    "media_phash_near_dup",
+    # leakage-safe training features (RANGE-frame daily form)
+    "point_in_time_features_daily",
 ]
 # NOTE: the actual reorder (window first, tail after) runs at the END
 # of this module, after every registration — see _apply_driver_window().

@@ -2,18 +2,14 @@
 """Correctness at 100x the gate scale: replay the Spark-vs-DuckDB
 comparison on the sf1-SHAPED generated data (scripts/gen_scale_data.py
 — 50k docs / 20k vectors / 1.5M orders / 6M lineitem; 10x the bench
-sf0.1, 100x the sf0.01 gate) for every query whose tables exist there
-and whose ORACLE is tractable at that size.
+sf0.1, 100x the sf0.01 gate) for EVERY registry query (r7 verdict
+item 2): each registered query is either run here or carries a
+documented per-query exclusion in ``EXCLUDED`` below, and the artifact
+records both — so the sf1 coverage claim is machine-exhaustive, not a
+curated subset.
 
 Included even at this size: the exact shared-shingle pair queries
 (doc_jaccard_pairs, doc_containment_pairs — ~25 s DuckDB oracles).
-Excluded: the LSH-COINCIDENCE oracles (minhash/simhash/incremental/
-cluster families), whose DuckDB twin is the exact pair set under a
-pinned corpus coincidence that deliberately does not extend to sf1
-(NOTES_r5 measures LSH recall 96.7% there — the documented banding
-trade, not a defect).  Since round 7 the scale generator mirrors all
-ten driver tables (customer/part/supplier/nation/region/events added),
-so the warehouse and events families are covered too.
 
 Writes CORRECTNESS_SCALE_sf1_local.json.
 """
@@ -33,144 +29,89 @@ import __spark_entry__ as entrymod  # noqa: E402
 from correctness_full import multiset  # noqa: E402
 from customer_360_etl_pipeline_on_azure_cloud_spark.session import get_spark  # noqa: E402
 
-QUERIES = [
-    # documents / embeddings surface
-    "doc_profile",
-    "doc_exact_dedup",
-    # exact-oracle dedup pair queries (tractable at sf1 in ~25 s each).
-    # The LSH-coincidence oracles (minhash/simhash/incremental/cluster
-    # families) are EXCLUDED by design: their DuckDB twin is the exact
-    # pair set, and the pinned corpus coincidence deliberately does not
-    # extend to sf1 (NOTES_r5 quantifies LSH recall there at 96.7%).
-    "doc_jaccard_pairs",
-    "doc_containment_pairs",
-    "tfidf_keywords",
-    "pii_redaction",
-    "doc_chunking",
-    # doc_packing excluded: its ORACLE is a one-row-per-step recursive
-    # CTE (deliberately sequential replay) — quadratic in DuckDB at 50k
-    # rows; the Spark side is linear per group and sf0.1-verified.
-    "stratified_sample",
-    "dataset_split",
-    "doc_repetition",
-    "lang_quota_sample",
-    "source_mixture_plan",
-    "weighted_doc_sample",
-    "vocab_topk",
-    "doc_rare_token_stats",
-    "gopher_quality_flags",
-    "bpe_merge_pairs",
-    "doc_lm_perplexity",
-    "collocation_pmi",
-    "cdc_chunking",
-    "duplicate_passages",
-    "bpe_train_merges",
-    "bpe_compression",
-    "quality_classifier_score",
-    "source_quality_report",
-    "embedding_quantization",
-    "embedding_norms",
-    "embedding_gram",
-    "ann_topk",
-    # orders / lineitem surface
-    "pricing_summary",
-    "returnflag_pivot",
-    "returnflag_rollup",
-    "returnflag_cube",
-    "returnflag_unpivot",
-    "priority_recode",
-    "priority_grouping_sets",
-    "incremental_pricing",
-    "orders_upsert",
-    "orders_change_feed",
-    "order_value_quartiles",
-    "running_revenue",
-    "part_pagerank",
-    "basket_rules",
-    "dq_expectations",
-    "orders_quarantine",
-    "streaming_dq_gate",
-    # round-6 surface (exact oracles tractable at sf1)
-    "duplicate_spans",
-    "substring_dedup_apply",
-    "decontamination_apply",
-    "quality_classifier_train",
-    "quality_classifier_trained_score",
-    "semantic_dedup_distributed",
-    "semantic_dedup_hierarchical",
-    "histogram_rollup_quantiles",
-    "ann_topk_pq",
-    "ann_topk_ivfpq",
-    "ann_topk_ivfpq_indexed",
-    "incremental_ann_index_update",
-    "ivf_cohesion_audit",
-    "doc_bigram_perplexity",
-    "winnowing_dedup_pairs",
-    "streaming_quality_gate",
-    "corpus_curation_report",
-    # post-freeze round-6 additions on sf1-available tables
-    "source_kl_divergence",
-    "training_shard_manifest",
-    "importance_resample",
-    "embedding_pca_project",
-    "part_triangles",
-    "benford_audit",
-    "revenue_cusum",
-    "quality_rank_calibration",
-    # round-6 final-session warehouse additions (orders/lineitem only)
-    "order_reconciliation",
-    "part_recommendations",
-    "revenue_bridge",
-    "cohort_ltv",
-    "bloom_pruned_join",
-    "revenue_seasonal_decomp",
-    "sole_delayed_supplier",
-    "doc_near_dup_core",
-    "part_communities",
-    "layout_skipping_audit",
-    "customer_survival",
-    "media_phash_near_dup",
-    "quality_classifier_gd_train",
-    "quality_classifier_gd_score",
-    "revenue_seasonal_outliers",
-    "source_mixture_temperature",
-    "incremental_components_update",
-    "join_skew_audit",
-    "streaming_sketch_rollup",
-    "classifier_calibration",
-    "point_in_time_features",
-    # round-7: the scale generator now mirrors ALL ten driver tables
-    # (customer/part/supplier/nation/region/events added — VERDICT r6
-    # item 5), unlocking the warehouse + events families:
-    "customer_prospects",
-    "revenue_backtest",
-    "part_abc_class",
-    "k_anonymity_audit",
-    "k_anonymity_generalize",
-    "customer_rfm",
-    "nation_revenue_gini",
-    "nation_revenue_hhi",
-    "kmv_audience_overlap",
-    "attribution_multitouch",
-    # the reference-shaped core at 100x the gate scale
-    "supplier_distinct_parts",
-    "user_activeness",
-    "customer_segmentation",
-    "supplier_360",
-    "region_rollup",
-    "top_event_per_user",
-    "dedup_user_event",
-    "user_trend",
-    "supplier_most_flag",
-    "supplier_flag_mix",
-    "union_halves",
-    "positional_zip",
-    "top_customers",
-    "reference_e2e",
-    "heavy_hitters_cms",
-    "sketch_rollup_users",
-    "point_in_time_features_daily",
-]
+# Every registry query is either RUN here or EXCLUDED with a stated,
+# per-query reason (r7 verdict item 2: the sf1 artifact must count
+# every registry entry).  Exclusions fall into three classes, all
+# properties of the ORACLE or of a pinned-corpus coincidence — never
+# of the Spark implementation, which is sf0.1-exact for all of them:
+#
+#   lsh-coincidence — the DuckDB twin states the EXACT pair/cluster
+#     set, and on the small driver corpora LSH banding happens to find
+#     100% of it; that coincidence deliberately does not extend to the
+#     sf1 corpus (NOTES_r5: measured recall 96.7% there — the
+#     documented banding trade, not a defect).
+#   oracle-cost — the DuckDB twin is deliberately sequential
+#     (one-row-per-step recursive CTE) or otherwise quadratic at 50k+
+#     rows; the Spark side is linear and sf0.1-verified.
+#   corpus-specific-claim — the oracle hard-codes a fact measured on
+#     the DRIVER corpus (e.g. "every LSH/IVF result sits in the exact
+#     top-20") that the reseeded scale corpus does not satisfy
+#     (scripts/ann_recall.py measures the sf1 recall instead).
+EXCLUDED: dict[str, str] = {
+    "doc_packing": (
+        "oracle-cost: one-row-per-step recursive CTE replay, quadratic "
+        "in DuckDB at 50k rows; Spark side linear per group, "
+        "sf0.1-exact"
+    ),
+    "minhash_near_dup": (
+        "lsh-coincidence: exact-pair oracle; sf1 banding recall 96.7% "
+        "measured in NOTES_r5"
+    ),
+    "simhash_near_dup": (
+        "lsh-coincidence: exact-pair oracle under pinned-corpus "
+        "Hamming-block coincidence"
+    ),
+    "embedding_near_dup": (
+        "lsh-coincidence: planted-pair oracle; SRP multi-table miss "
+        "probability is theory-bounded, not zero, at 50-pair scale"
+    ),
+    "dedup_clusters": (
+        "lsh-coincidence: exact-component oracle over minhash pair "
+        "candidates"
+    ),
+    "dedup_clusters_twophase": (
+        "lsh-coincidence: same exact-component oracle, two-phase CC "
+        "variant"
+    ),
+    "dedup_best_survivors": (
+        "lsh-coincidence: survivor selection over minhash-banded pair "
+        "candidates, oracle over the exact pair set (measured: FAILs "
+        "at sf1 exactly as the family predicts — banding recall 96.7%)"
+    ),
+    "cluster_aware_split": (
+        "lsh-coincidence: component labels come from minhash-banded "
+        "pairs, oracle from the exact pair set (measured FAIL at sf1, "
+        "as the family predicts)"
+    ),
+    "split_leakage_audit": (
+        "lsh-coincidence: pair cells counted over minhash-banded "
+        "pairs, oracle over the exact pair set (measured FAIL at sf1)"
+    ),
+    "incremental_corpus_dedup": (
+        "lsh-coincidence: exact-survivor oracle over minhash banding"
+    ),
+    "incremental_corpus_dedup_indexed": (
+        "lsh-coincidence: same contract through the persisted index"
+    ),
+    "incremental_index_update": (
+        "lsh-coincidence: append-path sibling of the above"
+    ),
+    "streaming_index_dedup": (
+        "lsh-coincidence: streaming sibling of "
+        "incremental_corpus_dedup_indexed"
+    ),
+    "ann_topk_lsh": (
+        "corpus-specific-claim: oracle asserts every result in the "
+        "exact top-20, measured on the driver corpus; the reseeded sf1 "
+        "noise corpus violates it (scripts/ann_recall.py quantifies "
+        "recall there instead)"
+    ),
+    "ann_topk_ivf": (
+        "corpus-specific-claim: same top-20 membership claim; sf1 "
+        "noise corpus returns a rank-23 item (scripts/ann_recall.py)"
+    ),
+}
+
 
 TABLES = (
     "region",
@@ -209,8 +150,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    missing = [q for q in EXCLUDED if q not in queries]
+    assert not missing, f"EXCLUDED names not in registry: {missing}"
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
-    names = [q for q in QUERIES if not only or q in only.split(",")]
+    names = [
+        q for q in queries
+        if q not in EXCLUDED and (not only or q in only.split(","))
+    ]
     con = duckdb.connect()
     con.execute("SET temp_directory='/tmp/duck_tmp'")
     for t in TABLES:
@@ -255,11 +201,22 @@ def main() -> None:
         out[name] = rec
         flag = "ok  " if rec["hash_match"] else "FAIL"
         print(f"{flag} {name} {rec}", file=sys.stderr)
+    for name, reason in EXCLUDED.items():
+        out[name] = {"excluded": reason}
+    # exhaustiveness: every registry entry is in the artifact, either
+    # as a run row or as a documented exclusion
+    uncovered = [q for q in queries if q not in out]
+    if not only:
+        assert not uncovered, f"registry entries uncovered: {uncovered}"
     with open(art, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
-    n_ok = sum(1 for r in out.values() if r["hash_match"])
-    print(json.dumps({"total": len(out), "hash_match": n_ok, "sf_dir": sf_dir}))
+    n_ok = sum(1 for r in out.values() if r.get("hash_match"))
+    n_ex = sum(1 for r in out.values() if "excluded" in r)
+    print(json.dumps({
+        "total": len(out), "hash_match": n_ok, "excluded": n_ex,
+        "sf_dir": sf_dir,
+    }))
 
 
 if __name__ == "__main__":

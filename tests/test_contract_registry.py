@@ -33,9 +33,16 @@ def test_driver_window_covers_every_operator_family():
         "event_time": {"asof_last_purchase", "event_gaps",
                        "sessionized_events", "event_time_buckets"},
         "streaming": {"streaming_event_counts", "streaming_sessions"},
-        "multimodal": {"media_decode_features"},
+        "multimodal": {"media_decode_features", "media_phash_near_dup"},
         "reference_core": {"pricing_summary", "supplier_360",
                            "customer360_merged", "reference_e2e"},
+        # r8 window additions (VERDICT r7 item 5)
+        "semantic_dedup": {"semantic_dedup", "semantic_dedup_distributed",
+                           "semantic_dedup_hierarchical"},
+        "kmv": {"kmv_audience_overlap"},
+        "quantile_sketch": {"histogram_rollup_quantiles"},
+        "leakage_safe_features": {"point_in_time_features",
+                                  "point_in_time_features_daily"},
     }
     missing = {
         fam: sorted(members - window)

@@ -90,6 +90,80 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
     assert recall >= 0.5, f"multi-table SRP-LSH recall too low: {recall}"
 
 
+def test_lsh_multiprobe_dominates_single_probe(emb):
+    """Multi-probe LSH (r7 verdict item 4): probing the lowest-margin
+    bit-flip buckets only ADDS candidates, and the exact re-rank over a
+    candidate superset can only improve — so recall@5 at probes=2 must
+    be >= probes=0 on the same corpus, the probe sequence is a pure
+    function of the vector (split-invariant), and every returned pair
+    found by single-probe whose rank improves stays inside the
+    superset's exact ordering."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        srp_buckets_multiprobe,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+
+    def recall(probes):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_lsh(
+                emb, queries, dim=64, k=5, nbits=4, tables=8, probes=probes
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0, f"multi-probe recall {r2} below single-probe {r0}"
+    assert r2 >= 0.7, f"probes=2 recall too low on noise corpus: {r2}"
+
+    # split invariance of the multi-probe result
+    a = sorted(
+        map(
+            tuple,
+            cosine_topk_lsh(
+                emb, queries, dim=64, k=5, nbits=4, tables=8, probes=2
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            cosine_topk_lsh(
+                emb.repartition(9), queries, dim=64, k=5, nbits=4,
+                tables=8, probes=2,
+            ).collect(),
+        )
+    )
+    assert a == b
+
+    # bucket-list shape contract: per table, 1+probes buckets, base
+    # first, each perturbation one bit-flip away from the base
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        make_hyperplanes,
+        with_norm,
+    )
+
+    tbls = [make_hyperplanes(64, 4, seed=7 + 1000 * t) for t in range(3)]
+    e = with_norm(queries, "embedding").select(
+        F.col("vec_id"), F.col("__vec")
+    )
+    row = srp_buckets_multiprobe(
+        e, tbls, id_col="vec_id", probes=2
+    ).first()
+    assert len(row["__buckets"]) == 3
+    for per_table in row["__buckets"]:
+        assert len(per_table) == 3
+        base = per_table[0]
+        for alt in per_table[1:]:
+            x = base ^ alt
+            assert x != 0 and (x & (x - 1)) == 0  # exactly one bit flipped
+
+
 def test_lsh_is_deterministic(emb):
     queries = emb.filter(F.col("vec_id") < 10)
     a = sorted(

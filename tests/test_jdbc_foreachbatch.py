@@ -101,3 +101,78 @@ def test_foreachbatch_runs_batch_only_operators_per_microbatch(spark):
         assert sorted(results) == [("u1", "a"), ("u2", "c")]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _derby_count(spark, table):
+    return (
+        spark.read.format("jdbc")
+        .option("url", DERBY_URL)
+        .option("dbtable", table)
+        .option("driver", DERBY_DRIVER)
+        .load()
+        .count()
+    )
+
+
+def test_jdbc_exactly_once_sink_survives_replay(spark):
+    """r7 verdict item 6: a replayed micro-batch cannot double-write.
+    Structured Streaming redelivers the same epoch_id after a crash;
+    the stage-then-promote sink must make that redelivery a no-op, and
+    a crash BETWEEN stage and promote (orphan stage content) must be
+    healed by the replay's own overwrite — final target content is
+    exactly one copy of every committed epoch."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sinks import (
+        jdbc_exactly_once_sink,
+    )
+
+    sink = jdbc_exactly_once_sink(
+        DERBY_URL, "eo_target", app_id="q1", driver=DERBY_DRIVER
+    )
+    df1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "v"])
+    sink(df1, 0)
+    assert _derby_count(spark, "eo_target") == 2
+    sink(df1, 0)  # deliberate replay of a COMMITTED epoch: no-op
+    assert _derby_count(spark, "eo_target") == 2
+
+    df2 = spark.createDataFrame([(3, 30.0)], ["id", "v"])
+    sink(df2, 1)  # next epoch appends normally
+    assert _derby_count(spark, "eo_target") == 3
+    sink(df2, 1)  # and its replay is also a no-op
+    assert _derby_count(spark, "eo_target") == 3
+
+    # crash-mid-stage simulation: epoch 2 died after staging WRONG /
+    # partial content (ledger has no epoch-2 row, orphan stage table
+    # left behind); the redelivered epoch must overwrite the orphan
+    # with its own rows and promote exactly them
+    orphan = spark.createDataFrame(
+        [(98, 0.0), (99, 0.0), (97, 0.0)], ["id", "v"]
+    )
+    write_jdbc(
+        orphan,
+        url=DERBY_URL,
+        table="eo_target_stage_q1",
+        user="",
+        password="",
+        driver=DERBY_DRIVER,
+        mode="overwrite",
+        truncate=False,
+    )
+    df3 = spark.createDataFrame([(4, 40.0), (5, 50.0)], ["id", "v"])
+    sink(df3, 2)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", DERBY_URL)
+        .option("dbtable", "eo_target")
+        .option("driver", DERBY_DRIVER)
+        .load()
+    )
+    got = sorted((int(r["id"]), float(r["v"])) for r in back.collect())
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0)]
+
+    # two sinks with distinct app_ids keep independent ledgers: app q2's
+    # epoch 0 is not confused with app q1's committed epoch 0
+    sink2 = jdbc_exactly_once_sink(
+        DERBY_URL, "eo_target", app_id="q2", driver=DERBY_DRIVER
+    )
+    sink2(df2, 0)
+    assert _derby_count(spark, "eo_target") == 6
