@@ -246,10 +246,12 @@ def cosine_topk_lsh(
     buckets reached by flipping each of the ``probes`` lowest-margin
     sign bits — the recall of extra tables WITHOUT growing the corpus-
     side standing state (only the bounded query fan-out grows).  The
-    default probes=2 lifts noise-corpus recall@5 from 0.64/0.78 to
-    >= 0.88 at both measured scales for ~1.2x latency
-    (ANN_RECALL_r8.json has the measured probes-vs-recall-vs-latency
-    curve); probes=0 is the classic single-probe construction.
+    default probes=2 lifts structure-free-noise recall@5 from
+    0.64/0.78 (single-probe) to 0.96/0.98 at the 2k/20k measured
+    corpora, for <= 1.07x the single-probe latency, and pulls the
+    worst returned exact rank from 10 to 6 (ANN_RECALL_r8.json has the
+    full probes-vs-recall-vs-latency curve); probes=0 is the classic
+    single-probe construction.
 
     Physical shape stays equi-join: corpus explodes to L (table, bucket)
     rows — linear, no all-pairs — and the query side is broadcast.
@@ -814,7 +816,7 @@ def cosine_topk_ivf(
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 10,
     sample_size: int = 2000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -830,7 +832,13 @@ def cosine_topk_ivf(
     to ``nprobe`` cells, candidates come from the cell equi-join —
     expected candidate fraction ~ nprobe/n_centroids, and unlike
     sign-LSH it adapts to the data distribution (centroids follow
-    density). ``centroid_fit="sample"`` (default) fits once on a
+    density).  The nprobe=10 default is the measured >= 0.85-recall
+    point on structure-free noise, the ANN worst case (r7 verdict item
+    4; ANN_RECALL_r8.json: recall@5 0.90/0.90 at the 2k/20k corpora vs
+    0.64/0.70 at nprobe=4, for ~1.0-1.09x the latency — the assign
+    pass dominates, so probing more cells is nearly free until the
+    candidate re-rank saturates; real corpora with neighbor structure
+    need fewer probes).  ``centroid_fit="sample"`` (default) fits once on a
     driver-side sample (deterministic seed) — at 100 TB that sample is
     still a few thousand rows, but it caps n_centroids at
     sample_size/2; ``centroid_fit="distributed"`` fits with

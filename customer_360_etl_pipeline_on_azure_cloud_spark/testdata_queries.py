@@ -1573,13 +1573,16 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search, IVF scale path: k-means coarse quantizer
     (deterministic ordered sample) + nprobe cell probing + exact
     re-rank — restated, like ann_topk_lsh, as the per-query summary
-    (5 found, 0 outside the exact top-20; worst observed exact rank on
-    this corpus: 11). tests/test_extensions.py gates recall@5."""
+    (5 found, 0 outside the exact top-20). tests/test_extensions.py
+    gates recall@5.  nprobe=10 is the measured >= 0.85-recall default
+    (r7 verdict item 4, curve in ANN_RECALL_r8.json); at it the
+    top-20 claim holds on the reseeded sf1 noise corpus too (worst
+    exact rank 7), so this query is also sf1-exact."""
     from .operators.similarity import cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    ivf = cosine_topk_ivf(emb, queries, k=5, n_centroids=16, nprobe=6)
+    ivf = cosine_topk_ivf(emb, queries, k=5, n_centroids=16, nprobe=10)
     exact20 = cosine_topk_bruteforce(emb, queries, k=20)
     return _topk_vs_exact_summary(ivf, exact20)
 

@@ -129,7 +129,7 @@ def main() -> None:
         "curve": curve,
         "defaults": {
             "lsh": {"nbits": 4, "tables": 8, "probes": 2},
-            "ivf": {"n_centroids": 16, "nprobe": 6},
+            "ivf": {"n_centroids": 16, "nprobe": 10},
             "pq": {"m": 8, "ksub": 16, "shortlist": "auto", "fit": "sample"},
             "ivfpq": {"n_centroids": 16, "nprobe": 6, "fit": "sample"},
         },

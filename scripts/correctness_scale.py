@@ -100,16 +100,6 @@ EXCLUDED: dict[str, str] = {
         "lsh-coincidence: streaming sibling of "
         "incremental_corpus_dedup_indexed"
     ),
-    "ann_topk_lsh": (
-        "corpus-specific-claim: oracle asserts every result in the "
-        "exact top-20, measured on the driver corpus; the reseeded sf1 "
-        "noise corpus violates it (scripts/ann_recall.py quantifies "
-        "recall there instead)"
-    ),
-    "ann_topk_ivf": (
-        "corpus-specific-claim: same top-20 membership claim; sf1 "
-        "noise corpus returns a rank-23 item (scripts/ann_recall.py)"
-    ),
 }
 
 
