@@ -14,15 +14,22 @@ key at sf1 scale, measured three ways —
     works for ANY join strategy the planner picks and needs no
     runtime stats.
 
-Corpus: sf1 lineitem (6M rows) with l_suppkey remapped so ~half of
-all rows share ONE key and the rest spread over 10k keys; the right
-side is the 10k-key dim with a payload column.  Broadcast is disabled
+Corpus: sf1 lineitem (6M rows) with the key remapped so ~90% of all
+rows share ONE key and the rest spread over 10k keys; the right side
+is the 10k-key dim with a payload column.  Broadcast is disabled
 (at 100 TB the dim side of a skewed fact-fact join is not
 broadcastable; a broadcast-hash join is immune to skew and would
 measure nothing).  Each variant validates the identical output row
-count before timing counts (min of PASSES).
+count (untimed), then times the join through a noop sink (min of
+PASSES).
 
-Writes SKEW_BENCH_r8.json; SCALE.md records the crossover.
+Measured r8 (min-of-3, local[32]): unsalted 3.70 s, aqe_skew 1.35 s,
+salted 1.71 s — and the methodological finding that a global
+aggregate in the SAME stage as the join suppresses
+OptimizeSkewedJoin entirely (0 skew splits in the executed plan;
+verified by plan markers), in which case salted_join is the only
+working mitigation.  Writes SKEW_BENCH_r8.json; SCALE.md records the
+crossover.
 """
 
 from __future__ import annotations
@@ -61,10 +68,12 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    # one hot key with ~50% of the fact + a uniform tail over N_KEYS
+    # one hot key with ~90% of the fact + a uniform tail over N_KEYS:
+    # the hot key's shuffle partition carries ~5.4M of the 6M rows, so
+    # unsalted wall-clock IS the straggler task (31 of 32 slots idle)
     fact = li.select(
         F.when(
-            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(2)) == 0,
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) < 9,
             F.lit(HOT_KEY),
         )
         .otherwise(
@@ -78,21 +87,22 @@ def main() -> None:
         F.col("id").alias("k"), (F.col("id") * 3 + 1).alias("weight")
     )
 
-    def agg_count(joined):
-        return joined.groupBy().agg(
-            F.count(F.lit(1)).alias("n"), F.sum("weight").alias("w")
-        ).collect()[0]["n"]
-
     variants = {}
 
     def run(name, setup, make):
         setup()
-        # one validation pass (row-count equivalence), then timed passes
-        n = agg_count(make())
+        # one UNTIMED validation pass (row-count equivalence); the timed
+        # passes drive the join through a noop sink so the SortMergeJoin
+        # is its stage's top operator — measured here: a same-stage
+        # global aggregate suppresses AQE's OptimizeSkewedJoin (the
+        # split fires only when the join output feeds the stage
+        # boundary directly), so timing through an agg would silently
+        # measure the unsplit plan for the aqe_skew variant
+        n = make().count()
         secs = []
         for _ in range(PASSES):
             t0 = time.perf_counter()
-            agg_count(make())
+            make().write.format("noop").mode("overwrite").save()
             secs.append(round(time.perf_counter() - t0, 3))
         variants[name] = {"rows": int(n), "passes": secs, "sec_min": min(secs)}
         print(name, variants[name], file=sys.stderr)
@@ -102,14 +112,18 @@ def main() -> None:
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.enabled", str(skew).lower()
         )
-        # fire at this data size (defaults: 256MB/5x — tuned for real
-        # clusters; the RATIO semantics are what is under test)
+        # fire at this data size (defaults: 256MB threshold / 64MB
+        # advisory / 5x factor — tuned for real clusters; the hot
+        # partition here is only ~14MB COMPRESSED shuffle bytes for
+        # 5.4M rows, so the advisory must sit well under it for the
+        # split to actually parallelize the straggler; the RATIO
+        # semantics are what is under test)
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-            "8MB",
+            "4MB",
         )
         spark.conf.set(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB"
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB"
         )
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
 
@@ -131,7 +145,7 @@ def main() -> None:
 
     counts = {v["rows"] for v in variants.values()}
     out = {
-        "hot_key_share": 0.5,
+        "hot_key_share": 0.9,
         "n_keys": N_KEYS,
         "fact_rows": fact.count(),
         "rows_agree": len(counts) == 1,
