@@ -710,7 +710,27 @@ def simhash_near_pairs(
     4-way split would silently drop pairs for max_hamming >= 4); large
     max_hamming means narrow chunks and weaker pruning, so values above
     ~7 (8-bit chunks) are rejected rather than degrading toward
-    all-pairs."""
+    all-pairs.
+
+    Measured bucket-load table (r8, PHASH_BLOCKING_r8.json — exact
+    counts on the scale-generated pHash corpora; ``w`` = narrowest
+    chunk width, ``load`` = max rows in one (chunk, cval) bucket,
+    ``cand`` = total candidate pairs across chunks before the exact
+    Hamming filter):
+
+        radius  w    5k docs          50k docs
+        3       16   load 4,   1.0k   load 10,  99k
+        4       12   load 11,  12.7k  load 45,  1.25M
+        6       9    load 32,  186k   load 250, 18.5M
+
+    The 10x-docs candidate growth is ~95-100x at every width — the
+    ~n^2/2^w law with w fixed — so the OPERATING CONTRACT is that
+    chunk width must grow ~2*log2(n-growth) bits to hold candidate
+    volume linear: at 10x the corpus either drop the radius one step
+    (e.g. 6 -> 4 buys ~15x fewer candidates) or move to a wider hash
+    (128-bit SimHash -> 2x chunk widths at the same radius).  Pick
+    the radius so bucket loads stay low-hundreds at the target corpus
+    size; the exact-Hamming verify keeps precision exact regardless."""
     if not 0 <= max_hamming <= 7:
         raise ValueError(
             f"max_hamming={max_hamming}: chunk blocking needs max_hamming+1 "
