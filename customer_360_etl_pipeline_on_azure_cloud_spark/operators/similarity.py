@@ -1878,7 +1878,13 @@ def pq_topk(
       2. ENCODE: one Arrow pass maps each corpus vector to m small
          codes — m bytes of quantized state per vector instead of
          d*8, the ~64x memory compression that lets a 100 TB vector
-         corpus live scan-resident where raw vectors cannot,
+         corpus live scan-resident where raw vectors cannot.
+         Resolution knob (r8, measured): subspace COUNT m beats
+         centroid count ksub per byte of code — on 20k-row
+         structure-free noise, m=16/ksub=16 reaches recall@5 0.92
+         where m=8/ksub=16 floors at 0.54 and m=8/ksub=256 needs 2x
+         the latency for 0.90 (ANN_RECALL_r8.json); pick the largest
+         m dividing d that your code-byte budget allows,
       3. ADC scan: per query a tiny (m x ksub) lookup table of
          partial squared distances is built driver-side (queries are
          a bounded set — the scalar-broadcast pattern); scoring the

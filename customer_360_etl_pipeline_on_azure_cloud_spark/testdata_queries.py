@@ -3387,12 +3387,19 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     FAISS-standard sample fit — whole-corpus distributed training is
     an INDEX-BUILD cost (write_ivfpq_index's default, amortized over
     every probe), not something a 100 TB deployment pays per query.
-    pq_topk also accepts ``codebooks=`` to reuse any precomputed fit."""
+    pq_topk also accepts ``codebooks=`` to reuse any precomputed fit.
+
+    m=16 subspaces (r8): subspace COUNT, not centroid count, is the
+    ADC resolution knob — on the 20k-row structure-free noise corpus
+    m=16/ksub=16 measures recall@5 0.92 vs 0.54 at m=8/ksub=16 while
+    ksub=256 at m=8 only reaches 0.90 at 2x the latency
+    (ANN_RECALL_r8.json); codes are 16 bytes/vector (32x compression
+    of the raw 64-dim doubles)."""
     from .operators.similarity import pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    approx = pq_topk(emb, queries, k=5)
+    approx = pq_topk(emb, queries, k=5, m=16)
     exact20 = cosine_topk_bruteforce(emb, queries, k=20)
     return _topk_vs_exact_summary(approx, exact20)
 
@@ -3421,12 +3428,20 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-time cost every subsequent probe amortizes
     (ann_topk_ivfpq_indexed exercises that path).  cosine_topk_ivfpq
     also accepts ``quantizers=(centroids, books)`` to reuse any
-    precomputed pair."""
+    precomputed pair.
+
+    m=16/ksub=64 residual books + nprobe=10 (r8): measured recall@5
+    on 20k-row structure-free noise 0.92 (vs 0.50 at the old
+    m=8/ksub=16/nprobe=6) with every returned neighbor inside the
+    exact top-8 on all four measured corpora — curve in
+    ANN_RECALL_r8.json."""
     from .operators.similarity import cosine_topk_ivfpq
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    approx = cosine_topk_ivfpq(emb, queries, k=5, n_centroids=16, nprobe=6)
+    approx = cosine_topk_ivfpq(
+        emb, queries, k=5, n_centroids=16, nprobe=10, m=16, ksub=64
+    )
     exact20 = cosine_topk_bruteforce(emb, queries, k=20)
     return _topk_vs_exact_summary(approx, exact20)
 

@@ -60,16 +60,26 @@ GRID = [
         )
         for n in (4, 6, 8, 10)
     ],
-    ("pq", "default", 0, lambda emb, q: pq_topk(emb, q, k=5)),
+    # PQ: subspace count m is the ADC resolution knob (r8) — m=16 is
+    # the registered-query configuration; m=8 rows show the old floor
+    ("pq", "m8_ksub16", 0, lambda emb, q: pq_topk(emb, q, k=5)),
+    ("pq", "m8_ksub64", 0, lambda emb, q: pq_topk(emb, q, k=5, ksub=64)),
+    ("pq", "m16_ksub16", 0, lambda emb, q: pq_topk(emb, q, k=5, m=16)),
     *[
         (
-            "ivfpq", "nprobe", n,
+            "ivfpq", "nprobe_m8k16", n,
             lambda emb, q, n=n: cosine_topk_ivfpq(
                 emb, q, k=5, n_centroids=16, nprobe=n
             ),
         )
-        for n in (6, 8, 10)
+        for n in (6, 10)
     ],
+    (
+        "ivfpq", "nprobe10_m16k64", 10,
+        lambda emb, q: cosine_topk_ivfpq(
+            emb, q, k=5, n_centroids=16, nprobe=10, m=16, ksub=64
+        ),
+    ),
 ]
 
 
@@ -130,8 +140,11 @@ def main() -> None:
         "defaults": {
             "lsh": {"nbits": 4, "tables": 8, "probes": 2},
             "ivf": {"n_centroids": 16, "nprobe": 10},
-            "pq": {"m": 8, "ksub": 16, "shortlist": "auto", "fit": "sample"},
-            "ivfpq": {"n_centroids": 16, "nprobe": 6, "fit": "sample"},
+            # registered-query configurations (library fn defaults keep
+            # m=8 because m must divide the corpus dim)
+            "pq": {"m": 16, "ksub": 16, "shortlist": "auto", "fit": "sample"},
+            "ivfpq": {"n_centroids": 16, "nprobe": 10, "m": 16, "ksub": 64,
+                      "fit": "sample"},
         },
     }
     with open(os.path.join(root, "ANN_RECALL_r8.json"), "w") as fh:
