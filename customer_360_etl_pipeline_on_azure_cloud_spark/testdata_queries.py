@@ -3480,10 +3480,13 @@ def q_ann_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrivals = emb.filter(F.col("vec_id") % 4 == 3)
     name = "q_ivfpq_incr"
     with phase("build"):
-        write_ivfpq_index(standing, name, n_centroids=16)
+        # m=16/ksub=64 residual books (r8 measured resolution point —
+        # see ann_topk_ivfpq); the fused distributed trainer's corpus
+        # passes are independent of m, so the build cost is unchanged
+        write_ivfpq_index(standing, name, n_centroids=16, m=16, ksub=64)
         append_ivfpq_index(arrivals, name)
     with phase("probe"):
-        approx = cosine_topk_ivfpq_indexed(name, emb, queries, k=5, nprobe=8)
+        approx = cosine_topk_ivfpq_indexed(name, emb, queries, k=5, nprobe=10)
         exact20 = cosine_topk_bruteforce(emb, queries, k=20)
         return _topk_vs_exact_summary(approx, exact20)
 

@@ -46,7 +46,7 @@ from customer_360_etl_pipeline_on_azure_cloud_spark.session import get_spark  # 
 #   corpus-specific-claim — the oracle hard-codes a fact measured on
 #     the DRIVER corpus (e.g. "every LSH/IVF result sits in the exact
 #     top-20") that the reseeded scale corpus does not satisfy
-#     (scripts/ann_recall.py measures the sf1 recall instead).
+#     (scripts/ann_recall_sweep.py measures the sf1 recall instead).
 EXCLUDED: dict[str, str] = {
     "doc_packing": (
         "oracle-cost: one-row-per-step recursive CTE replay, quadratic "
