@@ -225,6 +225,8 @@ BENCH_QUERIES = [
     "classifier_calibration",
     "point_in_time_features",
     "point_in_time_features_daily",
+    # round 8: exactly-once streaming JDBC delivery (full replay)
+    "streaming_exactly_once_jdbc",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

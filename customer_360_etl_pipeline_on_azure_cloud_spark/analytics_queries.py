@@ -5905,6 +5905,86 @@ ANALYTICS_QUERIES["streaming_sketch_rollup"] = (
 )
 
 
+def q_streaming_exactly_once_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming JDBC delivery, proven by a full disaster
+    replay (sinks.jdbc_exactly_once_sink — stage-then-promote with an
+    epoch ledger, r7 verdict item 6 made gate-visible): documents
+    arrive in 3 file-source micro-batches and land in an embedded-
+    Derby table through the sink; then the ENTIRE stream is re-run
+    from a FRESH checkpoint over the same arrivals — the worst
+    recovery case, every epoch redelivered — and the ledger turns
+    each redelivery into a no-op.  The returned per-bucket aggregate
+    over the DB table therefore equals exactly ONE copy of the
+    arrivals; any double-write breaks both n_docs and total_chars,
+    so the plain-SQL oracle is the exactly-once statement itself.
+
+    Scale notes: executors write only the batch-sized staging table
+    (parallel JDBC); the promote is one set-based INSERT-SELECT
+    inside the database + one ledger row per epoch, all in a single
+    transaction.  The Derby db name and ledger app_id derive from
+    sf_dir so scale factors never share state; a repeated invocation
+    in one session replays into the same ledger and is idempotent by
+    construction (the property under test)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sinks import jdbc_exactly_once_sink
+    from .streaming.incremental import run_foreach_batch, stream_file_source
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    subset = docs.filter(F.col("doc_id") < 3000)
+    tmp = tempfile.mkdtemp(prefix="c360_eo_jdbc_")
+    arrivals = os.path.join(tmp, "arrivals")
+    for r in range(3):
+        subset.filter(F.col("doc_id") % 3 == r).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    url = f"jdbc:derby:memory:eo{tag};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    sink = jdbc_exactly_once_sink(
+        url, "eo_docs", app_id=f"eo{tag}", driver=driver
+    )
+    stream = stream_file_source(
+        spark, arrivals, subset.schema, max_files_per_trigger=1
+    )
+    run_foreach_batch(stream, os.path.join(tmp, "ckpt1"), sink)
+    # disaster replay: fresh checkpoint, same arrivals, same app_id —
+    # Structured Streaming redelivers epochs 0..2; each must no-op
+    stream2 = stream_file_source(
+        spark, arrivals, subset.schema, max_files_per_trigger=1
+    )
+    run_foreach_batch(stream2, os.path.join(tmp, "ckpt2"), sink)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "eo_docs")
+        .option("driver", driver)
+        .load()
+    )
+    return back.groupBy((F.col("doc_id") % 5).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SQL_STREAMING_EXACTLY_ONCE_JDBC = """
+SELECT doc_id % 5 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id < 3000
+GROUP BY 1
+"""
+
+ANALYTICS_QUERIES["streaming_exactly_once_jdbc"] = (
+    q_streaming_exactly_once_jdbc,
+    SQL_STREAMING_EXACTLY_ONCE_JDBC,
+)
+
+
 # --- point-in-time (leakage-safe) feature join -----------------------------------
 
 
