@@ -9,7 +9,7 @@ cells, broadcast incremental probe) grows ~linearly in corpus size,
 while the labeled-exact paths (uncapped Jaccard) may not — that is why
 they carry caps/LSH scale paths.
 
-Writes SCALE_r7.json and prints a markdown table for the round notes.
+Writes SCALE_r8.json and prints a markdown table for the round notes.
 """
 
 from __future__ import annotations
@@ -160,7 +160,7 @@ def main() -> None:
     prior = {}
     # subset runs merge into the current round's artifact (falling back
     # to the previous round's as the base)
-    for cand in ("SCALE_r7.json", "SCALE_r6.json", "SCALE_r5.json"):
+    for cand in ("SCALE_r8.json", "SCALE_r7.json", "SCALE_r6.json", "SCALE_r5.json"):
         prior_path = os.path.join(root, cand)
         if only and os.path.exists(prior_path):
             with open(prior_path) as fh:
@@ -190,7 +190,7 @@ def main() -> None:
         print(name, rec, flush=True)
 
     merged = {**prior, **out} if prior else out
-    with open(os.path.join(root, "SCALE_r7.json"), "w") as fh:
+    with open(os.path.join(root, "SCALE_r8.json"), "w") as fh:
         json.dump(merged, fh, indent=1)
         fh.write("\n")
 
