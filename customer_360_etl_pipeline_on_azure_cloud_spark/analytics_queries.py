@@ -5921,13 +5921,15 @@ def q_streaming_exactly_once_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale notes: executors write only the batch-sized staging table
     (parallel JDBC); the promote is one set-based INSERT-SELECT
     inside the database + one ledger row per epoch, all in a single
-    transaction.  The Derby db name and ledger app_id derive from
-    sf_dir so scale factors never share state; a repeated invocation
-    in one session replays into the same ledger and is idempotent by
-    construction (the property under test)."""
-    import hashlib
+    transaction.  Each invocation uses a FRESH in-memory Derby db +
+    app_id (uuid) so every run measures the real delivery path — a
+    shared ledger would turn bench passes 2+ into pure no-op skips
+    (r8 review finding) — and drops the db afterward; the in-RUN
+    replay (second stream below) is what exercises the ledger-skip
+    path."""
     import os
     import tempfile
+    import uuid
 
     from .sinks import jdbc_exactly_once_sink
     from .streaming.incremental import run_foreach_batch, stream_file_source
@@ -5942,7 +5944,7 @@ def q_streaming_exactly_once_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame
         subset.filter(F.col("doc_id") % 3 == r).coalesce(1).write.mode(
             "append"
         ).parquet(arrivals)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = uuid.uuid4().hex[:12]
     url = f"jdbc:derby:memory:eo{tag};create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     sink = jdbc_exactly_once_sink(
@@ -5965,10 +5967,20 @@ def q_streaming_exactly_once_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("driver", driver)
         .load()
     )
-    return back.groupBy((F.col("doc_id") % 5).alias("bucket")).agg(
+    out = back.groupBy((F.col("doc_id") % 5).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+    rows = out.collect()  # materialize before dropping the backing db
+    # drop the per-invocation in-memory db (Derby signals a successful
+    # in-memory drop with SQLException 08006 on the connect attempt)
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:memory:eo{tag};drop=true"
+        )
+    except Exception:  # noqa: BLE001 - 08006 IS the success signal
+        pass
+    return spark.createDataFrame(rows, out.schema)
 
 
 SQL_STREAMING_EXACTLY_ONCE_JDBC = """

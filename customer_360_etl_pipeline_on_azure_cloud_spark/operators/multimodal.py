@@ -119,18 +119,18 @@ def _pil_decode(Image, content: bytes) -> tuple[list, int, int]:
     interlaced PNG): those decode here and stub elsewhere."""
     import io
 
+    import numpy as np
+
     img = Image.open(io.BytesIO(content)).convert("RGB")
     w, h = img.size
-    px = list(img.getdata())
-    lum_rows = [
-        [
-            (px[y * w + x][0] * 299 + px[y * w + x][1] * 587 + px[y * w + x][2] * 114)
-            // 1000
-            for x in range(w)
-        ]
-        for y in range(h)
-    ]
-    return _grid_feature(lum_rows, w, h), w, h
+    # vectorized integer luma: getdata() works for PIL Images and test
+    # stubs alike; per-pixel Python loops at native resolution were the
+    # r8 review's decode-hot-path finding (a 24MP image is 24M tuples)
+    arr = np.asarray(list(img.getdata()), dtype=np.int64).reshape(h, w, 3)
+    lum = (
+        arr[..., 0] * 299 + arr[..., 1] * 587 + arr[..., 2] * 114
+    ) // 1000
+    return _grid_feature(lum.tolist(), w, h), w, h
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

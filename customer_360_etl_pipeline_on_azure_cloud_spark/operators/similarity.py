@@ -156,7 +156,6 @@ def make_hyperplanes(dim: int, nbits: int = 12, seed: int = 7) -> list[list[floa
 def srp_buckets_multiprobe(
     df: DataFrame,
     tables_hps: list[list[list[float]]],
-    id_col: str,
     probes: int,
     vec_col: str = "__vec",
     out_col: str = "__buckets",
@@ -182,7 +181,6 @@ def srp_buckets_multiprobe(
     Output rows carry ``out_col`` = array of L arrays of (1+probes)
     bucket ids (base first).
     """
-    import pandas as pd
     from pyspark.sql import types as T
 
     H = np.vstack([np.asarray(t, dtype=np.float64) for t in tables_hps])
@@ -267,7 +265,7 @@ def cosine_topk_lsh(
         if id_alias == "query_id" and probes > 0:
             # query side fans out to the multi-probe bucket lists
             bk = srp_buckets_multiprobe(
-                e, tbls, id_col=id_alias, probes=probes, vec_col=vec_alias
+                e, tbls, probes=probes, vec_col=vec_alias
             )
             return bk.select(
                 id_alias,

@@ -61,8 +61,10 @@ def jdbc_exactly_once_sink(
     delivery idempotent with the stage-then-promote pattern:
 
       1. REPLAY CHECK — the epoch ledger ``epoch_table`` (app_id,
-         epoch) is consulted; an already-committed epoch returns
-         immediately (the whole handler is a no-op on replay).
+         epoch, batch fingerprint) is consulted; an already-committed
+         epoch whose CONTENT matches returns immediately (no-op), and
+         one whose content DIVERGED raises loudly rather than
+         silently dropping the new rows (see "replay contract").
       2. STAGE — the batch is written through Spark's parallel JDBC
          writer (``numPartitions``/``batchsize`` as in
          :func:`write_jdbc`) into a per-app staging table with
@@ -78,18 +80,44 @@ def jdbc_exactly_once_sink(
          PRIMARY KEY and rolls back — at most one promote per epoch
          can ever commit.
 
+    Replay contract: exactly-once composes from (a) this sink's
+    idempotence per (app_id, epoch_id) and (b) the source redelivering
+    the SAME rows under the same epoch_id — which Structured Streaming
+    guarantees when restarting FROM THE SAME CHECKPOINT.  A
+    fresh-checkpoint restart renumbers epochs from 0, and if the
+    source's batch composition changed meanwhile (new files arrived,
+    different rate limits), epoch 0 no longer means the same rows.
+    The ledger therefore stores an order-insensitive CONTENT
+    fingerprint (row count + summed row-hash, one cheap aggregate per
+    batch) and the replay check compares it: identical content
+    no-ops; diverged content raises ``RuntimeError`` so the operator
+    re-points the stream at a new ``app_id`` (or restores the
+    checkpoint) instead of losing rows silently.
+
+    Dialect notes: table-existence is probed with a dialect-free
+    ``SELECT ... WHERE 1=0`` (never by matching error-message text);
+    the target bootstrap tries the standard ``CREATE TABLE ... AS
+    SELECT ... WITH NO DATA`` (Derby/PostgreSQL/standard) and falls
+    back to T-SQL ``SELECT * INTO ... WHERE 1=0`` (SQL Server) — or
+    pre-create the target yourself and neither runs.
+
     Scale notes: the stage table is batch-sized, not table-sized; the
     promote is one set-based INSERT-SELECT inside the database (no
-    row round-trips through the driver); micro-batches are delivered
-    serially per query, so one stage table per ``app_id`` suffices.
-    ``app_id`` must be unique per (streaming query, target) — it is
-    the ledger key that separates two streams writing the same DB.
+    row round-trips through the driver); the fingerprint is one
+    map-side-combinable aggregate over the batch; micro-batches are
+    delivered serially per query, so one stage table per ``app_id``
+    suffices.  ``app_id`` must be unique per (streaming query,
+    target) — it is the ledger key that separates two streams writing
+    the same DB.
 
     Returns a ``handle(batch_df, epoch_id)`` callable for
     ``run_foreach_batch`` / ``DataStreamWriter.foreachBatch``.
-    Tested end-to-end on embedded Derby with deliberate replays
+    Tested end-to-end on embedded Derby with deliberate replays,
+    orphan-stage healing, and content-divergence detection
     (tests/test_jdbc_foreachbatch.py).
     """
+    from pyspark.sql import functions as F
+
     stage_table = f"{target_table}_stage_{app_id}"
 
     def _connect(jvm):
@@ -99,39 +127,79 @@ def jdbc_exactly_once_sink(
             return dm.getConnection(url, user, password)
         return dm.getConnection(url)
 
-    def _execute_ignore_exists(conn, sql: str) -> None:
+    def _table_exists(conn, table: str) -> bool:
+        # dialect-free existence probe: a zero-row SELECT succeeds iff
+        # the table exists (never parse error-message text — the
+        # "already exists" wording is engine- and locale-specific)
+        st = conn.createStatement()
+        try:
+            st.execute(f"SELECT 1 FROM {table} WHERE 1=0")
+            return True
+        except Exception:  # noqa: BLE001
+            return False
+        finally:
+            st.close()
+
+    def _execute(conn, sql: str) -> None:
         st = conn.createStatement()
         try:
             st.execute(sql)
-        except Exception as exc:  # noqa: BLE001 - "already exists" is fine
-            if "exists" not in str(exc).lower():
-                raise
         finally:
             st.close()
+
+    def _fingerprint(batch_df: DataFrame) -> tuple[int, str]:
+        # order-insensitive content fingerprint: row count + the sum of
+        # per-row 48-bit md5 prefixes over all columns, exact in
+        # decimal(38,0) — one map-side-combinable aggregate
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\u0001", *batch_df.columns)), 1, 12
+            ),
+            16,
+            10,
+        ).cast("decimal(38,0)")
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(h).alias("hs")
+        ).collect()[0]
+        return int(row["n"]), str(row["hs"] or 0)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         jvm = spark._jvm
+        n_rows, content_fp = _fingerprint(batch_df)
+        fp = f"{n_rows}:{content_fp}"
         conn = _connect(jvm)
         try:
             conn.setAutoCommit(True)
-            _execute_ignore_exists(
-                conn,
-                f"CREATE TABLE {epoch_table} ("
-                "app VARCHAR(128) NOT NULL, epoch BIGINT NOT NULL, "
-                "PRIMARY KEY (app, epoch))",
-            )
+            if not _table_exists(conn, epoch_table):
+                _execute(
+                    conn,
+                    f"CREATE TABLE {epoch_table} ("
+                    "app VARCHAR(128) NOT NULL, epoch BIGINT NOT NULL, "
+                    "fp VARCHAR(64) NOT NULL, PRIMARY KEY (app, epoch))",
+                )
             ps = conn.prepareStatement(
-                f"SELECT 1 FROM {epoch_table} WHERE app = ? AND epoch = ?"
+                f"SELECT fp FROM {epoch_table} WHERE app = ? AND epoch = ?"
             )
             ps.setString(1, app_id)
             ps.setLong(2, int(epoch_id))
             rs = ps.executeQuery()
-            seen = rs.next()
+            seen_fp = rs.getString(1) if rs.next() else None
             rs.close()
             ps.close()
-            if seen:  # replayed epoch: already promoted, exactly-once no-op
-                return
+            if seen_fp is not None:
+                if seen_fp == fp:
+                    return  # true replay: already promoted, no-op
+                raise RuntimeError(
+                    f"jdbc_exactly_once_sink: epoch {epoch_id} of app "
+                    f"{app_id!r} was already committed with content "
+                    f"fingerprint {seen_fp} but is being redelivered "
+                    f"with {fp} — the stream was restarted from a "
+                    "fresh checkpoint over CHANGED source batches. "
+                    "Refusing to silently drop the new rows: restore "
+                    "the original checkpoint, or write the re-run "
+                    "under a new app_id (new ledger namespace)."
+                )
             # stage (parallel, overwrite heals any crashed prior attempt)
             write_jdbc(
                 batch_df,
@@ -146,11 +214,19 @@ def jdbc_exactly_once_sink(
                 truncate=False,
             )
             # first epoch bootstraps the target with the stage's schema
-            _execute_ignore_exists(
-                conn,
-                f"CREATE TABLE {target_table} AS SELECT * FROM "
-                f"{stage_table} WITH NO DATA",
-            )
+            if not _table_exists(conn, target_table):
+                try:
+                    _execute(
+                        conn,
+                        f"CREATE TABLE {target_table} AS SELECT * FROM "
+                        f"{stage_table} WITH NO DATA",
+                    )
+                except Exception:  # noqa: BLE001 - T-SQL fallback
+                    _execute(
+                        conn,
+                        f"SELECT * INTO {target_table} FROM "
+                        f"{stage_table} WHERE 1=0",
+                    )
             # atomic promote: data move + ledger row in ONE transaction
             conn.setAutoCommit(False)
             st = conn.createStatement()
@@ -159,10 +235,12 @@ def jdbc_exactly_once_sink(
                     f"INSERT INTO {target_table} SELECT * FROM {stage_table}"
                 )
                 ps2 = conn.prepareStatement(
-                    f"INSERT INTO {epoch_table} (app, epoch) VALUES (?, ?)"
+                    f"INSERT INTO {epoch_table} (app, epoch, fp) "
+                    "VALUES (?, ?, ?)"
                 )
                 ps2.setString(1, app_id)
                 ps2.setLong(2, int(epoch_id))
+                ps2.setString(3, fp)
                 ps2.executeUpdate()
                 ps2.close()
                 conn.commit()
@@ -172,7 +250,8 @@ def jdbc_exactly_once_sink(
             finally:
                 st.close()
             conn.setAutoCommit(True)
-            _execute_ignore_exists(conn, f"DROP TABLE {stage_table}")
+            if _table_exists(conn, stage_table):
+                _execute(conn, f"DROP TABLE {stage_table}")
         finally:
             conn.close()
 

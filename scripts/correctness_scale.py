@@ -143,6 +143,15 @@ def main() -> None:
     missing = [q for q in EXCLUDED if q not in queries]
     assert not missing, f"EXCLUDED names not in registry: {missing}"
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    if only:
+        # a requested name that is excluded or unknown must FAIL loudly:
+        # a silent no-op run rewrites the artifact unchanged and reads
+        # as "re-verified" when nothing ran (r8 review finding)
+        requested = only.split(",")
+        bad = [q for q in requested if q in EXCLUDED or q not in queries]
+        assert not bad, (
+            f"SPARK_GRAFT_SCALE_ONLY names excluded or unknown: {bad}"
+        )
     names = [
         q for q in queries
         if q not in EXCLUDED and (not only or q in only.split(","))

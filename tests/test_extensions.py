@@ -152,9 +152,7 @@ def test_lsh_multiprobe_dominates_single_probe(emb):
     e = with_norm(queries, "embedding").select(
         F.col("vec_id"), F.col("__vec")
     )
-    row = srp_buckets_multiprobe(
-        e, tbls, id_col="vec_id", probes=2
-    ).first()
+    row = srp_buckets_multiprobe(e, tbls, probes=2).first()
     assert len(row["__buckets"]) == 3
     for per_table in row["__buckets"]:
         assert len(per_table) == 3

@@ -176,3 +176,11 @@ def test_jdbc_exactly_once_sink_survives_replay(spark):
     )
     sink2(df2, 0)
     assert _derby_count(spark, "eo_target") == 6
+
+    # content-divergence detection: redelivering a COMMITTED epoch with
+    # DIFFERENT rows (fresh-checkpoint restart over changed source
+    # batches) must raise loudly, never silently drop the new rows
+    diverged = spark.createDataFrame([(6, 60.0), (7, 70.0)], ["id", "v"])
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        sink(diverged, 2)
+    assert _derby_count(spark, "eo_target") == 6  # nothing was written
