@@ -5940,10 +5940,24 @@ def q_streaming_exactly_once_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame
     subset = docs.filter(F.col("doc_id") < 3000)
     tmp = tempfile.mkdtemp(prefix="c360_eo_jdbc_")
     arrivals = os.path.join(tmp, "arrivals")
+    # pin strictly increasing, well-separated mtimes per arrival file:
+    # the file source orders unread files by modification time, and the
+    # fingerprinted ledger (correctly) RAISES if a replay pairs an
+    # epoch with different content — so the file->epoch mapping must be
+    # a total order, never a same-millisecond tie broken by listing
+    # luck
+    import glob
+
+    seen: set[str] = set()
     for r in range(3):
         subset.filter(F.col("doc_id") % 3 == r).coalesce(1).write.mode(
             "append"
         ).parquet(arrivals)
+        stamp = 1_700_000_000 + r * 60
+        for f in glob.glob(os.path.join(arrivals, "*.parquet")):
+            if f not in seen:
+                os.utime(f, (stamp, stamp))
+                seen.add(f)
     tag = uuid.uuid4().hex[:12]
     url = f"jdbc:derby:memory:eo{tag};create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
