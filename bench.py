@@ -225,8 +225,10 @@ BENCH_QUERIES = [
     "classifier_calibration",
     "point_in_time_features",
     "point_in_time_features_daily",
-    # round 8: exactly-once streaming JDBC delivery (full replay)
+    # round 8: exactly-once streaming JDBC delivery (full replay),
+    # forward as-of join
     "streaming_exactly_once_jdbc",
+    "asof_next_purchase",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -112,6 +112,78 @@ def asof_join_backward(
     return out
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: Iterable[str] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join, FORWARD direction: for every left row, attach the
+    EARLIEST right row of the same ``by`` key with ``right_ts >=
+    left_ts`` (inclusive) — "the next quote after each trade", the
+    mirror of :func:`asof_join_backward` (pandas
+    ``merge_asof(direction='forward')`` semantics).
+
+    Same scalable union-window construction, mirrored:
+
+    1. tag and union both sides (LEFT rows sort before right rows at
+       equal timestamps, making the match inclusive),
+    2. one window over (by) ordered by (ts, tag) with a
+       currentRow..unboundedFollowing frame: running ``min(struct(
+       right_ts, right_values...))`` — nulls (left rows) are ignored
+       by min, so each left row sees the earliest right payload at or
+       after its timestamp,
+    3. keep left rows.
+
+    Tiebreak convention: at equal ``right_ts`` the struct min picks
+    the row with the SMALLEST ``right_values`` (lexicographic), the
+    mirror of backward's max-picks-largest — both are total orders,
+    so results are split-invariant.  Cost: ONE shuffle on ``by`` +
+    per-partition sort, identical to the backward form.
+    """
+    from pyspark.sql import Window
+
+    rv = list(right_values)
+    right_struct = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in rv]
+    )
+    left_struct = F.struct(*[F.col(c) for c in left.columns])
+    right_struct_type = right.select(right_struct.alias("s")).schema["s"].dataType
+    left_struct_type = left.select(left_struct.alias("s")).schema["s"].dataType
+
+    l_tag = left.select(
+        F.col(by).alias("__by"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        left_struct.alias("__left"),
+        F.lit(None).cast(right_struct_type).alias("__right"),
+    )
+    r_tag = right.select(
+        F.col(by).alias("__by"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(left_struct_type).alias("__left"),
+        right_struct.alias("__right"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("__by")
+        .orderBy(F.col("__ts"), F.col("__tag"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = unioned.withColumn("__next", F.min("__right").over(w)).filter(
+        F.col("__tag") == 0
+    )
+    return matched.select(
+        "__left.*",
+        F.col("__next.__rts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__next.{c}").alias(f"{c}{suffix}") for c in rv],
+    )
+
+
 def positional_zip(
     left: DataFrame,
     right: DataFrame,

@@ -1202,6 +1202,52 @@ FROM clicks c
 """
 
 
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/joins.py asof_join_forward, r8):
+    for every click, the EARLIEST purchase by the same user at or
+    after the click — the mirror of asof_last_purchase, completing
+    pandas merge_asof's direction surface (backward/forward) with the
+    same one-shuffle union-window construction.  Tiebreak at equal
+    timestamps: smallest purchase_id (struct-min convention, the
+    mirror of backward's struct-max), stated identically in the
+    oracle."""
+    from .operators.joins import asof_join_forward
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join_forward(
+        clicks, buys, by="user_id", left_ts="ts", right_ts="pts",
+        right_values=["purchase_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("pts_asof")).alias("next_purchase_us"),
+        F.col("purchase_id_asof").alias("next_purchase_id"),
+    )
+
+
+SQL_ASOF_NEXT_PURCHASE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), buys AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id,
+  (SELECT epoch_us(MIN(b.ts)) FROM buys b
+    WHERE b.user_id = c.user_id AND b.ts >= c.ts) AS next_purchase_us,
+  (SELECT b.event_id FROM buys b
+    WHERE b.user_id = c.user_id AND b.ts >= c.ts
+    ORDER BY b.ts ASC, b.event_id ASC LIMIT 1) AS next_purchase_id
+FROM clicks c
+"""
+
+
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window (lag): microsecond gap to the previous event per
     user — integer epoch arithmetic, engine-exact."""
@@ -1311,6 +1357,7 @@ MORE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         SQL_USERS_CLICK_NOT_PURCHASE,
     ),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
+    "asof_next_purchase": (q_asof_next_purchase, SQL_ASOF_NEXT_PURCHASE),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
     "sessionized_events": (q_sessionized_events, SQL_SESSIONIZED_EVENTS),
     "event_time_buckets": (q_event_time_buckets, SQL_EVENT_TIME_BUCKETS),

@@ -50,6 +50,57 @@ def test_asof_backward_basic_and_inclusive(spark):
     assert out["e3"]["val_asof"] is None and out["e3"]["rts_asof"] is None
 
 
+def test_asof_forward_basic_inclusive_and_tiebreak(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.joins import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [("u1", ts(10), "e1"), ("u1", ts(30), "e2"), ("u2", ts(9), "e3"),
+         ("u2", ts(50), "e4")],
+        ["uid", "lts", "eid"],
+    )
+    right = spark.createDataFrame(
+        [("u1", ts(10), 100), ("u1", ts(20), 200), ("u1", ts(20), 150),
+         ("u2", ts(6), 300)],
+        ["uid", "rts", "val"],
+    )
+    out = {
+        r["eid"]: r.asDict()
+        for r in asof_join_forward(
+            left, right, by="uid", left_ts="lts", right_ts="rts",
+            right_values=["val"],
+        ).collect()
+    }
+    # equal timestamps match (inclusive forward)
+    assert out["e1"]["val_asof"] == 100 and out["e1"]["rts_asof"] == ts(10)
+    # earliest at-or-after wins; equal-rts tie -> SMALLEST value struct
+    assert out["e2"]["val_asof"] is None  # nothing at/after ts(30) for u1
+    # no right row at or after -> nulls
+    assert out["e4"]["val_asof"] is None and out["e4"]["rts_asof"] is None
+    # e3 at ts(9): u2's only right row is ts(6) < ts(9) -> null
+    assert out["e3"]["val_asof"] is None
+
+    left2 = spark.createDataFrame([("u1", ts(15), "x")], ["uid", "lts", "eid"])
+    got = asof_join_forward(
+        left2, right, by="uid", left_ts="lts", right_ts="rts",
+        right_values=["val"],
+    ).first()
+    # two right rows at ts(20): struct-min tiebreak picks val=150
+    assert got["rts_asof"] == ts(20) and got["val_asof"] == 150
+
+    # split invariance
+    a = sorted(map(tuple, asof_join_forward(
+        left.repartition(5), right.repartition(3), by="uid",
+        left_ts="lts", right_ts="rts", right_values=["val"],
+    ).collect()))
+    b = sorted(map(tuple, asof_join_forward(
+        left, right, by="uid", left_ts="lts", right_ts="rts",
+        right_values=["val"],
+    ).collect()))
+    assert a == b
+
+
 def test_sessionize_gap_boundaries(spark):
     rows = [
         ("u1", ts(0), 1),
