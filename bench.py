@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     # forward as-of join
     "streaming_exactly_once_jdbc",
     "asof_next_purchase",
+    "asof_nearest_purchase",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

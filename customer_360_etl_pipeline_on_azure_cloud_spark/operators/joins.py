@@ -184,6 +184,98 @@ def asof_join_forward(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: Iterable[str] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join, NEAREST direction: for every left row, the right row
+    of the same ``by`` key minimizing ``|right_ts - left_ts|``, ties
+    toward the BACKWARD (at-or-before) side — pandas
+    ``merge_asof(direction='nearest')`` semantics.  Completes the
+    direction trio with :func:`asof_join_backward` /
+    :func:`asof_join_forward`.
+
+    ONE shuffle + ONE sort: both candidate frames ride the same
+    union-window pass — a running ``max(right_struct)`` over the
+    preceding frame (backward candidate) and a ``min(right_struct)``
+    over the following frame (forward candidate) share the window's
+    (by) partitioning and (ts, tag) ordering, so Catalyst plans a
+    single Exchange+Sort with two Window operators stacked on it.
+    Right rows sort BEFORE left rows at equal timestamps, so an
+    equal-timestamp match lands in the backward frame at distance 0 —
+    which wins every nearest comparison, making the forward frame's
+    exclusive boundary at equal ts harmless.
+
+    Per-side tiebreaks at equal ``right_ts`` follow each direction's
+    struct-order convention (backward: largest values; forward:
+    smallest values) — total orders, split-invariant.
+    """
+    from pyspark.sql import Window
+
+    rv = list(right_values)
+    right_struct = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in rv]
+    )
+    left_struct = F.struct(*[F.col(c) for c in left.columns])
+    right_struct_type = right.select(right_struct.alias("s")).schema["s"].dataType
+    left_struct_type = left.select(left_struct.alias("s")).schema["s"].dataType
+
+    l_tag = left.select(
+        F.col(by).alias("__by"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        left_struct.alias("__left"),
+        F.lit(None).cast(right_struct_type).alias("__right"),
+    )
+    r_tag = right.select(
+        F.col(by).alias("__by"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(left_struct_type).alias("__left"),
+        right_struct.alias("__right"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    order = [F.col("__ts"), F.col("__tag")]
+    wb = (
+        Window.partitionBy("__by")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__by")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    cand = (
+        unioned.withColumn("__back", F.max("__right").over(wb))
+        .withColumn("__fwd", F.min("__right").over(wf))
+        .filter(F.col("__tag") == 1)
+    )
+    # native subtraction keeps full precision for every ts type:
+    # timestamps compare as day-time INTERVALs (microsecond-exact),
+    # numerics as numerics — never cast("long"), which truncates
+    # timestamps to SECONDS and would misjudge sub-second distances
+    d_back = F.col("__ts") - F.col("__back.__rts")
+    d_fwd = F.col("__fwd.__rts") - F.col("__ts")
+    chosen = (
+        F.when(F.col("__back").isNull(), F.col("__fwd"))
+        .when(F.col("__fwd").isNull(), F.col("__back"))
+        .when(d_back <= d_fwd, F.col("__back"))  # tie -> backward
+        .otherwise(F.col("__fwd"))
+    )
+    picked = cand.withColumn("__pick", chosen)
+    return picked.select(
+        "__left.*",
+        F.col("__pick.__rts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__pick.{c}").alias(f"{c}{suffix}") for c in rv],
+    )
+
+
 def positional_zip(
     left: DataFrame,
     right: DataFrame,

@@ -1248,6 +1248,62 @@ FROM clicks c
 """
 
 
+def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (operators/joins.py asof_join_nearest, r8):
+    for every click, the purchase by the same user closest in time,
+    ties toward the at-or-before side — pandas merge_asof
+    direction='nearest', completing the backward/forward/nearest trio.
+    One shuffle + one sort: both direction frames ride the same
+    union-window pass.  Tiebreaks are total orders stated identically
+    in the oracle: distance first, backward-beats-forward at equal
+    distance, then each side's struct-order convention (backward:
+    largest purchase_id; forward: smallest)."""
+    from .operators.joins import asof_join_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join_nearest(
+        clicks, buys, by="user_id", left_ts="ts", right_ts="pts",
+        right_values=["purchase_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("pts_asof")).alias("nearest_purchase_us"),
+        F.col("purchase_id_asof").alias("nearest_purchase_id"),
+    )
+
+
+SQL_ASOF_NEAREST_PURCHASE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), buys AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), pick AS (
+  SELECT c.event_id, c.user_id,
+    (SELECT epoch_us(b.ts) FROM buys b WHERE b.user_id = c.user_id
+      ORDER BY abs(epoch_us(b.ts) - epoch_us(c.ts)) ASC,
+               (b.ts > c.ts) ASC,
+               CASE WHEN b.ts <= c.ts THEN -b.event_id
+                    ELSE b.event_id END ASC
+      LIMIT 1) AS nearest_purchase_us,
+    (SELECT b.event_id FROM buys b WHERE b.user_id = c.user_id
+      ORDER BY abs(epoch_us(b.ts) - epoch_us(c.ts)) ASC,
+               (b.ts > c.ts) ASC,
+               CASE WHEN b.ts <= c.ts THEN -b.event_id
+                    ELSE b.event_id END ASC
+      LIMIT 1) AS nearest_purchase_id
+  FROM clicks c
+)
+SELECT event_id, user_id, nearest_purchase_us, nearest_purchase_id FROM pick
+"""
+
+
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window (lag): microsecond gap to the previous event per
     user — integer epoch arithmetic, engine-exact."""
@@ -1358,6 +1414,10 @@ MORE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
     "asof_next_purchase": (q_asof_next_purchase, SQL_ASOF_NEXT_PURCHASE),
+    "asof_nearest_purchase": (
+        q_asof_nearest_purchase,
+        SQL_ASOF_NEAREST_PURCHASE,
+    ),
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
     "sessionized_events": (q_sessionized_events, SQL_SESSIONIZED_EVENTS),
     "event_time_buckets": (q_event_time_buckets, SQL_EVENT_TIME_BUCKETS),

@@ -101,6 +101,59 @@ def test_asof_forward_basic_inclusive_and_tiebreak(spark):
     assert a == b
 
 
+def test_asof_nearest_distance_and_backward_tie(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [
+            ("u1", ts(10), "equal"),     # exact-ts match -> distance 0
+            ("u1", ts(14), "closer_b"),  # back 4 min vs fwd 6 min
+            ("u1", ts(15), "tie"),       # 5 min both ways -> backward
+            ("u1", ts(17), "closer_f"),  # back 7 min vs fwd 3 min
+            ("u2", ts(30), "only_b"),    # nothing after
+            ("u3", ts(1), "only_f"),     # nothing before
+            ("u4", ts(9), "none"),       # no purchases at all
+        ],
+        ["uid", "lts", "eid"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", ts(10), 100),
+            ("u1", ts(20), 200),
+            ("u2", ts(5), 300),
+            ("u3", ts(8), 400),
+        ],
+        ["uid", "rts", "val"],
+    )
+    out = {
+        r["eid"]: r.asDict()
+        for r in asof_join_nearest(
+            left, right, by="uid", left_ts="lts", right_ts="rts",
+            right_values=["val"],
+        ).collect()
+    }
+    assert out["equal"]["val_asof"] == 100
+    assert out["closer_b"]["val_asof"] == 100
+    assert out["tie"]["val_asof"] == 100        # tie -> backward
+    assert out["closer_f"]["val_asof"] == 200
+    assert out["only_b"]["val_asof"] == 300
+    assert out["only_f"]["val_asof"] == 400
+    assert out["none"]["val_asof"] is None
+
+    # split invariance
+    a = sorted(map(tuple, asof_join_nearest(
+        left.repartition(7), right.repartition(2), by="uid",
+        left_ts="lts", right_ts="rts", right_values=["val"],
+    ).collect()))
+    b = sorted(map(tuple, asof_join_nearest(
+        left, right, by="uid", left_ts="lts", right_ts="rts",
+        right_values=["val"],
+    ).collect()))
+    assert a == b
+
+
 def test_sessionize_gap_boundaries(spark):
     rows = [
         ("u1", ts(0), 1),
