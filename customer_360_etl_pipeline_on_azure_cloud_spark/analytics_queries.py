@@ -6155,3 +6155,436 @@ ANALYTICS_QUERIES["point_in_time_features_daily"] = (
     q_point_in_time_features_daily,
     SQL_POINT_IN_TIME_FEATURES_DAILY,
 )
+
+
+# --- multi-source BFS hop distances ------------------------------------------
+
+
+def q_part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius BFS (operators/graph.py bfs_hops): minimum hop
+    count from the 3 lowest-keyed parts to every part reachable within
+    4 hops of the co-purchase graph (parts linked when they share an
+    order).  This is the recall-expansion primitive corpus curation
+    uses ("also pull everything within k links of a flagged item") and
+    the affinity-tier signal a warehouse uses around a seed product —
+    the distance answer that components (reachable at all) and
+    PageRank (central) don't give.
+
+    Scale notes: edges build from ONE shuffle of the (orderkey,
+    partkey) projection with the in-row pair expansion part_pagerank
+    measured ~35% faster than a self-join; per BFS round one
+    frontier⋈edges join + one vertex-sized anti-join (see bfs_hops
+    docstring for why the anti-join keeps work O(boundary) not
+    O(paths)).  Hop counts are integers and distances are unique
+    minima, so the result is partitioning-independent and the oracle
+    replays the textbook recursion (recursive CTE) rather than this
+    frontier formulation — two independent constructions of the same
+    fixpoint.
+    """
+    from .operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> "
+                    "transform(ps, y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    seeds = li.select("l_partkey").distinct().orderBy("l_partkey").limit(3)
+    # the in-row expansion emits both directions -> skip the union
+    hops = bfs_hops(
+        pairs, seeds, max_hops=4, src="src", dst="dst",
+        assume_symmetric=True, dedup_edges=False,
+    )
+    return hops.select(
+        F.col("id").alias("part_id"), F.col("hops").cast("int").alias("hops")
+    )
+
+
+SQL_PART_BFS_HOPS = """
+-- Replays BFS as the textbook recursive closure: every walk extension
+-- within 4 hops (UNION dedups identical (id, hops) rows, bounding the
+-- recursion), then MIN(hops) per vertex — an independent formulation
+-- of the frontier/anti-join fixpoint the engine computes.
+WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+seeds AS (SELECT DISTINCT l_partkey AS id FROM li ORDER BY 1 LIMIT 3),
+walk AS (
+  SELECT id, 0 AS hops FROM seeds
+  UNION
+  SELECT p.v AS id, w.hops + 1 AS hops
+  FROM walk w JOIN pairs p ON p.u = w.id
+  WHERE w.hops < 4
+)
+SELECT id AS part_id, CAST(MIN(hops) AS INT) AS hops
+FROM walk GROUP BY id
+"""
+
+ANALYTICS_QUERIES["part_bfs_hops"] = (q_part_bfs_hops, SQL_PART_BFS_HOPS)
+
+
+# --- OHLC time-bucket resampling ---------------------------------------------
+
+
+def q_event_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: per (event_type, hour) bar over the events
+    fact — open/close (first/last value by the total (ts, event_id)
+    order) and high/low/volume.  The downsampling primitive every
+    time-series store ships (candlesticks, sensor rollups, metric
+    bars), expressed as ONE aggregate: min_by/max_by over the unique
+    (ts, event_id) struct gives first/last WITHOUT a window — no sort,
+    no per-key row_number pass, map-side combinable, one shuffle on
+    the (type, bucket) key.  At 100 TB this is the difference between
+    a partial-aggregated scan and a full fact sort.
+
+    open/high/low/close are COPIES of stored doubles (no float
+    arithmetic), so cross-engine hashes match exactly; the oracle uses
+    the window/row_number formulation — the construction this
+    aggregate replaces — as the independent twin.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("event_type", "bucket").agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_EVENT_OHLC_BARS = """
+-- Independent formulation: the window/row_number first/last the
+-- engine's min_by/max_by aggregate replaces.
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM e GROUP BY event_type, bucket
+"""
+
+ANALYTICS_QUERIES["event_ohlc_bars"] = (q_event_ohlc_bars, SQL_EVENT_OHLC_BARS)
+
+
+# --- Hilbert-curve clustering audit ------------------------------------------
+
+
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering audit (operators/layout.py
+    hilbert_key) — the same 64-file skipping-bounds report as
+    zorder_layout but on the Hilbert index, so the two queries TOGETHER
+    show the layout trade Iceberg's OPTIMIZE exposes: Hilbert's
+    unit-step walk (no Morton seam jumps) yields tighter per-file
+    rectangles in (px, sx) than the Z-order buckets over the identical
+    coordinates.  Pure codegen'd automaton arithmetic — one
+    element_at per bit level on a literal array, no UDF, no join (see
+    hilbert_key's docstring for why the textbook mutating formulation
+    can't be unrolled directly); the oracle replays the identical
+    automaton via chained subqueries (hilbert_key_sql), while the
+    automaton itself is pinned against the independent textbook
+    xy2d loop over the full 16-bit domain in pytest.
+    """
+    from .operators.layout import hilbert_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("px"),
+        (F.col("l_suppkey") % 256).alias("sx"),
+    )
+    h = li.withColumn("hkey", hilbert_key("px", "sx", bits=8))
+    return (
+        h.groupBy(F.shiftright("hkey", 10).alias("hbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("px").alias("px_min"),
+            F.max("px").alias("px_max"),
+            F.min("sx").alias("sx_min"),
+            F.max("sx").alias("sx_max"),
+        )
+    )
+
+
+def _hilbert_layout_sql() -> str:
+    from .operators.layout import hilbert_key_sql
+
+    frag = hilbert_key_sql("px", "sx", bits=8, carry=["px", "sx"]).replace(
+        "__HILBERT_BASE__",
+        "(SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx"
+        " FROM lineitem) b",
+    )
+    return f"""
+SELECT hkey >> 10 AS hbucket,
+       COUNT(*) AS n_rows,
+       MIN(px) AS px_min, MAX(px) AS px_max,
+       MIN(sx) AS sx_min, MAX(sx) AS sx_max
+FROM {frag} t
+GROUP BY hbucket
+"""
+
+
+ANALYTICS_QUERIES["hilbert_layout"] = (q_hilbert_layout, _hilbert_layout_sql())
+
+
+# --- space-filling-curve layout comparison ------------------------------------
+
+_CURVE_FILES = 48  # deliberately NOT a power of 4: seam behavior shows
+
+
+def q_layout_curve_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs Hilbert, measured: slice each curve's key order into
+    {files} EQUAL-COUNT files (what a real clustered write produces —
+    and deliberately not a power of 4, so file boundaries fall
+    mid-quadrant) and report the summed and worst per-file bounding-box
+    AREA in (px, sx).  Aligned 4^k buckets (zorder_layout /
+    hilbert_layout) make the two curves look identical — both yield
+    perfect subsquares; it is exactly the UNALIGNED splits of a real
+    write where Morton's seam jumps fatten file boxes and Hilbert's
+    unit-step walk keeps them tight.  This query turns that claim into
+    four audited integers per layout.
+
+    Scale notes: everything runs on the key-domain CELL table (one
+    groupBy of the fact onto <= 2^16 cells), never the fact itself —
+    same discipline as linear_file_bounds; the ordered windows run on
+    the bounded cell table (the documented-bounded single-partition
+    step).  Equal-count slicing uses the same integer rank->file-span
+    math as linear_file_bounds (a cell straddling a boundary is
+    charged to every file it occupies).
+    """
+    from .operators.layout import hilbert_key, zorder_key
+
+    cells = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey") % 256).alias("px"),
+            (F.col("l_suppkey") % 256).alias("sx"),
+        )
+        .groupBy("px", "sx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("zkey", zorder_key(["px", "sx"], bits=8))
+        .withColumn("hkey", hilbert_key("px", "sx", bits=8))
+    )
+    total = cells.agg(F.sum("n").alias("total"))
+    out = None
+    for layout, key in (("zorder", "zkey"), ("hilbert", "hkey")):
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+        spans = (
+            cells.withColumn("end_rank", F.sum("n").over(w))
+            .withColumn("start_rank", F.col("end_rank") - F.col("n"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                "px",
+                "sx",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"(start_rank * {_CURVE_FILES}) div total"),
+                        F.expr(
+                            f"((end_rank - 1) * {_CURVE_FILES}) div total"
+                        ),
+                    )
+                ).alias("file_id"),
+            )
+        )
+        areas = (
+            spans.groupBy("file_id")
+            .agg(
+                (
+                    (F.max("px") - F.min("px") + 1)
+                    * (F.max("sx") - F.min("sx") + 1)
+                ).cast("long").alias("area")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum("area").cast("long").alias("total_area"),
+                F.max("area").cast("long").alias("max_area"),
+            )
+            .select(F.lit(layout).alias("layout"), "n_files",
+                    "total_area", "max_area")
+        )
+        out = areas if out is None else out.unionByName(areas)
+    return out
+
+
+q_layout_curve_compare.__doc__ = q_layout_curve_compare.__doc__.format(
+    files=_CURVE_FILES
+)
+
+
+def _layout_curve_compare_sql() -> str:
+    from .operators.layout import hilbert_key_sql, zorder_key_sql
+
+    z = zorder_key_sql(["px", "sx"], bits=8)
+    hfrag = hilbert_key_sql("px", "sx", bits=8, carry=["px", "sx", "n"])
+    per_layout = []
+    for layout, key in (("zorder", "zkey"), ("hilbert", "hkey")):
+        per_layout.append(f"""
+SELECT '{layout}' AS layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(area) AS BIGINT) AS total_area,
+       CAST(MAX(area) AS BIGINT) AS max_area
+FROM (
+  SELECT file_id,
+         (MAX(px) - MIN(px) + 1) * (MAX(sx) - MIN(sx) + 1) AS area
+  FROM (
+    SELECT px, sx,
+           unnest(generate_series(
+             CAST(((end_rank - n) * {_CURVE_FILES}) // total AS BIGINT),
+             CAST(((end_rank - 1) * {_CURVE_FILES}) // total AS BIGINT)))
+             AS file_id
+    FROM (
+      SELECT px, sx, n,
+             SUM(n) OVER (ORDER BY {key} ROWS UNBOUNDED PRECEDING)
+               AS end_rank
+      FROM keyed
+    ), tot
+  ) GROUP BY file_id
+)""")
+    union = " UNION ALL ".join(per_layout)
+    return f"""
+WITH cells AS (
+  SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+hk AS (SELECT px, sx, n, hkey
+       FROM {hfrag.replace("__HILBERT_BASE__", "cells")} t),
+keyed AS (
+  SELECT hk.px, hk.sx, hk.n, hk.hkey,
+         ({z.replace("px", "hk.px").replace("sx", "hk.sx")}) AS zkey
+  FROM hk
+),
+tot AS (SELECT SUM(n) AS total FROM keyed)
+{union}
+"""
+
+
+ANALYTICS_QUERIES["layout_curve_compare"] = (
+    q_layout_curve_compare,
+    _layout_curve_compare_sql(),
+)
+
+
+# --- bounded weighted shortest path ------------------------------------------
+
+
+def q_part_affinity_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (operators/graph.py min_cost_bounded):
+    cheapest <=3-edge route from the 3 lowest-keyed parts to every
+    part, where an edge between co-purchased parts costs
+    ``10^6 div shared_orders`` — strong affinities are cheap, so the
+    route cost is a graded "how related" score (the recommendation /
+    substitution-distance signal) where part_bfs_hops only counts
+    links and part_pagerank only ranks global centrality.
+
+    Edge weights build from the SAME one-shuffle in-row pair expansion
+    as the other co-purchase queries, then one (u, v) count aggregate;
+    costs are integers, so 3 rounds of integer min/+ relaxation are
+    partitioning- and engine-exact, replayed round-for-round by the
+    oracle (the fixed-unroll pagerank pattern — see min_cost_bounded's
+    docstring for why the hop bound is the contract, not a heuristic).
+    """
+    from .operators.graph import min_cost_bounded
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> "
+                    "transform(ps, y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    weighted = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("shared")
+    ).select(
+        "src", "dst", F.expr("1000000 div shared").alias("w")
+    )
+    seeds = li.select("l_partkey").distinct().orderBy("l_partkey").limit(3)
+    dist = min_cost_bounded(
+        weighted, seeds, rounds=3, src="src", dst="dst", weight="w"
+    )
+    return dist.select(
+        F.col("id").alias("part_id"), F.col("cost").alias("min_cost")
+    )
+
+
+SQL_PART_AFFINITY_ROUTE = """
+-- Replays the 3 relaxation rounds exactly: integer min/+ is
+-- associative, so round-for-round equality is the correctness
+-- statement (same fixed-unroll pattern as the PageRank oracle).
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+costs AS MATERIALIZED (
+  -- COUNT(DISTINCT orderkey): a part on several LINES of one order
+  -- still contributes that order once (the engine's per-order
+  -- collect_set has the same semantics by construction)
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         1000000 // COUNT(DISTINCT a.l_orderkey) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+seeds AS (SELECT DISTINCT l_partkey AS id FROM li ORDER BY 1 LIMIT 3),
+d0 AS (SELECT id, CAST(0 AS BIGINT) AS cost FROM seeds),
+r1 AS (
+  SELECT id, MIN(cost) AS cost FROM (
+    SELECT id, cost FROM d0
+    UNION ALL
+    SELECT c.v AS id, d0.cost + c.w AS cost
+    FROM d0 JOIN costs c ON c.u = d0.id
+  ) GROUP BY id
+),
+r2 AS (
+  SELECT id, MIN(cost) AS cost FROM (
+    SELECT id, cost FROM r1
+    UNION ALL
+    SELECT c.v AS id, r1.cost + c.w AS cost
+    FROM r1 JOIN costs c ON c.u = r1.id
+  ) GROUP BY id
+),
+r3 AS (
+  SELECT id, MIN(cost) AS cost FROM (
+    SELECT id, cost FROM r2
+    UNION ALL
+    SELECT c.v AS id, r2.cost + c.w AS cost
+    FROM r2 JOIN costs c ON c.u = r2.id
+  ) GROUP BY id
+)
+SELECT id AS part_id, cost AS min_cost FROM r3
+"""
+
+ANALYTICS_QUERIES["part_affinity_route"] = (
+    q_part_affinity_route,
+    SQL_PART_AFFINITY_ROUTE,
+)

@@ -144,3 +144,131 @@ def linear_file_bounds(
         aggs.append(F.max(c).alias(f"{c}_max"))
     aggs.append(F.count(F.lit(1)).alias("n_keys"))
     return spans.groupBy("file_id").agg(*aggs)
+
+
+def _derive_hilbert_automaton() -> tuple[list[int], list[int], int]:
+    """Derive the Hilbert-curve quad automaton from the textbook
+    mutating algorithm's transformation algebra.
+
+    The classic xy2d loop [Hamilton's convention, as in Wikipedia's
+    "Hilbert curve" C snippet] mutates (x, y) each round (reflect when
+    rx=1∧ry=0, swap when ry=0) — a formulation that EXPLODES if
+    unrolled symbolically (each round's x references the previous x
+    AND y, ~3^bits term growth).  But the accumulated mutation is
+    always one of the dihedral transforms ``cur_x = (swap ? oy : ox)
+    ^ fx; cur_y = (swap ? ox : oy) ^ fy`` over the REMAINING original
+    bits (the reflection ``n-1-x`` flips every lower bit; consumed
+    high bits never get re-read), so the whole walk is a 4-state
+    automaton over the ORIGINAL Morton quads: ``digit = DIGIT[state*4
+    + quad]; state = NEXT[state*4 + quad]`` — and a state reference
+    costs O(1) per round, keeping the unrolled expression LINEAR in
+    ``bits``.
+
+    Returns ``(DIGIT, NEXT, n_states)`` with quads indexed
+    ``q = 2*x_bit + y_bit``.  Correctness is pinned by
+    tests/test_plan_shape.py's exhaustive 16-bit equivalence against
+    the literal mutating loop.
+    """
+    states: dict[tuple[int, int, int], int] = {(0, 0, 0): 0}
+    order: list[tuple[int, int, int]] = [(0, 0, 0)]
+    digit: dict[tuple[int, int], int] = {}
+    nxt: dict[tuple[int, int], int] = {}
+    i = 0
+    while i < len(order):
+        st = order[i]
+        i += 1
+        sid = states[st]
+        swap, fx, fy = st
+        for ox in (0, 1):
+            for oy in (0, 1):
+                cur_x = (oy if swap else ox) ^ fx
+                cur_y = (ox if swap else oy) ^ fy
+                q = 2 * ox + oy
+                digit[(sid, q)] = (3 * cur_x) ^ cur_y
+                nswap, nfx, nfy = swap, fx, fy
+                if cur_y == 0:
+                    if cur_x == 1:
+                        nfx ^= 1
+                        nfy ^= 1
+                    # swap current axes: new cur_x = old cur_y
+                    nswap, nfx, nfy = 1 - nswap, nfy, nfx
+                ns = (nswap, nfx, nfy)
+                if ns not in states:
+                    states[ns] = len(order)
+                    order.append(ns)
+                nxt[(sid, q)] = states[ns]
+    n = len(order)
+    return (
+        [digit[(s, q)] for s in range(n) for q in range(4)],
+        [nxt[(s, q)] for s in range(n) for q in range(4)],
+        n,
+    )
+
+
+#: 4-state Hilbert quad automaton, derived (not hand-copied) at import.
+HILBERT_DIGIT, HILBERT_NEXT, HILBERT_STATES = _derive_hilbert_automaton()
+
+
+def hilbert_key(x: Column | str, y: Column | str, bits: int = 8) -> Column:
+    """Hilbert-curve index of ``(x, y)`` — the locality-BETTER sibling
+    of :func:`zorder_key`: the Hilbert walk visits every cell of the
+    2^bits x 2^bits grid through unit steps (no Morton "seam jumps"
+    across half the plane), so contiguous key ranges are tighter
+    rectangles and per-file min/max skipping bounds improve — the
+    reason newer table formats (e.g. Apache Iceberg) offer Hilbert
+    alongside Z-order for OPTIMIZE clustering.
+
+    Same contract as zorder_key: inputs must be non-negative integers
+    in ``[0, 2^bits)``.  Built as ``element_at`` chains over the
+    LITERAL automaton arrays — one digit + one state transition per
+    bit level, whole-stage-codegen'd, no UDF, no join, expression size
+    linear in ``bits``.
+    """
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError(f"hilbert_key: bits={bits} out of range")
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    digit_arr = F.array(*[F.lit(v) for v in HILBERT_DIGIT])
+    next_arr = F.array(*[F.lit(v) for v in HILBERT_NEXT])
+    state: Column = F.lit(0)
+    d: Column = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):
+        q = (
+            F.shiftright(xc, i).bitwiseAND(F.lit(1)) * 2
+            + F.shiftright(yc, i).bitwiseAND(F.lit(1))
+        ).cast("int")
+        idx = (state * 4 + q + 1).cast("int")
+        d = d * 4 + F.element_at(digit_arr, idx).cast("long")
+        state = F.element_at(next_arr, idx)
+    return d
+
+
+def hilbert_key_sql(
+    x: str, y: str, bits: int = 8, carry: Iterable[str] = ()
+) -> str:
+    """The identical automaton walk as chained SQL subqueries (oracle
+    twin, kept in lockstep with :func:`hilbert_key`).  Returns a
+    ``(SELECT ...)`` fragment exposing ``carry`` columns plus ``hkey``;
+    embed as ``FROM {fragment} t``.  Chained levels (one per bit, each
+    referencing the previous level's state/digit columns ONCE) keep
+    the SQL linear in ``bits`` — the inline-substitution form grows
+    ~3^bits.  Uses DuckDB list literals + 1-based list_extract, the
+    exact twin of Spark's element_at.
+    """
+    digit_lst = "[" + ", ".join(str(v) for v in HILBERT_DIGIT) + "]"
+    next_lst = "[" + ", ".join(str(v) for v in HILBERT_NEXT) + "]"
+    cols = ", ".join(carry)
+    sql = f"(SELECT {cols}, {x} AS hx, {y} AS hy, 0 AS st0, CAST(0 AS BIGINT) AS d0 FROM __HILBERT_BASE__)"
+    for k, i in enumerate(range(bits - 1, -1, -1)):
+        q = f"(((hx >> {i}) & 1) * 2 + ((hy >> {i}) & 1))"
+        idx = f"(st{k} * 4 + {q} + 1)"
+        sql = (
+            f"(SELECT {cols}, hx, hy, "
+            f"list_extract({next_lst}, {idx}) AS st{k + 1}, "
+            f"d{k} * 4 + list_extract({digit_lst}, {idx}) AS d{k + 1} "
+            f"FROM {sql} t{k})"
+        )
+    return (
+        f"(SELECT {cols}, hx, hy, CAST(d{bits} AS BIGINT) AS hkey "
+        f"FROM {sql} tf)"
+    )

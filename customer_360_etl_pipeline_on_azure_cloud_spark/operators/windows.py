@@ -232,3 +232,65 @@ def pareto_front_2d(
         .drop("__m_below", "__m_tie")
     )
     return out
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Iterable[Column | str],
+    col_name: str = "position",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global rank over a TOTAL order — without the
+    single-partition window ``row_number().over(Window.orderBy(...))``
+    degenerates to (the classic driver-shaped bottleneck: every row
+    funnels through one task).
+
+    Distributed zipWithIndex recipe: range-partition on the order key
+    (partition i holds keys <= partition i+1's — RangePartitioner ids
+    are range-ordered), sort within partitions, count rows per
+    partition (ONE bounded collect — #partitions rows, metadata not
+    data, per the repo's scalar-broadcast rule), and emit
+    ``offset(pid) + local row_number`` where the prefix offsets go
+    back as a LITERAL map expression (``element_at`` on a constant —
+    pure codegen, no join: measured 0.9 s vs 6-8 s for the
+    broadcast-join formulation of the same lookup at sf0.01, and the
+    map is #partitions entries, metadata-sized by construction).  The
+    rank depends only on the key's total order — partition BOUNDARIES
+    (which repartitionByRange picks by sampling) cannot change the
+    result, only the balance; ``localCheckpoint(eager=True)`` pins the
+    sampled partitioning so the count pass and the rank pass see the
+    same layout.
+
+    ``order_cols`` must be a total order (include a unique tiebreak);
+    equal keys would otherwise land in one partition but rank
+    arbitrarily within their tie.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if not cols:
+        raise ValueError("global_row_number: need at least one order col")
+    parts = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    pinned = parts.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in pinned.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    )
+    entries, acc = [], 0
+    for pid, n in counts:
+        entries.append(F.lit(pid))
+        entries.append(F.lit(acc))
+        acc += n
+    if not entries:
+        entries = [F.lit(0), F.lit(0)]
+    off = F.element_at(F.create_map(*entries), F.col("__pid"))
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return pinned.withColumn(
+        col_name, (off + F.row_number().over(w)).cast("long")
+    ).drop("__pid")

@@ -723,6 +723,10 @@ def build_trainprep_queries(
         "media_blob_dedup": (q_media_blob_dedup, SQL_MEDIA_BLOB_DEDUP),
         "bpe_train_merges": (q_bpe_train_merges, SQL_BPE_TRAIN_MERGES),
         "bpe_compression": (q_bpe_compression, SQL_BPE_COMPRESSION),
+        "curriculum_interleave": (
+            q_curriculum_interleave,
+            SQL_CURRICULUM_INTERLEAVE,
+        ),
         **extra,
     }
 
@@ -1171,4 +1175,78 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = new_id
 JOIN sizes sb ON sb.doc_id = corpus_id
 WHERE inter * 100 >= (sa.nsh + sb.nsh - inter) * 30
+"""
+
+
+# --- deterministic curriculum interleave (stride scheduling) ------------------
+
+
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order curriculum: a deterministic stride-scheduled
+    interleave of documents across sources, weighted by each source's
+    character mass — the data-ORDERING step after mixture weighting
+    (source_mixture_plan says how MUCH of each source; this says
+    WHERE in the epoch each doc lands, so no source clumps at the
+    start and every prefix of the stream is ~mixture-proportional,
+    which is what keeps early training steps unbiased).
+
+    Stride scheduling [Waldspurger & Weihl, OSDI 1994]: doc #r of
+    source s runs at virtual time r/weight(s).  weight = total chars,
+    so vt = (r * 10^12) div chars(s) in integer fixed point — bigger
+    sources tick more often; ties after the truncating division break
+    by (source, r), making the order a total function of the corpus
+    (no floats, no RNG).  vt overflows int64 only past ~9.2M docs per
+    source (r * 10^12 bound); shard the epoch first at that size.
+
+    The global position comes from operators/windows.py
+    global_row_number — the distributed zipWithIndex (range-partition
+    + per-partition offsets, one #partitions-row metadata collect),
+    NOT a single-partition window, so the epoch order materializes
+    with full parallelism at corpus scale.
+    """
+    from .operators.windows import global_row_number
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    weights = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("chars")
+    )
+    ranked = docs.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("doc_id")
+        ).cast("long"),
+    )
+    vt = (
+        ranked.join(F.broadcast(weights), "source")
+        .withColumn(
+            "vt", F.expr("(r * 1000000000000) div chars").cast("long")
+        )
+        .select("doc_id", "source", "r", "vt")
+    )
+    out = global_row_number(
+        vt, ["vt", "source", "r"], col_name="curriculum_pos"
+    )
+    return out.select("curriculum_pos", "doc_id", "source", "vt")
+
+
+SQL_CURRICULUM_INTERLEAVE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS r
+  FROM documents
+),
+w AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source),
+vt AS (
+  SELECT ranked.doc_id, ranked.source, ranked.r,
+         CAST((ranked.r * 1000000000000) // w.chars AS BIGINT) AS vt
+  FROM ranked JOIN w USING (source)
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, source, r) AS BIGINT)
+         AS curriculum_pos,
+       doc_id, source, vt
+FROM vt
 """

@@ -1,0 +1,340 @@
+"""Round-8 additions: multi-source BFS (operators/graph.py bfs_hops),
+distributed global rank (operators/windows.py global_row_number),
+Hilbert-curve keys (operators/layout.py hilbert_key), and the
+curriculum stride interleave — each pinned against an independent
+pure-Python or textbook reference, not against itself."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import bfs_hops
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.layout import (
+    HILBERT_DIGIT,
+    HILBERT_NEXT,
+    HILBERT_STATES,
+    hilbert_key,
+    hilbert_key_sql,
+)
+from customer_360_etl_pipeline_on_azure_cloud_spark.operators.windows import (
+    global_row_number,
+)
+
+
+# --- BFS ----------------------------------------------------------------------
+
+
+def _hops(spark, edges, seeds, max_hops, **kw):
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    s = spark.createDataFrame([(x,) for x in seeds], "id long")
+    return {
+        r["id"]: r["hops"]
+        for r in bfs_hops(e, s, max_hops=max_hops, **kw).collect()
+    }
+
+
+PATH = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+
+
+def test_bfs_path_graph_single_seed(spark):
+    got = _hops(spark, PATH, [1], 4)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}  # 6 is 5 hops away
+
+
+def test_bfs_multi_seed_takes_min(spark):
+    got = _hops(spark, PATH, [1, 6], 4)
+    assert got == {1: 0, 6: 0, 2: 1, 5: 1, 3: 2, 4: 2}
+
+
+def test_bfs_zero_hops_is_seed_set(spark):
+    assert _hops(spark, PATH, [3], 0) == {3: 0}
+
+
+def test_bfs_early_exit_on_exhausted_component(spark):
+    # component {1,2,3} exhausts at hop 2; loop must stop, not run 50x
+    got = _hops(spark, [(1, 2), (2, 3), (7, 8)], [1], 50)
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_duplicate_edges_and_symmetric_flags_invariant(spark):
+    base = _hops(spark, PATH, [1], 4)
+    dup = PATH + PATH + [(b, a) for a, b in PATH]
+    assert _hops(spark, dup, [1], 4, dedup_edges=False) == base
+    assert (
+        _hops(spark, dup, [1], 4, assume_symmetric=True, dedup_edges=False)
+        == base
+    )
+
+
+def test_bfs_partitioning_invariant(spark):
+    e = spark.createDataFrame(PATH, "id_a long, id_b long").repartition(7)
+    s = spark.createDataFrame([(1,)], "id long")
+    got = {r["id"]: r["hops"] for r in bfs_hops(e, s, max_hops=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_rejects_negative_max_hops(spark):
+    e = spark.createDataFrame(PATH, "id_a long, id_b long")
+    s = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        bfs_hops(e, s, max_hops=-1)
+
+
+# --- global_row_number --------------------------------------------------------
+
+
+@pytest.mark.parametrize("nparts", [None, 1, 3, 64])
+def test_global_row_number_matches_sorted_enumeration(spark, nparts):
+    import random
+
+    rng = random.Random(42)
+    rows = [(rng.randrange(1000), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, uid long")
+    got = {
+        r["uid"]: r["position"]
+        for r in global_row_number(
+            df, ["k", "uid"], num_partitions=nparts
+        ).collect()
+    }
+    expected = {
+        uid: pos + 1
+        for pos, (_, uid) in enumerate(sorted(rows))
+    }
+    assert got == expected
+
+
+def test_global_row_number_no_single_partition_exchange(spark):
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    plan = global_row_number(
+        df, ["k", "id"], num_partitions=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_global_row_number_empty_input(spark):
+    df = spark.createDataFrame([], "k long, uid long")
+    out = global_row_number(df, ["k", "uid"])
+    assert out.collect() == []
+    assert "position" in out.columns
+
+
+# --- Hilbert ------------------------------------------------------------------
+
+
+def _xy2d(order: int, x: int, y: int) -> int:
+    """The literal textbook mutating loop (Wikipedia 'Hilbert curve'
+    C snippet) — the independent reference the automaton must match."""
+    d = 0
+    s = 1 << (order - 1)
+    n = 1 << order
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def _auto(order: int, x: int, y: int) -> int:
+    st, d = 0, 0
+    for i in range(order - 1, -1, -1):
+        q = 2 * ((x >> i) & 1) + ((y >> i) & 1)
+        d = d * 4 + HILBERT_DIGIT[st * 4 + q]
+        st = HILBERT_NEXT[st * 4 + q]
+    return d
+
+
+def test_hilbert_automaton_matches_textbook_exhaustive():
+    assert HILBERT_STATES == 4
+    for x in range(256):
+        for y in range(256):
+            assert _auto(8, x, y) == _xy2d(8, x, y)
+
+
+def test_hilbert_is_unit_step_bijection():
+    d2xy = {}
+    for x in range(64):
+        for y in range(64):
+            d2xy[_auto(6, x, y)] = (x, y)
+    assert len(d2xy) == 4096  # bijection onto [0, 4096)
+    for i in range(4095):
+        (x0, y0), (x1, y1) = d2xy[i], d2xy[i + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1  # unit Manhattan steps
+
+
+def test_hilbert_key_column_matches_python(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = [
+        r["h"]
+        for r in df.withColumn("h", hilbert_key("x", "y", bits=8))
+        .orderBy("x", "y")
+        .collect()
+    ]
+    exp = [_auto(8, x, y) for x, y in sorted(rows)]
+    assert got == exp
+
+
+def test_hilbert_sql_twin_matches_python():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT (i * 37) % 256 AS px,"
+        " (i * 91) % 256 AS sx FROM range(500) t(i)"
+    )
+    frag = hilbert_key_sql("px", "sx", bits=8, carry=["px", "sx"]).replace(
+        "__HILBERT_BASE__", "pts"
+    )
+    rows = con.sql(
+        f"SELECT px, sx, hkey FROM {frag} t ORDER BY px, sx"
+    ).fetchall()
+    for px, sx, hkey in rows:
+        assert hkey == _auto(8, px, sx)
+
+
+def test_hilbert_validates_bits():
+    with pytest.raises(ValueError):
+        hilbert_key("x", "y", bits=0)
+    with pytest.raises(ValueError):
+        hilbert_key("x", "y", bits=32)
+
+
+# --- curriculum interleave ----------------------------------------------------
+
+
+def test_curriculum_interleave_matches_stride_simulation(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.trainprep_queries import (
+        q_curriculum_interleave,
+    )
+
+    got = {
+        r["doc_id"]: (r["curriculum_pos"], r["vt"])
+        for r in q_curriculum_interleave(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, source, n_chars FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    chars: dict[str, int] = {}
+    for _, src, n in docs:
+        chars[src] = chars.get(src, 0) + n
+    ranked = sorted(docs)  # doc_id order; per-source rank below
+    seen: dict[str, int] = {}
+    items = []
+    for doc_id, src, _ in ranked:
+        r = seen.get(src, 0) + 1
+        seen[src] = r
+        items.append(((r * 10**12) // chars[src], src, r, doc_id))
+    items.sort()
+    expected = {
+        doc_id: (pos + 1, vt)
+        for pos, (vt, _src, _r, doc_id) in enumerate(items)
+    }
+    assert got == expected
+
+
+def test_curriculum_prefix_is_mixture_proportional(spark):
+    """Any prefix of the epoch should hold each source's share of docs
+    to within one stride — the property stride scheduling exists for."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.trainprep_queries import (
+        q_curriculum_interleave,
+    )
+
+    rows = sorted(
+        q_curriculum_interleave(spark, SF_SMALL).collect(),
+        key=lambda r: r["curriculum_pos"],
+    )
+    n = len(rows)
+    sources = {r["source"] for r in rows}
+    totals = {s: sum(1 for r in rows if r["source"] == s) for s in sources}
+    k = n // 4
+    prefix = rows[:k]
+    for s in sources:
+        got = sum(1 for r in prefix if r["source"] == s)
+        expect = totals[s] * k / n
+        assert abs(got - expect) <= max(2.0, 0.25 * expect)
+
+
+def test_hilbert_files_tighter_than_zorder_on_unaligned_splits(spark):
+    """The claim layout_curve_compare exists to audit: with equal-count
+    (boundary-unaligned) file splits, Hilbert's unit-step walk yields
+    strictly tighter per-file bounding boxes than Morton."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.analytics_queries import (
+        q_layout_curve_compare,
+    )
+
+    rows = {
+        r["layout"]: (r["total_area"], r["max_area"])
+        for r in q_layout_curve_compare(spark, SF_SMALL).collect()
+    }
+    assert rows["hilbert"][0] < rows["zorder"][0]
+    assert rows["hilbert"][1] <= rows["zorder"][1]
+
+
+# --- bounded Bellman-Ford -----------------------------------------------------
+
+
+def _costs(spark, edges, seeds, rounds):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        min_cost_bounded,
+    )
+
+    e = spark.createDataFrame(edges, "u long, v long, w long")
+    s = spark.createDataFrame([(x,) for x in seeds], "id long")
+    return {
+        r["id"]: r["cost"]
+        for r in min_cost_bounded(e, s, rounds=rounds).collect()
+    }
+
+
+# diamond with a cheap long way round: 1->2->3 costs 2, 1->3 costs 10
+DIAMOND = [(1, 2, 1), (2, 3, 1), (1, 3, 10), (3, 4, 1)]
+
+
+def test_bellman_ford_prefers_cheap_multi_hop_path(spark):
+    got = _costs(spark, DIAMOND, [1], 3)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bellman_ford_hop_bound_is_the_contract(spark):
+    # with only 1 round, the cheap 2-edge route to 3 is out of reach
+    got = _costs(spark, DIAMOND, [1], 1)
+    assert got == {1: 0, 2: 1, 3: 10}
+
+
+def test_bellman_ford_rounds_past_fixpoint_are_noops(spark):
+    assert _costs(spark, DIAMOND, [1], 3) == _costs(spark, DIAMOND, [1], 10)
+
+
+def test_bellman_ford_multi_seed_min(spark):
+    got = _costs(spark, DIAMOND, [1, 4], 2)
+    assert got[3] == 2 and got[4] == 0 and got[1] == 0
+
+
+def test_bellman_ford_zero_rounds(spark):
+    assert _costs(spark, DIAMOND, [2], 0) == {2: 0}
+
+
+def test_bellman_ford_rejects_negative_rounds(spark):
+    import pytest as _pytest
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        min_cost_bounded,
+    )
+
+    e = spark.createDataFrame(DIAMOND, "u long, v long, w long")
+    s = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError):
+        min_cost_bounded(e, s, rounds=-1)
