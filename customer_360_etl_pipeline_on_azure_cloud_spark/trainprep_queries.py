@@ -727,6 +727,10 @@ def build_trainprep_queries(
             q_curriculum_interleave,
             SQL_CURRICULUM_INTERLEAVE,
         ),
+        "vocab_growth_curve": (
+            q_vocab_growth_curve,
+            SQL_VOCAB_GROWTH_CURVE,
+        ),
         **extra,
     }
 
@@ -1249,4 +1253,106 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, source, r) AS BIGINT)
          AS curriculum_pos,
        doc_id, source, vt
 FROM vt
+"""
+
+
+# --- vocabulary growth (Heaps' law) ------------------------------------------
+
+_VOCAB_BUCKETS = 20
+
+
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law audit): sweep the corpus in
+    doc_id order, split it into {b} equal-width doc_id buckets, and
+    report per bucket the token volume, the NEW types first seen
+    there, and both cumulatives — the curve that sizes a tokenizer's
+    vocab budget and flags corpus drift (a bucket whose new-type rate
+    jumps is a new domain/language entering the feed; one that flat-
+    lines means the vocab has saturated).
+
+    Scale shape: the corpus-sized explode feeds two MAP-SIDE-COMBINED
+    aggregates — min(doc_id) per token (vocabulary-sized shuffle, the
+    exact first-occurrence construction, no windowed distinct over
+    prefixes) and per-bucket token counts (bucket-sized) — and the
+    cumulative window runs over {b} rows.  Nothing corpus-sized ever
+    sorts or windows.  All counts are integers; bucket bounds come
+    from the min/max doc_id scalar broadcast (the repo's two-pass
+    pattern), so the result is a pure function of the corpus.
+    """
+    from .operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"),
+        (F.max("doc_id") - F.min("doc_id") + 1).alias("span"),
+    )
+    tok = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            F.expr(f"((doc_id - lo) * {_VOCAB_BUCKETS}) div span"),
+        )
+    )
+    per_bucket = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    first_seen = (
+        tok.groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(first_seen, "bucket", "left")
+        .withColumn("new_types", F.coalesce("new_types", F.lit(0)))
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.col("new_types").cast("long").alias("new_types"),
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_types").over(w).cast("long").alias("cum_types"),
+        )
+    )
+
+
+q_vocab_growth_curve.__doc__ = q_vocab_growth_curve.__doc__.format(
+    b=_VOCAB_BUCKETS
+)
+
+
+SQL_VOCAB_GROWTH_CURVE = f"""
+WITH b AS (
+  SELECT MIN(doc_id) AS lo, MAX(doc_id) - MIN(doc_id) + 1 AS span
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         ((doc_id - (SELECT lo FROM b)) * {_VOCAB_BUCKETS})
+           // (SELECT span FROM b) AS bucket,
+         unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+per_bucket AS (
+  SELECT bucket, COUNT(*) AS n_tokens,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM tok GROUP BY bucket
+),
+first_seen AS (
+  SELECT bucket, COUNT(*) AS new_types FROM (
+    SELECT token, MIN(bucket) AS bucket FROM tok GROUP BY token
+  ) GROUP BY bucket
+)
+SELECT p.bucket,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types,
+       CAST(SUM(p.n_tokens) OVER (ORDER BY p.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(f.new_types, 0)) OVER (ORDER BY p.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+FROM per_bucket p LEFT JOIN first_seen f ON f.bucket = p.bucket
 """

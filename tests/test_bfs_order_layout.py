@@ -338,3 +338,36 @@ def test_bellman_ford_rejects_negative_rounds(spark):
     s = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError):
         min_cost_bounded(e, s, rounds=-1)
+
+
+# --- vocabulary growth curve --------------------------------------------------
+
+
+def test_vocab_growth_totals_reconcile(spark):
+    """Final cumulatives must equal independently computed corpus
+    totals (token volume, global vocab size, doc count)."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.trainprep_queries import (
+        q_vocab_growth_curve,
+    )
+
+    rows = sorted(
+        q_vocab_growth_curve(spark, SF_SMALL).collect(),
+        key=lambda r: r["bucket"],
+    )
+    con = duckdb.connect()
+    n_tok, n_vocab, n_docs = con.sql(
+        "SELECT COUNT(*), COUNT(DISTINCT t), COUNT(DISTINCT doc_id) FROM ("
+        " SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t"
+        f" FROM '{SF_SMALL}/documents.parquet')"
+    ).fetchone()
+    last = rows[-1]
+    assert last["cum_tokens"] == n_tok
+    assert last["cum_types"] == n_vocab
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # cumulatives are consistent prefix sums and types never outgrow tokens
+    ct = cy = 0
+    for r in rows:
+        ct += r["n_tokens"]
+        cy += r["new_types"]
+        assert r["cum_tokens"] == ct and r["cum_types"] == cy
+        assert r["new_types"] <= r["n_tokens"]
