@@ -230,6 +230,15 @@ BENCH_QUERIES = [
     "streaming_exactly_once_jdbc",
     "asof_next_purchase",
     "asof_nearest_purchase",
+    # round 8 continuation: graph distances, curve layouts, training-prep
+    "part_bfs_hops",
+    "part_affinity_route",
+    "event_ohlc_bars",
+    "curriculum_interleave",
+    "hilbert_layout",
+    "layout_curve_compare",
+    "vocab_growth_curve",
+    "streaming_ohlc_bars",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

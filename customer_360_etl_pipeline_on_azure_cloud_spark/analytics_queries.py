@@ -6588,3 +6588,88 @@ ANALYTICS_QUERIES["part_affinity_route"] = (
     q_part_affinity_route,
     SQL_PART_AFFINITY_ROUTE,
 )
+
+
+# --- streaming OHLC bars (mergeable first/last under micro-batching) ---------
+
+
+def q_streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars AT INGEST RATE: events arrive in >= 2 file-source
+    micro-batches, each batch emits PARTIAL bars per (event_type,
+    hour) through the scale-safe per-batch parquet sink, and the final
+    bars merge the partials — proving the non-obvious part of OHLC
+    mergeability: high/low/volume merge by max/min/sum, but
+    open/close only merge because each partial CARRIES ITS EVIDENCE
+    (the (ts, event_id) key its open/close came from), so the merge
+    re-runs min_by/max_by over partial rows instead of rows.  A bucket
+    whose events straddle the batch boundary leaves two partials whose
+    merge IS the property, exercised under real micro-batching.
+
+    Shares event_ohlc_bars' oracle: per-row bucketing is
+    batch-independent and keyed min_by/max_by is associative, so the
+    streamed result must equal the one-shot aggregate bit-for-bit —
+    the hash-match is the batching-invariance statement (the
+    streaming_sketch_rollup contract, extended from commutative sums
+    to keyed first/last).
+    """
+    import os
+    import tempfile
+
+    from .streaming.incremental import (
+        read_batch_sink,
+        sink_foreach_batch,
+        stream_file_source,
+    )
+
+    # stage only the 4 columns the bars need (pruning the wide props
+    # string out of the arrival files halves the staged IO)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="c360_stream_ohlc_")
+    arrivals = os.path.join(tmp, "arrivals")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+    ev.filter(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+    stream = stream_file_source(
+        spark, arrivals, ev.schema, max_files_per_trigger=1
+    )
+    sink = os.path.join(tmp, "bars")
+
+    def partial_bars(batch_df: DataFrame) -> DataFrame:
+        rows = batch_df.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "value",
+        )
+        key = F.struct(F.col("ts_us"), F.col("event_id"))
+        return rows.groupBy("event_type", "bucket").agg(
+            F.min_by("value", key).alias("open"),
+            F.min(key).alias("open_key"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.max(key).alias("close_key"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    sink_foreach_batch(stream, os.path.join(tmp, "ckpt"), sink, partial_bars)
+    partials = read_batch_sink(spark, sink)
+    return partials.groupBy("event_type", "bucket").agg(
+        F.min_by("open", F.col("open_key")).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", F.col("close_key")).alias("close"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+ANALYTICS_QUERIES["streaming_ohlc_bars"] = (
+    q_streaming_ohlc_bars,
+    SQL_EVENT_OHLC_BARS,
+)

@@ -371,3 +371,84 @@ def test_vocab_growth_totals_reconcile(spark):
         cy += r["new_types"]
         assert r["cum_tokens"] == ct and r["cum_types"] == cy
         assert r["new_types"] <= r["n_tokens"]
+
+
+# --- OHLC merge algebra -------------------------------------------------------
+
+
+def test_ohlc_partials_merge_equals_one_shot(spark):
+    """The streaming_ohlc_bars contract in miniature: partial bars
+    carrying their (ts, id) evidence keys merge (min_by/max_by over
+    partials) to exactly the one-shot aggregate, for ANY split."""
+    rows = [
+        # (grp, ts, id, value) — bucket is grp here
+        ("a", 10, 1, 5.0), ("a", 20, 2, 9.0), ("a", 30, 3, 1.0),
+        ("a", 40, 4, 7.0), ("b", 15, 5, 2.0), ("b", 5, 6, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts long, id long, v double")
+    key = F.struct(F.col("ts"), F.col("id"))
+
+    def one_shot(d):
+        return {
+            r["g"]: (r["o"], r["h"], r["l"], r["c"], r["n"])
+            for r in d.groupBy("g").agg(
+                F.min_by("v", key).alias("o"), F.max("v").alias("h"),
+                F.min("v").alias("l"), F.max_by("v", key).alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+        }
+
+    expected = one_shot(df)
+    for split in (F.col("id") % 2, F.col("id") % 3, F.col("ts") > 15):
+        parts = []
+        for half in (df.filter(split.cast("int") == 0),
+                     df.filter(split.cast("int") != 0)):
+            parts.append(
+                half.groupBy("g").agg(
+                    F.min_by("v", key).alias("o"), F.min(key).alias("ok"),
+                    F.max("v").alias("h"), F.min("v").alias("l"),
+                    F.max_by("v", key).alias("c"), F.max(key).alias("ck"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+        partials = parts[0].unionByName(parts[1])
+        merged = {
+            r["g"]: (r["o"], r["h"], r["l"], r["c"], r["n"])
+            for r in partials.groupBy("g").agg(
+                F.min_by("o", F.col("ok")).alias("o"),
+                F.max("h").alias("h"), F.min("l").alias("l"),
+                F.max_by("c", F.col("ck")).alias("c"),
+                F.sum("n").alias("n"),
+            ).collect()
+        }
+        assert merged == expected
+
+
+def test_cluster_by_hilbert_orders_files_by_curve(spark, tmp_path):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.layout import (
+        cluster_by_hilbert,
+    )
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(0, 256, 8) for y in range(0, 256, 8)],
+        "x long, y long",
+    )
+    out = str(tmp_path / "clustered")
+    cluster_by_hilbert(df, "x", "y", num_partitions=4).write.parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    # per written file, key ranges must be disjoint (range partitioning)
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    ranges = []
+    for f in _glob.glob(out + "/part-*.parquet"):
+        t = pq.read_table(f).to_pydict()
+        ks = sorted(
+            _auto(8, xx, yy) for xx, yy in zip(t["x"], t["y"])
+        )
+        if ks:
+            ranges.append((ks[0], ks[-1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
