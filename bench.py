@@ -239,12 +239,14 @@ BENCH_QUERIES = [
     "layout_curve_compare",
     "vocab_growth_curve",
     "streaming_ohlc_bars",
+    "part_graph_route_indexed",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the
 #: recurring probe: bench reports build/probe sub-timings for them
 #: (VERDICT r5 item 5). Totals (the gate ratio input) are unchanged.
 PHASED_QUERIES = [
+    "part_graph_route_indexed",
     "ann_topk_ivf_indexed",
     "ann_topk_ivfpq_indexed",
     "incremental_corpus_dedup_indexed",

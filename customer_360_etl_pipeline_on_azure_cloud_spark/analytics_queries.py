@@ -6673,3 +6673,132 @@ ANALYTICS_QUERIES["streaming_ohlc_bars"] = (
     q_streaming_ohlc_bars,
     SQL_EVENT_OHLC_BARS,
 )
+
+
+# --- persisted graph index: one build, many probes ---------------------------
+
+
+def q_part_graph_route_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-graph form of the co-purchase analytics — built
+    because profiling showed the iterative graph queries are dominated
+    by re-materializing the edge list, not by their rounds (sf1: 66 s
+    build vs 2-3 s per relaxation round).  Build phase: derive the
+    weighted symmetric co-purchase graph ONCE and persist it
+    Hive-bucketed by vertex (operators/graph.py write_graph_index —
+    the graph sibling of the MinHash/IVF index lifecycle).  Probe
+    phase: run BOTH bfs_hops (<=4 hops) and min_cost_bounded (<=3
+    edges, cost 10^6 div shared_orders) straight off the standing
+    table — no localCheckpoint re-copy, O(1)-lineage scans — and
+    return them joined per part (hops, min_cost; a part reachable in 4
+    hops but not 3 edges carries a NULL cost, exercising the outer
+    join both engines must agree on).
+
+    Oracle = the two probes' independent formulations (recursive-CTE
+    walk closure; 3 unrolled relaxation rounds) FULL-OUTER-joined —
+    bit-equality of the combined table is the statement that probing a
+    persisted index changes nothing.
+    """
+    from .operators.graph import (
+        bfs_hops,
+        min_cost_bounded,
+        read_graph_index,
+        write_graph_index,
+    )
+    from .phases import phase
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    name = "q_copurchase_idx"
+    with phase("build"):
+        weighted = (
+            li.groupBy("l_orderkey")
+            .agg(F.collect_set("l_partkey").alias("ps"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ps, x -> "
+                        "transform(ps, y -> struct(x AS src, y AS dst))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.src", "p.dst")
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .select(
+                "src", "dst", F.expr("1000000 div shared").alias("w")
+            )
+        )
+        write_graph_index(
+            weighted, name, src="src", dst="dst", weight="w",
+            num_buckets=8,
+        )
+    edges = read_graph_index(spark, name)
+    seeds = li.select("l_partkey").distinct().orderBy("l_partkey").limit(3)
+    hops = bfs_hops(
+        edges, seeds, max_hops=4, src="u", dst="v",
+        assume_symmetric=True, dedup_edges=False, materialized=True,
+    ).select(F.col("id").alias("part_id"), F.col("hops").cast("int").alias("hops"))
+    route = min_cost_bounded(
+        edges, seeds, rounds=3, materialized=True
+    ).select(F.col("id").alias("part_id"), F.col("cost").alias("min_cost"))
+    return hops.join(route, "part_id", "full_outer")
+
+
+SQL_PART_GRAPH_ROUTE_INDEXED = """
+-- Both probes' independent oracle formulations over the same graph,
+-- FULL-OUTER-joined per part: equality proves the persisted-index
+-- probes change nothing.
+WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+costs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         1000000 // COUNT(DISTINCT a.l_orderkey) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+seeds AS (SELECT DISTINCT l_partkey AS id FROM li ORDER BY 1 LIMIT 3),
+walk AS (
+  SELECT id, 0 AS hops FROM seeds
+  UNION
+  SELECT c.v AS id, w.hops + 1 AS hops
+  FROM walk w JOIN costs c ON c.u = w.id
+  WHERE w.hops < 4
+),
+hops AS (
+  SELECT id AS part_id, CAST(MIN(hops) AS INT) AS hops
+  FROM walk GROUP BY id
+),
+d0 AS (SELECT id, CAST(0 AS BIGINT) AS cost FROM seeds),
+r1 AS (
+  SELECT id, MIN(cost) AS cost FROM (
+    SELECT id, cost FROM d0
+    UNION ALL
+    SELECT c.v AS id, d0.cost + c.w AS cost
+    FROM d0 JOIN costs c ON c.u = d0.id
+  ) GROUP BY id
+),
+r2 AS (
+  SELECT id, MIN(cost) AS cost FROM (
+    SELECT id, cost FROM r1
+    UNION ALL
+    SELECT c.v AS id, r1.cost + c.w AS cost
+    FROM r1 JOIN costs c ON c.u = r1.id
+  ) GROUP BY id
+),
+r3 AS (
+  SELECT id, MIN(cost) AS cost FROM (
+    SELECT id, cost FROM r2
+    UNION ALL
+    SELECT c.v AS id, r2.cost + c.w AS cost
+    FROM r2 JOIN costs c ON c.u = r2.id
+  ) GROUP BY id
+)
+SELECT COALESCE(h.part_id, r3.id) AS part_id, h.hops,
+       r3.cost AS min_cost
+FROM hops h FULL JOIN r3 ON r3.id = h.part_id
+"""
+
+ANALYTICS_QUERIES["part_graph_route_indexed"] = (
+    q_part_graph_route_indexed,
+    SQL_PART_GRAPH_ROUTE_INDEXED,
+)

@@ -623,6 +623,7 @@ def bfs_hops(
     assume_symmetric: bool = False,
     broadcast_limit: int = 500_000,
     dedup_edges: bool = True,
+    materialized: bool = False,
 ) -> DataFrame:
     """Multi-source breadth-first search: the minimum hop count from
     any seed vertex to every vertex reachable within ``max_hops``
@@ -671,7 +672,10 @@ def bfs_hops(
         )
     if dedup_edges:
         sym = sym.distinct()
-    sym = sym.localCheckpoint(eager=True)
+    if not materialized:
+        # table-backed edges (write_graph_index) already have O(1)
+        # lineage and stable storage; checkpointing would re-copy them
+        sym = sym.localCheckpoint(eager=True)
     frontier = (
         seeds.select(F.col(seeds.columns[0]).alias("id"))
         .distinct()
@@ -729,6 +733,7 @@ def min_cost_bounded(
     dst: str = "v",
     weight: str = "w",
     broadcast_limit: int = 500_000,
+    materialized: bool = False,
 ) -> DataFrame:
     """Bounded Bellman-Ford: the minimum total edge cost from any seed
     to every vertex reachable through at most ``rounds`` edges —
@@ -758,7 +763,9 @@ def min_cost_bounded(
         F.col(src).alias("u"),
         F.col(dst).alias("v"),
         F.col(weight).cast("long").alias("w"),
-    ).localCheckpoint(eager=True)
+    )
+    if not materialized:
+        e = e.localCheckpoint(eager=True)
     dist = (
         seeds.select(F.col(seeds.columns[0]).alias("id"))
         .distinct()
@@ -784,3 +791,59 @@ def min_cost_bounded(
         )
         n_dist = dist.count()
     return dist
+
+
+def write_graph_index(
+    edges: DataFrame,
+    name: str,
+    src: str = "u",
+    dst: str = "v",
+    weight: str | None = None,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an edge list as the Hive-bucketed managed table
+    ``{name}_edges`` (bucketed + sorted by ``u``) — the graph sibling
+    of the MinHash / IVF persisted indexes: profiling shows the
+    iterative graph queries are DOMINATED by re-materializing the edge
+    list (66 s build vs 2-3 s per relaxation round on the 24M-edge sf1
+    co-purchase graph), and a standing corpus builds that graph ONCE,
+    appends daily (bucketed tables append per-bucket files), and runs
+    every BFS / route / rank probe against it.
+
+    Bucketing by ``u`` means frontier joins on the vertex key read
+    matching buckets with no Exchange on the edge side when the probe
+    frontier is bucketed alike — and broadcast-frontier probes (the
+    common case) just scan buckets straight off disk with O(1)-lineage
+    plans, no localCheckpoint re-materialization per query.
+    """
+    cols = [F.col(src).alias("u"), F.col(dst).alias("v")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("long").alias("w"))
+    from .skew import write_bucketed
+
+    spark = edges.sparkSession
+    if mode == "overwrite":
+        # Same stale-location sweep as write_minhash_index: the default
+        # in-memory catalog forgets tables across sessions but leaves
+        # their warehouse directories, and saveAsTable refuses to adopt
+        # an existing location [LOCATION_ALREADY_EXISTS].
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        t = f"{name}_edges"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        path = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{warehouse}/{t.lower()}"
+        )
+        fs = path.getFileSystem(hconf)
+        if fs.exists(path):
+            fs.delete(path, True)
+    write_bucketed(
+        edges.select(*cols), f"{name}_edges", "u",
+        num_buckets=num_buckets, sort_by="u", mode=mode,
+    )
+
+
+def read_graph_index(spark, name: str) -> DataFrame:
+    """Reopen a :func:`write_graph_index` edge table."""
+    return spark.table(f"{name}_edges")

@@ -257,19 +257,19 @@ def hilbert_key_sql(
     """
     digit_lst = "[" + ", ".join(str(v) for v in HILBERT_DIGIT) + "]"
     next_lst = "[" + ", ".join(str(v) for v in HILBERT_NEXT) + "]"
-    cols = ", ".join(carry)
-    sql = f"(SELECT {cols}, {x} AS hx, {y} AS hy, 0 AS st0, CAST(0 AS BIGINT) AS d0 FROM __HILBERT_BASE__)"
+    cols = "".join(f"{c}, " for c in carry)  # "" when carry is empty
+    sql = f"(SELECT {cols}{x} AS hx, {y} AS hy, 0 AS st0, CAST(0 AS BIGINT) AS d0 FROM __HILBERT_BASE__)"
     for k, i in enumerate(range(bits - 1, -1, -1)):
         q = f"(((hx >> {i}) & 1) * 2 + ((hy >> {i}) & 1))"
         idx = f"(st{k} * 4 + {q} + 1)"
         sql = (
-            f"(SELECT {cols}, hx, hy, "
+            f"(SELECT {cols}hx, hy, "
             f"list_extract({next_lst}, {idx}) AS st{k + 1}, "
             f"d{k} * 4 + list_extract({digit_lst}, {idx}) AS d{k + 1} "
             f"FROM {sql} t{k})"
         )
     return (
-        f"(SELECT {cols}, hx, hy, CAST(d{bits} AS BIGINT) AS hkey "
+        f"(SELECT {cols}hx, hy, CAST(d{bits} AS BIGINT) AS hkey "
         f"FROM {sql} tf)"
     )
 
