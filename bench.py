@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "vocab_growth_curve",
     "streaming_ohlc_bars",
     "part_graph_route_indexed",
+    "revenue_holt_forecast",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -6802,3 +6802,132 @@ ANALYTICS_QUERIES["part_graph_route_indexed"] = (
     q_part_graph_route_indexed,
     SQL_PART_GRAPH_ROUTE_INDEXED,
 )
+
+
+# --- Holt linear forecasting (integer fixed point) ---------------------------
+
+
+def q_revenue_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing [Holt 1957] over the
+    monthly revenue series, made ENGINE-EXACT: alpha = beta = 1/2 turns
+    both updates into integer halvings —
+
+        level_t = fdiv2(y_t + level_{t-1} + trend_{t-1})
+        trend_t = fdiv2(trend_{t-1} + level_t - level_{t-1})
+
+    with ``fdiv2(x) = (x - (x & 1)) div 2`` — subtracting the parity
+    bit makes the operand EVEN, so the division is exact and the
+    truncate-vs-floor divergence between engines on NEGATIVE values
+    (trends go negative on declining months) never arises.  Init
+    level_1 = y_1, trend_1 = 0 (no future leak).  Per month the output
+    carries the state and ``forecast_next = level + trend`` — the
+    1-step-ahead prediction, so the last row is the out-of-sample
+    forecast and every other row is the backtest column.  This is the
+    forecasting companion to revenue_cusum (drift), seasonal_decomp
+    (structure), and revenue_backtest (evaluation).
+
+    Scale shape: one day->month aggregate collapses the fact table to
+    the calendar-bounded series; the spine zero-fills gap months (lag
+    semantics stay calendar-true); the fold runs IN-ROW over month
+    prefixes (O(T^2) at T ~ tens — the customer_survival pattern).
+    The oracle replays the recursion via a recursive CTE — an
+    independent formulation of the same integer walk.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        money_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    monthly = o.groupBy("m").agg(F.sum("cents").cast("long").alias("rev"))
+    bounds = monthly.agg(
+        F.min("m").alias("lo"), F.max("m").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("m")
+    )
+    series = (
+        spine.join(monthly, "m", "left")
+        .withColumn("rev", F.coalesce("rev", F.lit(0)).cast("long"))
+    )
+    arr = series.agg(
+        F.array_sort(
+            F.collect_list(F.struct("m", "rev"))
+        ).alias("ms")
+    )
+    # fold: acc = (level, trend); fdiv2 via parity subtraction
+    step = (
+        "(acc, x) -> named_struct("
+        "'l', ((x.rev + acc.l + acc.b) - ((x.rev + acc.l + acc.b) & 1))"
+        " div 2, "
+        "'b', ((acc.b + (((x.rev + acc.l + acc.b)"
+        " - ((x.rev + acc.l + acc.b) & 1)) div 2) - acc.l)"
+        " - ((acc.b + (((x.rev + acc.l + acc.b)"
+        " - ((x.rev + acc.l + acc.b) & 1)) div 2) - acc.l) & 1)) div 2)"
+    )
+    return arr.select(
+        F.explode(
+            F.expr(
+                f"""transform(ms, (x, i) -> struct(
+                      x.m AS m,
+                      x.rev AS rev_cents,
+                      aggregate(slice(ms, 2, i),
+                                named_struct('l', ms[0].rev,
+                                             'b', CAST(0 AS BIGINT)),
+                                {step}).l AS level_cents,
+                      aggregate(slice(ms, 2, i),
+                                named_struct('l', ms[0].rev,
+                                             'b', CAST(0 AS BIGINT)),
+                                {step}).b AS trend_cents))"""
+            )
+        ).alias("r")
+    ).select(
+        "r.m",
+        "r.rev_cents",
+        "r.level_cents",
+        "r.trend_cents",
+        (F.col("r.level_cents") + F.col("r.trend_cents")).alias(
+            "forecast_next_cents"
+        ),
+    )
+
+
+SQL_REVENUE_HOLT_FORECAST = """
+-- Replays the integer Holt walk as a recursive CTE — the sequential
+-- formulation of the in-row fold the engine runs (same fdiv2 parity
+-- trick, so engine floor/truncate semantics cannot diverge).
+WITH RECURSIVE monthly AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+),
+b AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM monthly),
+spine AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b)))
+    AS m
+),
+series AS (
+  SELECT spine.m, CAST(COALESCE(monthly.rev, 0) AS BIGINT) AS rev,
+         ROW_NUMBER() OVER (ORDER BY spine.m) AS i
+  FROM spine LEFT JOIN monthly ON monthly.m = spine.m
+),
+walk AS (
+  SELECT m, rev, i, rev AS l, CAST(0 AS BIGINT) AS b
+  FROM series WHERE i = 1
+  UNION ALL
+  SELECT s.m, s.rev, s.i,
+         ((s.rev + w.l + w.b) - ((s.rev + w.l + w.b) & 1)) // 2 AS l,
+         ((w.b + ((s.rev + w.l + w.b) - ((s.rev + w.l + w.b) & 1)) // 2
+           - w.l)
+          - ((w.b + ((s.rev + w.l + w.b) - ((s.rev + w.l + w.b) & 1)) // 2
+              - w.l) & 1)) // 2 AS b
+  FROM walk w JOIN series s ON s.i = w.i + 1
+)
+SELECT m, rev AS rev_cents, l AS level_cents, b AS trend_cents,
+       l + b AS forecast_next_cents
+FROM walk
+"""
+
+ANALYTICS_QUERIES["revenue_holt_forecast"] = (
+    q_revenue_holt_forecast,
+    SQL_REVENUE_HOLT_FORECAST,
+)

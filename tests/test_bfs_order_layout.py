@@ -452,3 +452,55 @@ def test_cluster_by_hilbert_orders_files_by_curve(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+# --- Holt linear forecast -----------------------------------------------------
+
+
+def _holt_py(ys):
+    """Pure-Python third implementation of the integer Holt walk."""
+    def fdiv2(x):
+        return (x - (x & 1)) // 2
+
+    out = []
+    l, b = ys[0], 0
+    out.append((ys[0], l, b))
+    for y in ys[1:]:
+        l2 = fdiv2(y + l + b)
+        b = fdiv2(b + l2 - l)
+        l = l2
+        out.append((y, l, b))
+    return out
+
+
+def test_holt_matches_pure_python_on_testdata(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.analytics_queries import (
+        q_revenue_holt_forecast,
+    )
+
+    rows = sorted(
+        q_revenue_holt_forecast(spark, SF_SMALL).collect(),
+        key=lambda r: r["m"],
+    )
+    ys = [r["rev_cents"] for r in rows]
+    exp = _holt_py(ys)
+    for r, (y, l, b) in zip(rows, exp):
+        assert (r["rev_cents"], r["level_cents"], r["trend_cents"]) == (
+            y, l, b,
+        )
+        assert r["forecast_next_cents"] == l + b
+
+
+def test_holt_properties():
+    # constant series: level locks to the constant, trend decays to 0
+    out = _holt_py([100] * 20)
+    assert out[-1][1] == 100 and out[-1][2] == 0
+    # exact linear growth: forecast converges onto the next value
+    ys = [1000 + 50 * i for i in range(30)]
+    out = _holt_py(ys)
+    l, b = out[-1][1], out[-1][2]
+    assert abs((l + b) - (ys[-1] + 50)) <= 2  # integer-rounding slack
+    # negative trend exercises the fdiv2 parity trick on negatives
+    ys = [10_000 - 123 * i for i in range(25)]
+    out = _holt_py(ys)
+    assert out[-1][2] < 0
