@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "streaming_ohlc_bars",
     "part_graph_route_indexed",
     "revenue_holt_forecast",
+    "part_pagerank_weighted",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

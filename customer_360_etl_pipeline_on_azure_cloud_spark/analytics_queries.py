@@ -6931,3 +6931,94 @@ ANALYTICS_QUERIES["revenue_holt_forecast"] = (
     q_revenue_holt_forecast,
     SQL_REVENUE_HOLT_FORECAST,
 )
+
+
+# --- weighted PageRank over co-purchase affinity -----------------------------
+
+
+def q_part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators/graph.py pagerank_weighted): rank
+    flows proportional to co-purchase AFFINITY (shared-order count)
+    instead of uniformly — a part tightly bundled with central parts
+    outranks one with many weak links, which is the product-affinity
+    ranking a uniform walk flattens (part_pagerank ranks the same
+    graph unweighted; the pair isolates exactly what weighting adds).
+
+    Same one-shuffle edge build + (u, v) distinct-order weight
+    aggregate as part_affinity_route; 3 integer fixed-point rounds,
+    ``(r * w) div W_u`` with the product BEFORE the division (the
+    precise order — see the operator's overflow contract).  The
+    oracle unrolls the identical rounds.
+    """
+    from .operators.graph import pagerank_weighted
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    weighted = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> "
+                    "transform(ps, y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    ranks = pagerank_weighted(
+        weighted, src="src", dst="dst", weight="w",
+        iterations=3, damping_pct=85,
+    )
+    return ranks.select(F.col("id").alias("part_id"), "rank_fp")
+
+
+SQL_PART_PAGERANK_WEIGHTED = """
+-- Unrolls the weighted recurrence exactly:
+-- r' = base + (85 * SUM_{u->v} ((r(u) * w_uv) // W_u)) // 100
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+verts AS (SELECT u AS id FROM pairs UNION SELECT v FROM pairs),
+nn AS (SELECT COUNT(*) AS n FROM verts),
+c0 AS (SELECT CAST(1000000000000 // n AS BIGINT) AS init,
+              CAST((15 * (1000000000000 // n)) // 100 AS BIGINT) AS base
+       FROM nn),
+ws AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wsum FROM pairs GROUP BY u),
+r0 AS (SELECT id, (SELECT init FROM c0) AS r FROM verts),
+m1 AS (SELECT p.v AS id, SUM((r0.r * p.w) // d.wsum) AS s
+       FROM pairs p JOIN r0 ON r0.id = p.u JOIN ws d ON d.u = p.u
+       GROUP BY p.v),
+r1 AS (SELECT verts.id,
+              CAST((SELECT base FROM c0)
+                   + (85 * COALESCE(m1.s, 0)) // 100 AS BIGINT) AS r
+       FROM verts LEFT JOIN m1 ON m1.id = verts.id),
+m2 AS (SELECT p.v AS id, SUM((r1.r * p.w) // d.wsum) AS s
+       FROM pairs p JOIN r1 ON r1.id = p.u JOIN ws d ON d.u = p.u
+       GROUP BY p.v),
+r2 AS (SELECT verts.id,
+              CAST((SELECT base FROM c0)
+                   + (85 * COALESCE(m2.s, 0)) // 100 AS BIGINT) AS r
+       FROM verts LEFT JOIN m2 ON m2.id = verts.id),
+m3 AS (SELECT p.v AS id, SUM((r2.r * p.w) // d.wsum) AS s
+       FROM pairs p JOIN r2 ON r2.id = p.u JOIN ws d ON d.u = p.u
+       GROUP BY p.v),
+r3 AS (SELECT verts.id,
+              CAST((SELECT base FROM c0)
+                   + (85 * COALESCE(m3.s, 0)) // 100 AS BIGINT) AS r
+       FROM verts LEFT JOIN m3 ON m3.id = verts.id)
+SELECT id AS part_id, r AS rank_fp FROM r3
+"""
+
+ANALYTICS_QUERIES["part_pagerank_weighted"] = (
+    q_part_pagerank_weighted,
+    SQL_PART_PAGERANK_WEIGHTED,
+)

@@ -847,3 +847,107 @@ def write_graph_index(
 def read_graph_index(spark, name: str) -> DataFrame:
     """Reopen a :func:`write_graph_index` edge table."""
     return spark.table(f"{name}_edges")
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    materialized: bool = False,
+) -> DataFrame:
+    """Weighted PageRank in 64-bit integer fixed point — the
+    :func:`pagerank_fixed` recurrence with rank flowing PROPORTIONAL
+    TO EDGE WEIGHT instead of uniformly::
+
+        r_{k+1}(v) = base + (d * SUM_{u->v} ((r_k(u) * w_uv) div W_u))
+                     div 100        (W_u = sum of u's outgoing weights)
+
+    ``(r * w) div W`` keeps the numerator product BEFORE the division
+    (the precise order; dividing first loses up to w units/term), so
+    the caller contract is ``scale * max(w) < 2^63`` — checked with
+    one cheap aggregate and raised on, never silently wrapped.
+    Weights must be positive integers.
+
+    Same scale shape as pagerank_fixed (edges persisted once or, with
+    ``materialized=True``, read straight off a
+    :func:`write_graph_index` table; O(vertices) shuffles per round;
+    one scalar count to the driver) and the same determinism argument:
+    integer ops are associative, so the oracle unrolls the identical
+    rounds.
+    """
+    from pyspark import StorageLevel
+
+    if iterations < 1:
+        raise ValueError("pagerank_weighted: iterations must be >= 1")
+    e = edges.select(
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    if not materialized:
+        e = e.persist(StorageLevel.DISK_ONLY)
+    guard = e.agg(
+        F.max("w").alias("mx"), F.min("w").alias("mn")
+    ).collect()[0]
+    if guard["mn"] is not None and guard["mn"] <= 0:
+        raise ValueError("pagerank_weighted: weights must be positive")
+    if guard["mx"] is not None and scale * guard["mx"] >= 2**63:
+        raise ValueError(
+            f"pagerank_weighted: scale*max(w) = {scale * guard['mx']} "
+            "overflows int64; lower scale or rescale weights"
+        )
+    verts = (
+        e.select(F.explode(F.array("u", "v")).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.select("id", F.lit(0).cast("long").alias("rank_fp"))
+    init = scale // n
+    base = ((100 - damping_pct) * init) // 100
+    wsum = (
+        e.groupBy("u")
+        .agg(F.sum("w").alias("wsum"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = verts.select("id", F.lit(init).cast("long").alias("rank_fp"))
+    prev = None
+    for _ in range(iterations):
+        carriers = ranks.join(wsum, ranks["id"] == wsum["u"]).select(
+            "u", "rank_fp", "wsum"
+        )
+        msgs = (
+            e.join(carriers, "u")
+            .select(
+                F.col("v").alias("id"),
+                F.expr("(rank_fp * w) div wsum").alias("share"),
+            )
+            .groupBy("id")
+            .agg(F.sum("share").alias("inbound"))
+        )
+        new_ranks = (
+            verts.join(msgs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inbound, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev, ranks = ranks, new_ranks
+    if not materialized:
+        e.unpersist()
+    wsum.unpersist()
+    verts.unpersist()
+    return ranks

@@ -504,3 +504,78 @@ def test_holt_properties():
     ys = [10_000 - 123 * i for i in range(25)]
     out = _holt_py(ys)
     assert out[-1][2] < 0
+
+
+# --- weighted PageRank --------------------------------------------------------
+
+
+def _wpr_py(edges, iters=3, d=85, scale=10**12):
+    """Pure-Python reference of the integer weighted-PageRank walk."""
+    verts = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(verts)
+    init = scale // n
+    base = ((100 - d) * init) // 100
+    wsum = {}
+    for u, _, w in edges:
+        wsum[u] = wsum.get(u, 0) + w
+    r = {v: init for v in verts}
+    for _ in range(iters):
+        inbound = {}
+        for u, v, w in edges:
+            inbound[v] = inbound.get(v, 0) + (r[u] * w) // wsum[u]
+        r = {v: base + (d * inbound.get(v, 0)) // 100 for v in verts}
+    return r
+
+
+WEDGES = [(1, 2, 9), (1, 3, 1), (2, 1, 5), (3, 1, 5), (2, 3, 5), (3, 2, 5)]
+
+
+def test_weighted_pagerank_matches_pure_python(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        pagerank_weighted,
+    )
+
+    e = spark.createDataFrame(WEDGES, "u long, v long, w long")
+    got = {
+        r["id"]: r["rank_fp"] for r in pagerank_weighted(e).collect()
+    }
+    assert got == _wpr_py(WEDGES)
+    # weighting matters: 1 sends 90% of its mass to 2, so 2 outranks 3
+    assert got[2] > got[3]
+
+
+def test_weighted_pagerank_uniform_weights_equals_unweighted(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        pagerank_fixed,
+        pagerank_weighted,
+    )
+
+    uni = [(u, v, 1) for u, v, _ in WEDGES]
+    e = spark.createDataFrame(uni, "u long, v long, w long")
+    got_w = {
+        r["id"]: r["rank_fp"] for r in pagerank_weighted(e).collect()
+    }
+    got_u = {
+        r["id"]: r["rank_fp"]
+        for r in pagerank_fixed(
+            e.select("u", "v"), src="u", dst="v"
+        ).collect()
+    }
+    assert got_w == got_u
+
+
+def test_weighted_pagerank_guards(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        pagerank_weighted,
+    )
+
+    bad = spark.createDataFrame([(1, 2, 0)], "u long, v long, w long")
+    with pytest.raises(ValueError, match="positive"):
+        pagerank_weighted(bad)
+    big = spark.createDataFrame(
+        [(1, 2, 2**62)], "u long, v long, w long"
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank_weighted(big)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank_weighted(bad, iterations=0)
