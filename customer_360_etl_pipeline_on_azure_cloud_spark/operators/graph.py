@@ -907,6 +907,8 @@ def pagerank_weighted(
     )
     n = verts.count()
     if n == 0:
+        if not materialized:
+            e.unpersist()
         return verts.select("id", F.lit(0).cast("long").alias("rank_fp"))
     init = scale // n
     base = ((100 - damping_pct) * init) // 100

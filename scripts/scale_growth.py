@@ -27,6 +27,17 @@ from customer_360_etl_pipeline_on_azure_cloud_spark.testdata_queries import (  #
 )
 
 QUERIES = [
+    "part_bfs_hops",
+    "part_affinity_route",
+    "event_ohlc_bars",
+    "curriculum_interleave",
+    "hilbert_layout",
+    "layout_curve_compare",
+    "vocab_growth_curve",
+    "streaming_ohlc_bars",
+    "part_graph_route_indexed",
+    "revenue_holt_forecast",
+    "part_pagerank_weighted",
     "doc_jaccard_pairs",
     "minhash_near_dup",
     "simhash_near_dup",
