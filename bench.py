@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "part_graph_route_indexed",
     "revenue_holt_forecast",
     "part_pagerank_weighted",
+    "streaming_holt_by_type",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -7022,3 +7022,136 @@ ANALYTICS_QUERIES["part_pagerank_weighted"] = (
     q_part_pagerank_weighted,
     SQL_PART_PAGERANK_WEIGHTED,
 )
+
+
+# --- streaming stateful Holt forecast ----------------------------------------
+
+
+def q_streaming_holt_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key forecasting state ACROSS micro-batches
+    (streaming/stateful.py stateful_holt): events arrive in two
+    DAY-SPLIT files (first half of the calendar, then the rest —
+    mtimes pinned so the file source folds them in day order, the
+    exactly-once query's discipline), and applyInPandasWithState
+    maintains each event_type's integer Holt(1/2, 1/2) (level, trend)
+    through the stream — the state machine session_window cannot
+    carry, and the streaming twin of revenue_holt_forecast's in-row
+    fold.  The final state per key is the fold of the fully-arrived
+    daily series, so the batch-replaying oracle applies EXACTLY —
+    hash-match = cross-batch state-carry correctness.  Out-of-order
+    or day-straddling delivery RAISES in the operator (contract, not
+    silent refold).
+
+    State: 4 scalars per key.  Python work per key per batch: one
+    vectorized groupby-sum + an O(new days) integer fold.
+    """
+    import os
+    import tempfile
+
+    from .streaming.incremental import run_incremental
+    from .streaming.stateful import stateful_holt
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("day"),
+        money_cents(F.col("value")).alias("cents"),
+    )
+    lohi = ev.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).collect()[0]
+    mid = (int(lohi["lo"]) + int(lohi["hi"])) // 2
+    tmp = tempfile.mkdtemp(prefix="c360_stream_holt_")
+    arrivals = os.path.join(tmp, "arrivals")
+    # pin strictly increasing mtimes AFTER EACH WRITE (part-file names
+    # are uuids — name order is NOT write order): the file source
+    # orders batches by modification time, and the fold contract
+    # requires day order
+    seen: set[str] = set()
+    for k, cond in enumerate(
+        (F.col("day") <= mid, F.col("day") > mid)
+    ):
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(arrivals)
+        for f in os.listdir(arrivals):
+            if f.endswith(".parquet") and f not in seen:
+                seen.add(f)
+                os.utime(
+                    os.path.join(arrivals, f),
+                    (1_000_000 + k, 1_000_000 + k),
+                )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(arrivals)
+    )
+    holt = stateful_holt(stream, "event_type", "day", "cents")
+    name = f"stream_holt_{os.path.basename(tmp).split('_')[-1]}"
+    run_incremental(
+        holt, os.path.join(tmp, "ckpt"), name, mode="append"
+    )
+    final = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.max_by(
+                F.struct("n_days", "level_cents", "trend_cents"),
+                F.col("through_day"),
+            ).alias("s")
+        )
+    )
+    return final.select(
+        "event_type",
+        F.col("s.n_days").alias("n_days"),
+        F.col("s.level_cents").alias("level_cents"),
+        F.col("s.trend_cents").alias("trend_cents"),
+        (F.col("s.level_cents") + F.col("s.trend_cents")).alias(
+            "forecast_next_cents"
+        ),
+    )
+
+
+SQL_STREAMING_HOLT_BY_TYPE = """
+-- Replays the fully-arrived per-type walk (the batch formulation the
+-- streaming state must equal): daily sums in day order, recursive
+-- integer Holt with the parity-exact halving, final row per type.
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, day, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+walk AS (
+  SELECT event_type, i, cents AS l, CAST(0 AS BIGINT) AS b
+  FROM series WHERE i = 1
+  UNION ALL
+  SELECT s.event_type, s.i,
+         ((s.cents + w.l + w.b) - ((s.cents + w.l + w.b) & 1)) // 2
+           AS l,
+         ((w.b + ((s.cents + w.l + w.b)
+                  - ((s.cents + w.l + w.b) & 1)) // 2 - w.l)
+          - ((w.b + ((s.cents + w.l + w.b)
+                     - ((s.cents + w.l + w.b) & 1)) // 2 - w.l) & 1))
+         // 2 AS b
+  FROM walk w JOIN series s
+    ON s.event_type = w.event_type AND s.i = w.i + 1
+),
+fin AS (SELECT event_type, MAX(i) AS mi FROM walk GROUP BY 1)
+SELECT w.event_type, CAST(w.i AS BIGINT) AS n_days,
+       w.l AS level_cents, w.b AS trend_cents,
+       w.l + w.b AS forecast_next_cents
+FROM walk w JOIN fin
+  ON fin.event_type = w.event_type AND fin.mi = w.i
+"""
+
+ANALYTICS_QUERIES["streaming_holt_by_type"] = (
+    q_streaming_holt_by_type,
+    SQL_STREAMING_HOLT_BY_TYPE,
+)

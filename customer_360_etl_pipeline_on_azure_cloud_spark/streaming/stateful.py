@@ -152,3 +152,125 @@ def stateful_sessionize(
         )
         .withColumnRenamed("key", key_col)
     )
+
+
+def _holt_state_fn():
+    """Per-key Holt(1/2, 1/2) integer state transition.
+
+    State: ``(last_day, level, trend, n_days)``.  Each batch delivers
+    (day, cents) rows; days are summed, sorted, and folded with the
+    SAME parity-exact halving as the batch query (fdiv2(x) =
+    (x - (x & 1)) // 2 — even operand, exact division, no
+    truncate-vs-floor ambiguity on negative trends).  A batch
+    containing a day <= the folded frontier violates the day-complete
+    in-order delivery contract and RAISES (the exactly-once sink's
+    divergence discipline: fail loudly, never silently fold a day
+    twice).
+    """
+
+    def fdiv2(x: int) -> int:
+        return (x - (x & 1)) // 2
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        daily = (
+            rows.groupby("day", as_index=False)["cents"].sum()
+            .sort_values("day")
+        )
+        if state.exists:
+            last_day, level, trend, n_days = state.get
+        else:
+            last_day, level, trend, n_days = -1, 0, 0, 0
+        if len(daily) and int(daily["day"].iloc[0]) <= last_day:
+            raise RuntimeError(
+                f"stateful_holt: key {key} received day "
+                f"{int(daily['day'].iloc[0])} <= folded frontier "
+                f"{last_day} — day-complete in-order delivery violated"
+            )
+        for day, cents in zip(daily["day"], daily["cents"]):
+            day, cents = int(day), int(cents)
+            if n_days == 0:
+                level, trend = cents, 0
+            else:
+                new_level = fdiv2(cents + level + trend)
+                trend = fdiv2(trend + new_level - level)
+                level = new_level
+            last_day, n_days = day, n_days + 1
+        state.update((last_day, level, trend, n_days))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "through_day": [last_day],
+                "n_days": [n_days],
+                "level_cents": [level],
+                "trend_cents": [trend],
+            }
+        )
+
+    return fn
+
+
+def stateful_holt(
+    values: DataFrame,
+    key_col: str,
+    day_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Streaming Holt linear smoothing as an ARBITRARY STATEFUL
+    operator: per key, the integer Holt(1/2, 1/2) walk of
+    ``analytics_queries.q_revenue_holt_forecast`` maintained ACROSS
+    micro-batches — the forecasting state machine Spark has no
+    built-in for (session_window can't carry a (level, trend)
+    recursion).  Emits the folded state after every batch; the final
+    row per key (max through_day) is the same (level, trend) the
+    batch fold produces over the fully-arrived series — exact batch
+    equivalence, pinned by the shared oracle.
+
+    Delivery contract: batches must be DAY-COMPLETE and in day order
+    per key (the daily-ingest deployment; violations raise — see
+    _holt_state_fn).  State is 4 scalars per key, Arrow-batched; the
+    Python work is one vectorized groupby-sum per key per batch plus
+    an O(new days) integer fold.  No watermark is needed: the
+    operator never waits on event time, it folds what each batch
+    completes (ProcessingTimeTimeout-free, timeout NoTimeout).
+    """
+    key_field = values.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("key", key_field.dataType),
+            T.StructField("through_day", T.LongType()),
+            T.StructField("n_days", T.LongType()),
+            T.StructField("level_cents", T.LongType()),
+            T.StructField("trend_cents", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_day", T.LongType()),
+            T.StructField("level", T.LongType()),
+            T.StructField("trend", T.LongType()),
+            T.StructField("n_days", T.LongType()),
+        ]
+    )
+    from pyspark.sql import functions as F
+
+    prepared = values.select(
+        F.col(key_col),
+        F.col(day_col).cast("long").alias("day"),
+        F.col(cents_col).cast("long").alias("cents"),
+    )
+    return (
+        prepared.groupBy(key_col)
+        .applyInPandasWithState(
+            _holt_state_fn(),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .withColumnRenamed("key", key_col)
+    )

@@ -579,3 +579,64 @@ def test_weighted_pagerank_guards(spark):
         pagerank_weighted(big)
     with pytest.raises(ValueError, match="iterations"):
         pagerank_weighted(bad, iterations=0)
+
+
+# --- stateful streaming Holt --------------------------------------------------
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _run_holt_batches(batches):
+    """Drive _holt_state_fn directly with pandas batches."""
+    import pandas as pd
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.streaming.stateful import (
+        _holt_state_fn,
+    )
+
+    fn = _holt_state_fn()
+    st = _FakeState()
+    out = None
+    for b in batches:
+        df = pd.DataFrame(b, columns=["day", "cents"])
+        out = list(fn(("k",), iter([df]), st))[-1]
+    return st._v, out
+
+
+def test_stateful_holt_state_carry_equals_one_batch():
+    days = [(d, 100 + 7 * d) for d in range(1, 21)]
+    one, _ = _run_holt_batches([days])
+    split, _ = _run_holt_batches([days[:9], days[9:]])
+    three, _ = _run_holt_batches([days[:5], days[5:13], days[13:]])
+    assert one == split == three
+    # and the fold equals the pure-Python batch walk
+    exp = _holt_py([c for _, c in days])
+    assert one[1] == exp[-1][1] and one[2] == exp[-1][2]
+    assert one[0] == 20 and one[3] == 20
+
+
+def test_stateful_holt_rejects_out_of_order_delivery():
+    with pytest.raises(RuntimeError, match="in-order delivery"):
+        _run_holt_batches([[(5, 10), (6, 11)], [(6, 12)]])
+    with pytest.raises(RuntimeError, match="in-order delivery"):
+        _run_holt_batches([[(5, 10)], [(3, 9)]])
+
+
+def test_stateful_holt_sums_within_day_before_folding():
+    merged, _ = _run_holt_batches([[(1, 60), (1, 40), (2, 30)]])
+    presummed, _ = _run_holt_batches([[(1, 100), (2, 30)]])
+    assert merged == presummed
