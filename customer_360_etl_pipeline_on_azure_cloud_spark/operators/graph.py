@@ -672,9 +672,12 @@ def bfs_hops(
         )
     if dedup_edges:
         sym = sym.distinct()
-    if not materialized:
+    if not materialized or dedup_edges:
         # table-backed edges (write_graph_index) already have O(1)
-        # lineage and stable storage; checkpointing would re-copy them
+        # lineage and stable storage, so checkpointing would re-copy
+        # them — but a dedup DERIVED from the table is new work that
+        # would otherwise re-run every round, so it checkpoints even
+        # on the materialized path
         sym = sym.localCheckpoint(eager=True)
     frontier = (
         seeds.select(F.col(seeds.columns[0]).alias("id"))

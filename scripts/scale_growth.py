@@ -27,6 +27,7 @@ from customer_360_etl_pipeline_on_azure_cloud_spark.testdata_queries import (  #
 )
 
 QUERIES = [
+    "streaming_holt_by_type",
     "part_bfs_hops",
     "part_affinity_route",
     "event_ohlc_bars",
