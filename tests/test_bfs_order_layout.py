@@ -640,3 +640,104 @@ def test_stateful_holt_sums_within_day_before_folding():
     merged, _ = _run_holt_batches([[(1, 60), (1, 40), (2, 30)]])
     presummed, _ = _run_holt_batches([[(1, 100), (2, 30)]])
     assert merged == presummed
+
+
+# --- randomized cross-checks vs pure-Python references ------------------------
+
+
+def _bfs_py(edges, seeds, max_hops):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = h
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def _bf_py(wedges, seeds, rounds):
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        new = dict(dist)
+        for u, v, w in wedges:
+            if u in dist and dist[u] + w < new.get(v, float("inf")):
+                new[v] = dist[u] + w
+        dist = new
+    return dist
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_bfs_random_graphs_match_reference(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    n = 40
+    edges = sorted(
+        {
+            tuple(sorted((rng.randrange(n), rng.randrange(n + 1))))
+            for _ in range(60)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    seeds = sorted({rng.randrange(n) for _ in range(3)})
+    mh = rng.choice([1, 2, 3, 5])
+    got = _hops(spark, edges, seeds, mh)
+    assert got == _bfs_py(edges, seeds, mh)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_bellman_ford_random_graphs_match_reference(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    n = 30
+    wedges = sorted(
+        {
+            (rng.randrange(n), rng.randrange(n), rng.randrange(1, 50))
+            for _ in range(70)
+        }
+    )
+    wedges = [(u, v, w) for u, v, w in wedges if u != v]
+    # parallel (u, v) edges with different weights survive — both the
+    # operator and the reference relax every edge, so they agree
+    seeds = sorted({rng.randrange(n) for _ in range(2)})
+    rounds = rng.choice([1, 2, 4])
+    got = _costs(spark, wedges, seeds, rounds)
+    assert got == _bf_py(wedges, seeds, rounds)
+
+
+@pytest.mark.parametrize("bits", [1, 2, 3, 5])
+def test_hilbert_bijection_and_unit_steps_at_other_widths(bits):
+    side = 1 << bits
+    d2xy = {}
+    for x in range(side):
+        for y in range(side):
+            d2xy[_auto(bits, x, y)] = (x, y)
+    assert len(d2xy) == side * side
+    for i in range(side * side - 1):
+        (x0, y0), (x1, y1) = d2xy[i], d2xy[i + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_global_row_number_with_heavy_duplicate_keys(spark):
+    # many ties on k; uid tiebreak makes the order total
+    rows = [(i % 3, i) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, uid long").repartition(13)
+    got = {
+        r["uid"]: r["position"]
+        for r in global_row_number(df, ["k", "uid"], num_partitions=7)
+        .collect()
+    }
+    exp = {uid: i + 1 for i, (_, uid) in enumerate(sorted(rows))}
+    assert got == exp
