@@ -741,3 +741,107 @@ def test_global_row_number_with_heavy_duplicate_keys(spark):
     }
     exp = {uid: i + 1 for i, (_, uid) in enumerate(sorted(rows))}
     assert got == exp
+
+
+# --- persisted graph index lifecycle ------------------------------------------
+
+
+def test_graph_index_probes_equal_in_memory_ops(spark, tmp_path):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        bfs_hops,
+        min_cost_bounded,
+        read_graph_index,
+        write_graph_index,
+    )
+
+    import random
+
+    rng = random.Random(99)
+    wedges = sorted(
+        {
+            (rng.randrange(25), rng.randrange(25), rng.randrange(1, 9))
+            for _ in range(60)
+        }
+    )
+    wedges = [(u, v, w) for u, v, w in wedges if u != v]
+    e = spark.createDataFrame(wedges, "u long, v long, w long")
+    seeds = spark.createDataFrame([(0,), (1,)], "id long")
+    write_graph_index(e, "t_gidx", weight="w", num_buckets=2)
+    idx = read_graph_index(spark, "t_gidx")
+
+    mem_hops = {
+        r["id"]: r["hops"]
+        for r in bfs_hops(
+            e.select("u", "v"), seeds, max_hops=3, src="u", dst="v"
+        ).collect()
+    }
+    idx_hops = {
+        r["id"]: r["hops"]
+        for r in bfs_hops(
+            idx, seeds, max_hops=3, src="u", dst="v", materialized=True
+        ).collect()
+    }
+    assert idx_hops == mem_hops
+
+    mem_cost = {
+        r["id"]: r["cost"]
+        for r in min_cost_bounded(e, seeds, rounds=3).collect()
+    }
+    idx_cost = {
+        r["id"]: r["cost"]
+        for r in min_cost_bounded(
+            idx, seeds, rounds=3, materialized=True
+        ).collect()
+    }
+    assert idx_cost == mem_cost
+
+
+def test_graph_index_append_extends_the_graph(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        bfs_hops,
+        read_graph_index,
+        write_graph_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1)], "u long, v long, w long"
+    )
+    write_graph_index(base, "t_gidx_app", num_buckets=2)
+    seeds = spark.createDataFrame([(1,)], "id long")
+    before = {
+        r["id"]: r["hops"]
+        for r in bfs_hops(
+            read_graph_index(spark, "t_gidx_app"), seeds, max_hops=3,
+            src="u", dst="v", materialized=True,
+        ).collect()
+    }
+    assert before == {1: 0, 2: 1}
+    day2 = spark.createDataFrame(
+        [(2, 3, 1), (3, 2, 1)], "u long, v long, w long"
+    )
+    write_graph_index(day2, "t_gidx_app", num_buckets=2, mode="append")
+    after = {
+        r["id"]: r["hops"]
+        for r in bfs_hops(
+            read_graph_index(spark, "t_gidx_app"), seeds, max_hops=3,
+            src="u", dst="v", materialized=True,
+        ).collect()
+    }
+    assert after == {1: 0, 2: 1, 3: 2}
+
+
+def test_graph_index_overwrite_survives_stale_location(spark):
+    """The cross-session LOCATION_ALREADY_EXISTS path: dropping the
+    catalog entry while the warehouse dir remains must not break the
+    next overwrite (the failure quick_subset_check hit live)."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.graph import (
+        read_graph_index,
+        write_graph_index,
+    )
+
+    e = spark.createDataFrame([(1, 2, 1)], "u long, v long, w long")
+    write_graph_index(e, "t_gidx_stale", num_buckets=2)
+    # simulate a fresh session's catalog: table forgotten, files left
+    spark.sql("DROP TABLE t_gidx_stale_edges")
+    write_graph_index(e, "t_gidx_stale", num_buckets=2)
+    assert read_graph_index(spark, "t_gidx_stale").count() == 1
