@@ -6,6 +6,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "total_query_sec", "value": N, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1, ...}
 
+The stdout line is a COMPACT summary (total, error count, 10 slowest
+queries) sized to survive the driver's ~2000-char stdout-tail capture;
+the full per-query record is written to BENCH_LOCAL_latest.json.
+
 Times are end-to-end per query: plan build + execution + collect of the
 result (result sets are small by design; no caching between queries, so
 every query pays its own scan — the honest configuration).
@@ -397,7 +401,33 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # read-only checkout must not break the bench
-    print(json.dumps(payload))
+    # stdout gets a COMPACT final line (VERDICT r8 item 7): the driver
+    # keeps only a ~2000-char stdout tail, and the full 210-query payload
+    # blew past it, leaving BENCH_r08.json unparsed. The summary keeps
+    # the driver's contract fields and the 10 slowest queries; the full
+    # per-query record lives in BENCH_LOCAL_latest.json (committed).
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    summary = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "cpus": cpus,
+        "passes": passes_done,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "errors": dict(list(errors.items())[:3]),
+        "full_artifact": "BENCH_LOCAL_latest.json",
+    }
+    line = json.dumps(summary)
+    if len(line) > 1900:  # belt-and-braces: never exceed the tail
+        summary.pop("errors", None)
+        summary["queries"] = dict(list(slowest.items())[:5])
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -6685,19 +6685,36 @@ def q_part_graph_route_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     build vs 2-3 s per relaxation round).  Build phase: derive the
     weighted symmetric co-purchase graph ONCE and persist it
     Hive-bucketed by vertex (operators/graph.py write_graph_index —
-    the graph sibling of the MinHash/IVF index lifecycle).  Probe
-    phase: run BOTH bfs_hops (<=4 hops) and min_cost_bounded (<=3
-    edges, cost 10^6 div shared_orders) straight off the standing
-    table — no localCheckpoint re-copy, O(1)-lineage scans — and
-    return them joined per part (hops, min_cost; a part reachable in 4
-    hops but not 3 edges carries a NULL cost, exercising the outer
-    join both engines must agree on).
+    the graph sibling of the MinHash/IVF index lifecycle), exercising
+    the FULL lifecycle: the initial write takes the edges whose
+    src+dst parity is even, then the odd half is APPENDED (bucketed
+    tables append per-bucket files — the daily-growth path), so the
+    probes read an index that was built AND grown (VERDICT r8 item 8).
+    Edge rows are keyed by (src, dst) and the two halves partition
+    that key space, so the appended table's CONTENT is identical to a
+    one-shot write — which is exactly what the oracle's bit-equality
+    asserts.  Probe phase: run BOTH bfs_hops (<=4 hops) and
+    min_cost_bounded (<=3 edges, cost 10^6 div shared_orders) straight
+    off the standing table — no localCheckpoint re-copy, O(1)-lineage
+    scans — and return them joined per part (hops, min_cost; a part
+    reachable in 4 hops but not 3 edges carries a NULL cost,
+    exercising the outer join both engines must agree on).
 
     Oracle = the two probes' independent formulations (recursive-CTE
     walk closure; 3 unrolled relaxation rounds) FULL-OUTER-joined —
     bit-equality of the combined table is the statement that probing a
-    persisted index changes nothing.
+    persisted, appended index changes nothing.
+
+    The index name carries the sf_dir basename (ADVICE r8): the
+    overwrite path sweeps the table's warehouse directory, so a fixed
+    name would let two sessions sharing a warehouse at DIFFERENT scale
+    factors clobber each other mid-probe.  Same-name writers (same
+    warehouse, same SF) remain single-writer, like every persisted
+    index here.
     """
+    import os
+    import re
+
     from .operators.graph import (
         bfs_hops,
         min_cost_bounded,
@@ -6707,7 +6724,8 @@ def q_part_graph_route_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .phases import phase
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    name = "q_copurchase_idx"
+    sf_tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    name = f"q_copurchase_idx_{sf_tag}"
     with phase("build"):
         weighted = (
             li.groupBy("l_orderkey")
@@ -6728,10 +6746,22 @@ def q_part_graph_route_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "src", "dst", F.expr("1000000 div shared").alias("w")
             )
         )
+        # the expensive co-purchase aggregation feeds BOTH halves of the
+        # build+append lifecycle; persist so the append re-reads blocks,
+        # not the whole clique expansion
+        from pyspark import StorageLevel
+
+        weighted = weighted.persist(StorageLevel.DISK_ONLY)
+        half = (F.col("src") + F.col("dst")) % 2 == 0
         write_graph_index(
-            weighted, name, src="src", dst="dst", weight="w",
+            weighted.filter(half), name, src="src", dst="dst", weight="w",
             num_buckets=8,
         )
+        write_graph_index(
+            weighted.filter(~half), name, src="src", dst="dst", weight="w",
+            num_buckets=8, mode="append",
+        )
+        weighted.unpersist()
     edges = read_graph_index(spark, name)
     seeds = li.select("l_partkey").distinct().orderBy("l_partkey").limit(3)
     hops = bfs_hops(

@@ -948,11 +948,12 @@ def pagerank_weighted(
             )
             .localCheckpoint(eager=True)
         )
-        if prev is not None:
-            prev.unpersist()
-        prev, ranks = ranks, new_ranks
+        ranks = new_ranks
+    # only e holds persist() blocks; the localCheckpoint'ed frames
+    # (verts/wsum/ranks) are eagerly-materialized block scans with no
+    # persist cache to release — unpersist() on them is a no-op (and, if
+    # it ever did drop checkpoint blocks, would break frames still
+    # derived from them), so none is attempted (ADVICE r8).
     if not materialized:
         e.unpersist()
-    wsum.unpersist()
-    verts.unpersist()
     return ranks

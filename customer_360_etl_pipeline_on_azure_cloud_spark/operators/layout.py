@@ -166,7 +166,7 @@ def _derive_hilbert_automaton() -> tuple[list[int], list[int], int]:
 
     Returns ``(DIGIT, NEXT, n_states)`` with quads indexed
     ``q = 2*x_bit + y_bit``.  Correctness is pinned by
-    tests/test_plan_shape.py's exhaustive 16-bit equivalence against
+    tests/test_bfs_order_layout.py's exhaustive 16-bit equivalence against
     the literal mutating loop.
     """
     states: dict[tuple[int, int, int], int] = {(0, 0, 0): 0}
