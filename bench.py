@@ -273,7 +273,21 @@ REDEFINED_SINCE_R0 = [
     "ann_topk_lsh",         # + exact top-20 comparison summary
     "ann_topk_ivf",         # + exact top-20 comparison summary
     "supplier_distinct_parts_approx",  # + exact-distinct accuracy twin
-    "embedding_near_dup",   # planted-pair corpus + multi-table SRP
+    "embedding_near_dup",   # planted corpus + SRP; r9: + contract sentinels
+    # r9 (VERDICT r8 item 2): the lsh-coincidence family restated as
+    # scale-valid contracts — each now carries the EXACT pair set (echo
+    # + floor arithmetic) and exact candidate verification INSIDE the
+    # query, so their r0 ratios compare strictly more work.
+    "minhash_near_dup",
+    "dedup_clusters",
+    "dedup_clusters_twophase",
+    "dedup_best_survivors",
+    "cluster_aware_split",
+    "split_leakage_audit",
+    "incremental_corpus_dedup",
+    "incremental_corpus_dedup_indexed",
+    "incremental_index_update",
+    "streaming_index_dedup",
 ]
 
 

@@ -764,7 +764,9 @@ CORE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 # --- LLM-pipeline extensions: text analysis, dedup, similarity --------------
 
 from .operators.dedup import (  # noqa: E402
+    cross_dedup_contract,
     dedup_exact,
+    exact_cross_pairs,
     jaccard_pairs,
     minhash_index,
     minhash_lsh_join,
@@ -911,23 +913,78 @@ QUALIFY rk <= 5
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup, scale path: banded MinHash-LSH (32 hashes, 8 bands)
-    with signature-level verification.
+    candidates, EXACT-verified (operators/dedup.py exact_verify_pairs
+    — the production cascade: banding proposes, exact Jaccard
+    disposes), stated as the contract the cascade GUARANTEES at every
+    scale factor (VERDICT r8 item 2; the former oracle asserted the
+    exact pair set, which held only by a pinned-corpus coincidence —
+    banding recall is 96.7% on the sf1 corpus, so it was excluded
+    there instead of asserted).
 
-    Oracle: on this corpus (planted high-Jaccard near-dups against a
-    high-entropy background) the verified LSH pairs coincide EXACTLY
-    with the exact 3-gram Jaccard >= 30% pairs, so the exact-Jaccard SQL
-    is the oracle — a full-strength driver check for the approximate
-    path. tests/test_extensions.py pins both that coincidence and the
-    distribution-free recall bound, so a corpus change that broke the
-    coincidence fails pytest before it fails the driver."""
+    Three-part contract, all DuckDB-assertable at any SF:
+
+    - **exact echo** (strong): one row per EXACT 3-gram Jaccard >= 30%
+      pair (operators/dedup.py jaccard_pairs, the shared-shingle
+      exact join) — DuckDB recomputes the same set independently, so
+      the exact pair machinery is hash-checked at full strength.
+    - **precision sentinel** (-1, -1): zero verified-LSH pairs fall
+      outside the exact set.  True BY CONSTRUCTION (exact
+      verification), so it cross-checks the two independent exact-
+      Jaccard implementations (self-join vs broadcast-candidate) at
+      every SF — unlike signature-level verification, which can pass
+      boundary pairs the exact ratio rejects.
+    - **recall-floor sentinel** (-2, -2): >= 90% of HIGH-confidence
+      exact pairs (Jaccard >= 80%) are found by banding.  Theory: a
+      J=0.8 pair misses all 8 bands w.p. (1-0.8^4)^8 ~ 1.5%, so the
+      10% allowance holds with huge margin at any corpus size
+      (measured: 100% at sf0.01/sf0.1, 96.7% over ALL >=30% pairs at
+      sf1 where the misses are boundary-J pairs the floor deliberately
+      excludes).  Zero recall = gate FAILURE, in the oracle itself.
+    """
+    from .operators.dedup import exact_verify_pairs
+
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs, num_hashes=32, bands=8, verify_threshold_pct=30
+    exact = jaccard_pairs(docs, exact=True).localCheckpoint(eager=True)
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, verify_threshold_pct=None
     ).select("id_a", "id_b")
+    found = exact_verify_pairs(docs, cand, threshold_pct=30).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=True)
+    per_row = exact.select("id_a", "id_b", F.lit(True).alias("legal"))
+    spurious = found.join(
+        exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    )
+    precision_row = spurious.agg(
+        (F.count(F.lit(1)) == 0).alias("legal")
+    ).select(
+        F.lit(-1).cast("long").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        "legal",
+    )
+    high = exact.filter(F.col("inter") * 100 >= F.col("uni") * 80)
+    marked = high.join(
+        found.withColumn("__f", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    floor_row = marked.agg(
+        (
+            F.coalesce(F.sum("__f"), F.lit(0)) * 10
+            >= F.count(F.lit(1)) * 9
+        ).alias("legal")
+    ).select(
+        F.lit(-2).cast("long").alias("id_a"),
+        F.lit(-2).cast("long").alias("id_b"),
+        "legal",
+    )
+    return per_row.unionByName(precision_row).unionByName(floor_row)
 
 
 SQL_MINHASH_NEAR_DUP = f"""
-SELECT id_a, id_b FROM ({SQL_DOC_JACCARD_PAIRS}) t
+SELECT id_a, id_b, TRUE AS legal FROM ({SQL_DOC_JACCARD_PAIRS}) t
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE  -- precision sentinel
+UNION ALL
+SELECT CAST(-2 AS BIGINT), CAST(-2 AS BIGINT), TRUE  -- recall floor (high-J)
 """
 
 
@@ -1011,11 +1068,25 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw embeddings table is pure noise (max pairwise cos ~0.51 at
     sf0.01), so a 0.95-threshold near-dup query is vacuously empty. Here
     the corpus is the table plus a deterministic perturbed copy of the
-    first 50 vectors (id + 1_000_000, per-dimension sin offsets): the
-    expected pair set is exactly {(i, i+1M) : i < 50} — planted pairs
-    have cos ~0.99, every other pair stays under ~0.55 — which a plain
-    SQL oracle can state. Misses are theory-bounded at ~2e-6/pair
-    (6 tables x 10 bits); precision is exact (verified cosine)."""
+    first 50 vectors (id + 1_000_000, per-dimension sin offsets):
+    planted pairs have cos ~0.99, every other pair stays far below the
+    0.9 threshold (64-dim noise cosine concentrates ~N(0, 1/64);
+    crossing 0.9 is a >7-sigma event, ~3e-13/pair).
+
+    Stated as the contract the SRP cascade GUARANTEES at every scale
+    factor (VERDICT r8 item 2; the former oracle asserted the full
+    planted pair set, which is only theory-APPROXIMATE — the per-pair
+    multi-table miss probability ~2e-6 is tiny but nonzero, so the
+    query sat excluded from the sf1 sweep instead of asserting there):
+
+    - **planted echo**: one row per planted pair (i, i+1M), i < 50 —
+      the deterministic key set a plain SQL oracle states.
+    - **precision sentinel** (-1, -1): zero found pairs outside the
+      planted set (exact-cosine verification inside the operator +
+      the noise-concentration bound above).
+    - **recall-floor sentinel** (-2, -2): >= 48 of the 50 planted
+      pairs found — the semantic_dedup pattern; zero recall is a gate
+      FAILURE while the theory-bounded stray miss stays legal."""
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     planted = base.filter(F.col("vec_id") < 50).select(
@@ -1026,14 +1097,40 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = base.unionByName(planted)
-    return embedding_near_dup_pairs(
+    found = embedding_near_dup_pairs(
         corpus, threshold=0.9, dim=64, nbits=10, tables=6
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    expected = base.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + 1_000_000).alias("id_b"),
+    )
+    per_row = expected.select("id_a", "id_b", F.lit(True).alias("legal"))
+    precision_row = found.join(
+        expected, ["id_a", "id_b"], "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("legal")).select(
+        F.lit(-1).cast("long").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        "legal",
+    )
+    floor_row = expected.join(
+        found.withColumn("__f", F.lit(1)), ["id_a", "id_b"], "left"
+    ).agg(
+        (F.coalesce(F.sum("__f"), F.lit(0)) >= F.lit(48)).alias("legal")
+    ).select(
+        F.lit(-2).cast("long").alias("id_a"),
+        F.lit(-2).cast("long").alias("id_b"),
+        "legal",
+    )
+    return per_row.unionByName(precision_row).unionByName(floor_row)
 
 
 SQL_EMBEDDING_NEAR_DUP = """
-SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, TRUE AS legal
 FROM embeddings WHERE vec_id < 50
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE  -- precision sentinel
+UNION ALL
+SELECT CAST(-2 AS BIGINT), CAST(-2 AS BIGINT), TRUE  -- recall floor
 """
 
 
@@ -2196,29 +2293,98 @@ WHERE session_end_us < user_last_us
 CORE_QUERIES["streaming_sessions"] = (q_streaming_sessions, SQL_STREAMING_SESSIONS)
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL 100 TB dedup cascade: MinHash-LSH candidate pairs
-    (verified at signature level) -> connected components
-    (operators/graph.py, hash-min label propagation) -> one survivor
-    per cluster (min doc_id). A~B and B~C collapse into one cluster
-    even though (A,C) was never compared — the transitive closure
-    pair-finding alone cannot express. Oracle: DuckDB recursive CTE
-    computing min-reachable-id over the EXACT-Jaccard pair graph —
-    valid because on this corpus the verified LSH pairs coincide
-    exactly with the exact >=30% pairs (the same coincidence
-    minhash_near_dup's oracle relies on, pinned with a recall bound in
-    tests/test_extensions.py)."""
-    from .operators.dedup import minhash_lsh_pairs
+def _dedup_clusters_contract(
+    docs: DataFrame, algorithm: str
+) -> DataFrame:
+    """Scale-valid contract for the LSH->components dedup cascade
+    (VERDICT r8 item 2, the semantic_dedup pattern):
+
+    - **exact labels** (strong): (component, is_survivor) computed
+      over the EXACT Jaccard >= 30% pair graph — DuckDB restates them
+      with an independent recursive-CTE min-reachable-id, so the
+      connected-components machinery is hash-checked at full strength
+      at EVERY scale factor (the former oracle fed the CTE the exact
+      pairs but Spark the LSH pairs, a pinned-corpus coincidence that
+      breaks at sf1 where banding recall is 96.7%).
+    - **refinement legality** per doc: the doc's LSH-derived component
+      (banding candidates, exact-verified) maps into exactly ONE exact
+      component.  Since exact-verified LSH pairs are a SUBSET of the
+      exact pair graph, refinement holds BY THEOREM — the column
+      cross-checks the two CC runs against each other.
+    - **recall-floor sentinel** (doc_id = -1): >= 90% of docs with a
+      HIGH-confidence partner (exact Jaccard >= 80%) are clustered by
+      the LSH cascade (per-pair banding miss at J=0.8 is ~1.5%, so
+      the 10% allowance holds at any corpus size).
+    """
+    from .operators.dedup import exact_verify_pairs
     from .operators.graph import dedup_survivors
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, num_hashes=32, bands=8, verify_threshold_pct=30
+    exact = jaccard_pairs(docs, exact=True).localCheckpoint(eager=True)
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, verify_threshold_pct=None
     ).select("id_a", "id_b")
-    out = dedup_survivors(pairs, docs.select("doc_id"))
-    return out.select(
-        F.col("id").alias("doc_id"), "component", "is_survivor"
+    mh = exact_verify_pairs(docs, cand, threshold_pct=30).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=True)
+    exact_cc = dedup_survivors(
+        exact.select("id_a", "id_b"), docs.select("doc_id"),
+        algorithm=algorithm,
     )
+    mh_cc = dedup_survivors(mh, docs.select("doc_id"), algorithm=algorithm)
+    j = exact_cc.select(
+        F.col("id").alias("doc_id"), "component", "is_survivor"
+    ).join(
+        mh_cc.select(
+            F.col("id").alias("doc_id"), F.col("component").alias("__mc")
+        ),
+        "doc_id",
+    )
+    consist = j.groupBy("__mc").agg(
+        (F.countDistinct("component") == 1).alias("__ok")
+    )
+    per_row = j.join(consist, "__mc").select(
+        "doc_id", "component", "is_survivor", F.col("__ok").alias("legal")
+    )
+    high = exact.filter(F.col("inter") * 100 >= F.col("uni") * 80)
+    high_ids = (
+        high.select(F.col("id_a").alias("doc_id"))
+        .unionByName(high.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    linked = (
+        mh.select(F.col("id_a").alias("doc_id"))
+        .unionByName(mh.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__f", F.lit(1))
+    )
+    floor_row = high_ids.join(linked, "doc_id", "left").agg(
+        (
+            F.coalesce(F.sum("__f"), F.lit(0)) * 10
+            >= F.count(F.lit(1)) * 9
+        ).alias("legal")
+    ).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit(-1).cast("long").alias("component"),
+        F.lit(True).alias("is_survivor"),
+        "legal",
+    )
+    return per_row.unionByName(floor_row)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL 100 TB dedup cascade: MinHash-LSH candidate pairs
+    (EXACT-verified, operators/dedup.py exact_verify_pairs) ->
+    connected components (operators/graph.py, hash-min label
+    propagation) -> one survivor per cluster (min doc_id). A~B and B~C
+    collapse into one cluster even though (A,C) was never compared —
+    the transitive closure pair-finding alone cannot express.
+    Restated as the scale-valid contract (see
+    :func:`_dedup_clusters_contract`): exact-graph labels the DuckDB
+    recursive CTE restates independently + per-doc refinement legality
+    of the LSH cascade + a recall-floor sentinel, all assertable at
+    every SF (VERDICT r8 item 2)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _dedup_clusters_contract(docs, algorithm="hash_min")
 
 
 SQL_DEDUP_CLUSTERS = f"""
@@ -2238,12 +2404,22 @@ FROM reach GROUP BY v
 """
 
 
-CORE_QUERIES["dedup_clusters"] = (q_dedup_clusters, SQL_DEDUP_CLUSTERS)
+#: Contract form (VERDICT r8 item 2): exact-graph labels + always-TRUE
+#: refinement legality + the recall-floor sentinel row.
+SQL_DEDUP_CLUSTERS_CONTRACT = f"""
+SELECT doc_id, component, is_survivor, TRUE AS legal
+FROM ({SQL_DEDUP_CLUSTERS}) c
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE, TRUE  -- recall floor
+"""
+
+
+CORE_QUERIES["dedup_clusters"] = (q_dedup_clusters, SQL_DEDUP_CLUSTERS_CONTRACT)
 
 
 def q_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same dedup cascade as dedup_clusters, but closing the pair graph
-    with the large-star/small-star algorithm
+    """Same dedup-cascade contract as dedup_clusters, but closing BOTH
+    pair graphs with the large-star/small-star algorithm
     (operators/graph.py connected_components(algorithm="two_phase"),
     Kiveris et al. 2014) — O(log^2 n) rounds on ANY component shape,
     including the adversarial long-chain clusters (a doc edited daily)
@@ -2251,22 +2427,13 @@ def q_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so both queries share one oracle; the fixpoint
     equality is additionally pinned on random + path graphs in
     tests/test_operators_more.py."""
-    from .operators.dedup import minhash_lsh_pairs
-    from .operators.graph import dedup_survivors
-
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, num_hashes=32, bands=8, verify_threshold_pct=30
-    ).select("id_a", "id_b")
-    out = dedup_survivors(pairs, docs.select("doc_id"), algorithm="two_phase")
-    return out.select(
-        F.col("id").alias("doc_id"), "component", "is_survivor"
-    )
+    return _dedup_clusters_contract(docs, algorithm="two_phase")
 
 
 CORE_QUERIES["dedup_clusters_twophase"] = (
     q_dedup_clusters_twophase,
-    SQL_DEDUP_CLUSTERS,
+    SQL_DEDUP_CLUSTERS_CONTRACT,
 )
 
 
@@ -2767,14 +2934,19 @@ def q_dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     LONGEST member kept (priority = n_chars, id-ascending tiebreak) —
     the "keep the best copy" rule real corpus dedup wants, computed as
     one hash-aggregate argmax per component (no window). Oracle:
-    recursive-CTE components + ROW_NUMBER over (n_chars DESC, doc_id)."""
-    from .operators.dedup import minhash_lsh_pairs
+    recursive-CTE components + ROW_NUMBER over (n_chars DESC, doc_id).
+
+    The pair graph is the EXACT Jaccard >= 30% set
+    (operators/dedup.py jaccard_pairs), so the oracle asserts at every
+    scale factor (VERDICT r8 item 2: the former minhash input made
+    this an sf-coincidence oracle that measurably FAILED at sf1).  The
+    operator under test here is the survivor-selection aggregate; the
+    LSH->components composition keeps its own scale-valid contract in
+    dedup_clusters."""
     from .operators.graph import dedup_survivors
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, num_hashes=32, bands=8, verify_threshold_pct=30
-    ).select("id_a", "id_b")
+    pairs = jaccard_pairs(docs, exact=True).select("id_a", "id_b")
     out = dedup_survivors(
         pairs, docs.select("doc_id", "n_chars"), priority_col="n_chars"
     )
@@ -2902,27 +3074,33 @@ def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, so the corpus is scanned once and never shuffled
     (operators/dedup.py minhash_index / minhash_lsh_join).
 
-    Oracle: same coincidence argument as minhash_near_dup — on this
-    corpus the signature-verified LSH pairs equal the exact 3-gram
-    Jaccard >= 30% pairs, restricted here to pairs crossing the
-    new/corpus split; tests/test_extensions.py pins the coincidence so a
-    corpus change fails pytest before it fails the driver."""
+    Restated as the scale-valid probe contract (VERDICT r8 item 2, see
+    :func:`cross_dedup_contract`): exact cross-pair echo + precision
+    sentinel over the EXACT-verified candidates + banding recall-floor
+    sentinel — the former oracle asserted the exact cross set against
+    the signature-verified probe, a pinned-corpus coincidence that
+    breaks at sf1 (banding recall 96.7%)."""
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     idx = minhash_index(corpus)
-    return minhash_lsh_join(
-        new, idx, num_hashes=32, bands=8, verify_threshold_pct=30
+    cand = minhash_lsh_join(
+        new, idx, num_hashes=32, bands=8, verify_threshold_pct=None
     ).select("new_id", "corpus_id")
+    exact_cross = exact_cross_pairs(
+        docs, (F.col("doc_id") % 5 == 0).cast("int")
+    )
+    return cross_dedup_contract(docs, exact_cross, cand)
 
 
 SQL_INCREMENTAL_CORPUS_DEDUP = """
--- CORPUS-COUPLED oracle, not a general equivalence (ADVICE r4): this
--- computes the EXACT cross-split 3-gram Jaccard >= 30% pairs, which on
--- this specific test corpus coincide with the Spark side's
--- signature-verified LSH candidates. Any corpus regeneration, hash-seed,
--- or band-count change can legitimately diverge; the pinned coincidence
--- test in tests/test_extensions.py must fail first and be re-verified.
+-- Scale-valid contract oracle (VERDICT r8 item 2): the exact
+-- cross-split 3-gram Jaccard >= 30% pairs (computed independently
+-- here) as the legality echo, plus the probe's precision and
+-- recall-floor sentinel rows, which the Spark side computes and this
+-- oracle asserts TRUE — valid at EVERY scale factor (the former form
+-- asserted the exact set against the signature-verified probe, a
+-- pinned-corpus coincidence).
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -2936,11 +3114,15 @@ pairs AS (
   WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
   GROUP BY 1, 2
 )
-SELECT new_id, corpus_id
+SELECT new_id, corpus_id, TRUE AS legal
 FROM pairs
 JOIN sizes sa ON sa.doc_id = new_id
 JOIN sizes sb ON sb.doc_id = corpus_id
 WHERE inter * 100 >= (sa.nsh + sb.nsh - inter) * 30
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE  -- precision sentinel
+UNION ALL
+SELECT CAST(-2 AS BIGINT), CAST(-2 AS BIGINT), TRUE  -- recall floor (high-J)
 """
 
 
@@ -2974,9 +3156,13 @@ def q_incremental_corpus_dedup_indexed(spark: SparkSession, sf_dir: str) -> Data
             corpus, "mh_corpus_idx", num_hashes=32, bands=8, num_buckets=8
         )
         idx = read_minhash_index(spark, "mh_corpus_idx")
-    return minhash_lsh_join(new, idx, verify_threshold_pct=30).select(
+    cand = minhash_lsh_join(new, idx, verify_threshold_pct=None).select(
         "new_id", "corpus_id"
     )
+    exact_cross = exact_cross_pairs(
+        docs, (F.col("doc_id") % 5 == 0).cast("int")
+    )
+    return cross_dedup_contract(docs, exact_cross, cand)
 
 
 CORE_QUERIES["incremental_corpus_dedup_indexed"] = (
@@ -3422,40 +3608,43 @@ DRIVER_WINDOW: list[str] = [
     "user_trend", "region_rollup", "positional_zip", "union_halves",
     "dedup_user_event", "props_json", "supplier_360", "customer360_merged",
     "reference_e2e",
-    # joins / sets / shape
-    "range_join_fact_fact",
-    # event time (NTZ-regression set — keep driver-visible)
-    "asof_last_purchase", "event_gaps", "sessionized_events",
-    # streaming (windowed/stateful + a foreachBatch-SINK representative)
+    # event time: the full as-of trio (backward/forward/nearest, r9
+    # rotation per VERDICT r8 item 1) + sessionization + OHLC bars
+    # (keyed min_by/max_by first/last). event_gaps / range joins rotate
+    # out with r1-r8 driver rows banked; full oracle coverage retained
+    # in correctness_full / tests/test_oracle_parity.py.
+    "asof_last_purchase", "asof_next_purchase", "asof_nearest_purchase",
+    "sessionized_events", "event_ohlc_bars",
+    # streaming (windowed/stateful + foreachBatch sinks): the
+    # exactly-once JDBC promotion sink enters the gate (r8-new)
     "streaming_event_counts", "streaming_sessions",
-    "streaming_sketch_rollup",
-    # LLM-data curation: dedup family (r8 gate re-curation, VERDICT r7
-    # item 5: semantic dedup's distributed exact-grouping form now
-    # driver-visible; doc_jaccard_pairs / embedding_near_dup /
-    # dedup_clusters rotate out — their families stay represented by
-    # minhash (banding), semantic_dedup_distributed (embedding dedup +
-    # components) and winnowing, and they keep full oracle coverage in
-    # correctness_full / tests/test_oracle_parity.py)
+    "streaming_sketch_rollup", "streaming_exactly_once_jdbc",
+    # LLM-data curation: dedup family. semantic_dedup_distributed /
+    # substring_dedup_apply / doc_packing rotate out with r8 driver
+    # rows banked; families stay represented (minhash banding,
+    # winnowing fingerprints, exact dedup, contamination spans).
     "doc_profile", "doc_exact_dedup", "minhash_near_dup",
-    "semantic_dedup_distributed",
-    "winnowing_dedup_pairs", "substring_dedup_apply",
+    "winnowing_dedup_pairs",
     # similarity search (brute/multi-probe-LSH + the persisted-IVFPQ
     # lifecycle, which exercises the IVF cell machinery end-to-end)
     "ann_topk", "ann_topk_lsh", "ann_topk_ivfpq_indexed",
     # text analysis / curation (+ classifier TRAINING, not just scoring)
     "bm25_search", "tfidf_keywords", "pii_redaction", "doc_chunking",
-    "contamination_check", "doc_packing", "stratified_sample",
+    "contamination_check", "stratified_sample",
     "quality_classifier_train",
-    # graph census
-    "part_pagerank",
+    # graph: weighted pagerank (supersedes the uniform form, r8-new),
+    # BFS hop census, and the PERSISTED graph-index lifecycle
+    # (build -> append -> probe, VERDICT r8 item 8)
+    "part_pagerank_weighted", "part_bfs_hops", "part_graph_route_indexed",
+    # data layout: Hilbert curve clustering (r8-new)
+    "hilbert_layout",
+    # forecasting: Holt linear trend in integer fixed point (r8-new)
+    "revenue_holt_forecast",
     # sketches / CDC / multimodal (media decode plumbing rides inside
     # the pHash pipeline: decode -> 64-bit hash -> pigeonhole blocking)
-    "heavy_hitters_cms", "kmv_audience_overlap",
-    "histogram_rollup_quantiles",
+    "heavy_hitters_cms",
     "scd2_user_state", "orders_upsert",
     "media_phash_near_dup",
-    # leakage-safe training features (RANGE-frame daily form)
-    "point_in_time_features_daily",
 ]
 # NOTE: the actual reorder (window first, tail after) runs at the END
 # of this module, after every registration — see _apply_driver_window().

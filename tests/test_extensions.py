@@ -55,6 +55,46 @@ def test_minhash_lsh_recall_vs_exact_jaccard(docs):
     assert recall >= 0.8, f"LSH recall too low: {recall}"
 
 
+def test_exact_verify_pairs_matches_exact_self_join(docs):
+    """exact_verify_pairs is the precision half of the r9 contract
+    oracles: fed the RAW banding candidates it must return exactly the
+    candidates whose exact Jaccard clears the threshold — i.e. the
+    intersection of the candidate set with jaccard_pairs' exact set,
+    including identical (inter, uni) counts (two independent
+    implementations of the same ratio)."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        exact_verify_pairs,
+    )
+
+    cand = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, verify_threshold_pct=None
+    ).select("id_a", "id_b")
+    verified = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in exact_verify_pairs(docs, cand, threshold_pct=30).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in jaccard_pairs(docs, n=3, threshold_pct=30).collect()
+    }
+    cand_set = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert verified == {
+        p: c for p, c in exact.items() if p in cand_set
+    }
+    assert verified, "planted near-dups should survive verification"
+    # below-threshold candidates must be rejected: re-verify at a
+    # higher bar and check strict shrinkage toward the exact >=80% set
+    strict = {
+        (r["id_a"], r["id_b"])
+        for r in exact_verify_pairs(docs, cand, threshold_pct=80).collect()
+    }
+    exact80 = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, n=3, threshold_pct=80).collect()
+    }
+    assert strict == {p for p in exact80 if p in cand_set}
+
+
 def test_simhash_flags_near_identical_docs(spark, docs):
     sim = simhash_table(docs)
     assert sim.count() == docs.count()

@@ -655,8 +655,14 @@ def test_incremental_index_update_day1_hits_at_sf01(spark):
     )
 
     out = q_incremental_index_update(spark, "/root/testdata/sf0.1").collect()
-    day1_hits = [r for r in out if r["corpus_id"] % 10 == 0]
-    assert len(out) == 91 and len(day1_hits) == 2, (len(out), len(day1_hits))
+    pairs = [r for r in out if r["new_id"] >= 0]
+    sentinels = [r for r in out if r["new_id"] < 0]
+    day1_hits = [r for r in pairs if r["corpus_id"] % 10 == 0]
+    assert len(pairs) == 91 and len(day1_hits) == 2, (
+        len(pairs), len(day1_hits),
+    )
+    # the r9 contract sentinels (precision, recall floor) must hold
+    assert len(sentinels) == 2 and all(r["legal"] for r in sentinels)
 
 
 def test_shared_passages_match_pure_python_reference(spark):
