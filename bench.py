@@ -247,6 +247,8 @@ BENCH_QUERIES = [
     "revenue_holt_forecast",
     "part_pagerank_weighted",
     "streaming_holt_by_type",
+    # round 9: exact-budget epoch assembly
+    "token_budget_fill",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

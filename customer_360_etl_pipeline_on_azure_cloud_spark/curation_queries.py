@@ -662,6 +662,103 @@ CURATION_QUERIES["source_mixture_plan"] = (
 )
 
 
+# --- exact-budget epoch assembly (greedy prefix fill) ------------------------
+
+_EPOCH_TOKEN_BUDGET = 5000
+
+
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-budget epoch assembly — the deterministic sibling of
+    source_mixture_plan's rate-based selection: order each source's
+    documents by (md5(doc_id), doc_id) — a deterministic stand-in for
+    random order, the lang_quota_sample idiom — and keep the maximal
+    PREFIX whose cumulative token count stays within the per-source
+    budget.  Rate gates hit a budget only in expectation; epoch
+    assembly for a training run wants the exact greedy fill ("give me
+    ~5000 tokens of each source, same docs on every rerun"), which is
+    one cumulative-sum window per source.
+
+    Scale notes: the window is one hash-partition shuffle on source
+    (the running sum needs each source's order, exactly like the quota
+    sampler); a corpus-dominating source at 100 TB range-partitions on
+    (source, gate-bucket) with per-bucket subtotals first — the
+    standard two-phase prefix-sum — but the single-window form is the
+    honest per-source-budget plan.  Output is BIGINT-only per-source
+    accounting (totals, kept counts, kept tokens), so the oracle
+    replays the selection bit-for-bit."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("ntok"),
+    )
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(gate.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (
+        d.withColumn("cum", F.sum("ntok").over(w))
+        .filter(F.col("cum") <= F.lit(_EPOCH_TOKEN_BUDGET))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("ntok").alias("tokens_kept"),
+        )
+    )
+    totals = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum("ntok").alias("tokens_total"),
+    )
+    return (
+        totals.join(kept, "source", "left")
+        .na.fill(0, ["n_docs_kept", "tokens_kept"])
+        .select(
+            "source",
+            "n_docs_total",
+            "tokens_total",
+            F.col("n_docs_kept").cast("long").alias("n_docs_kept"),
+            F.col("tokens_kept").cast("long").alias("tokens_kept"),
+        )
+    )
+
+
+SQL_TOKEN_BUDGET_FILL = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ntok
+  FROM documents
+),
+cum AS (
+  SELECT source, ntok,
+         SUM(ntok) OVER (
+           PARTITION BY source
+           ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM docs
+),
+kept AS (
+  SELECT source, COUNT(*) AS n_docs_kept, SUM(ntok) AS tokens_kept
+  FROM cum WHERE cum <= {_EPOCH_TOKEN_BUDGET} GROUP BY source
+),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+         SUM(ntok) AS tokens_total
+  FROM docs GROUP BY source
+)
+SELECT t.source, t.n_docs_total, t.tokens_total,
+       CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+FROM tot t LEFT JOIN kept k USING (source)
+"""
+
+CURATION_QUERIES["token_budget_fill"] = (
+    q_token_budget_fill,
+    SQL_TOKEN_BUDGET_FILL,
+)
+
+
 # --- distinctive-keyword extraction (integer-exact tf-idf ranking) ----------
 
 
