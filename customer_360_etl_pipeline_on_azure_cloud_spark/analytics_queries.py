@@ -6712,20 +6712,17 @@ def q_part_graph_route_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse, same SF) remain single-writer, like every persisted
     index here.
     """
-    import os
-    import re
-
     from .operators.graph import (
         bfs_hops,
         min_cost_bounded,
         read_graph_index,
         write_graph_index,
     )
+    from .operators.util import sf_tag
     from .phases import phase
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    sf_tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
-    name = f"q_copurchase_idx_{sf_tag}"
+    name = f"q_copurchase_idx_{sf_tag(sf_dir)}"
     with phase("build"):
         weighted = (
             li.groupBy("l_orderkey")

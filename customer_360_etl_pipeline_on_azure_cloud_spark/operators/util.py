@@ -62,3 +62,16 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if current < target:
         return df.repartition(target)
     return df
+
+
+def sf_tag(sf_dir: str) -> str:
+    """Catalog-safe tag derived from the data directory, for naming
+    persisted index tables (``{base}_{sf_tag(sf_dir)}``): the indexes'
+    overwrite paths sweep their warehouse directories, so two sessions
+    sharing a warehouse at DIFFERENT scale factors must not share index
+    names (ADVICE r8). Same-name writers (same warehouse, same SF)
+    remain single-writer, like every persisted index here."""
+    import os
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))

@@ -35,6 +35,7 @@ from .operators.cleaning import dedup_deterministic
 from .operators.joins import lookup, positional_zip
 from .operators.sets import union_by_name_all
 from .operators.windows import top_k_per_group
+from .operators.util import sf_tag
 from .session import tune
 from .sources.tables import load_table
 
@@ -1814,7 +1815,7 @@ def q_ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    name = "q_ivf_idx"
+    name = f"q_ivf_idx_{sf_tag(sf_dir)}"
     # 8 buckets at demo SF (same sizing rule as
     # incremental_corpus_dedup_indexed: per-file overhead dominates tiny
     # buckets); a real corpus sizes buckets to executor-memory-fit cells.
@@ -1860,7 +1861,7 @@ def q_streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    name = "q_ivf_stream"
+    name = f"q_ivf_stream_{sf_tag(sf_dir)}"
     with phase("build"):
         write_ivf_index(emb, name, n_centroids=16, num_buckets=8)
         idx = read_ivf_index(spark, name)
@@ -3152,10 +3153,11 @@ def q_incremental_corpus_dedup_indexed(spark: SparkSession, sf_dir: str) -> Data
     # in per-file overhead for these row counts, measured 7.2s -> 3.3s);
     # a real corpus sizes buckets to ~executor-memory-fit partitions.
     with phase("build"):
+        idx_name = f"mh_corpus_idx_{sf_tag(sf_dir)}"
         write_minhash_index(
-            corpus, "mh_corpus_idx", num_hashes=32, bands=8, num_buckets=8
+            corpus, idx_name, num_hashes=32, bands=8, num_buckets=8
         )
-        idx = read_minhash_index(spark, "mh_corpus_idx")
+        idx = read_minhash_index(spark, idx_name)
     cand = minhash_lsh_join(new, idx, verify_threshold_pct=None).select(
         "new_id", "corpus_id"
     )
@@ -3508,7 +3510,7 @@ def q_incremental_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFram
     queries = emb.filter(F.col("vec_id") < 10)
     standing = emb.filter(F.col("vec_id") % 4 != 3)
     arrivals = emb.filter(F.col("vec_id") % 4 == 3)
-    name = "q_ivf_incr"
+    name = f"q_ivf_incr_{sf_tag(sf_dir)}"
     with phase("build"):
         write_ivf_index(standing, name, n_centroids=16, num_buckets=8)
         append_ivf_index(arrivals, name)
@@ -3538,7 +3540,7 @@ def q_ivf_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .phases import phase
 
     emb = _t(spark, sf_dir, "embeddings")
-    name = "q_ivf_audit"
+    name = f"q_ivf_audit_{sf_tag(sf_dir)}"
     with phase("build"):
         write_ivf_index(emb, name, n_centroids=16, num_buckets=8)
     coh = ivf_cell_cohesion(spark, name)
@@ -3774,7 +3776,7 @@ def q_ann_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     standing = emb.filter(F.col("vec_id") % 4 != 3)
     arrivals = emb.filter(F.col("vec_id") % 4 == 3)
-    name = "q_ivfpq_incr"
+    name = f"q_ivfpq_incr_{sf_tag(sf_dir)}"
     with phase("build"):
         # m=16/ksub=64 residual books (r8 measured resolution point —
         # see ann_topk_ivfpq); the fused distributed trainer's corpus
