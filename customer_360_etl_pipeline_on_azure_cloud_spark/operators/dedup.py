@@ -124,6 +124,7 @@ def exact_verify_pairs(
     threshold_pct: int = 30,
     left_col: str = "id_a",
     right_col: str = "id_b",
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """EXACT-Jaccard verification of a candidate pair set — the
     precision half of the production LSH cascade (banding proposes,
@@ -141,9 +142,19 @@ def exact_verify_pairs(
     only docs appearing in ``pairs`` are re-shingled (semi-filtered
     scan), the candidate list is broadcast, and the per-pair
     intersection is one (id, shingle) equi-join — never all-pairs.
+
+    ``broadcast_pairs`` (default True, the daily-batch shape) hints the
+    RAW candidate set to the driver for the broadcast hash join.  On a
+    duplicate-heavy corpus, hot-bucket collisions can make the raw
+    banding candidates far larger than the verified pair set (ADVICE
+    r9) — a backfill-sized or uncapped candidate set should pass
+    ``broadcast_pairs=False`` to fall back to a shuffled equi-join
+    (same results, no driver-memory exposure), mirroring
+    ``minhash_lsh_join``'s ``broadcast_new`` flag.
     """
     from .util import finalize
 
+    maybe_bcast = F.broadcast if broadcast_pairs else (lambda x: x)
     p = pairs.select(
         F.col(left_col).alias("__ia"), F.col(right_col).alias("__ib")
     ).dropDuplicates(["__ia", "__ib"])
@@ -157,14 +168,14 @@ def exact_verify_pairs(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(text_col, n)).alias("s"),
         )
-        .join(F.broadcast(ids), "id", "left_semi")
+        .join(maybe_bcast(ids), "id", "left_semi")
         .persist()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     la = sh.select(F.col("id").alias("__ia"), "s")
     lb = sh.select(F.col("id").alias("__ib"), "s")
     inter = (
-        F.broadcast(p)
+        maybe_bcast(p)
         .join(la, "__ia")
         .join(lb, ["__ib", "s"])
         .groupBy("__ia", "__ib")
@@ -201,17 +212,28 @@ def cross_dedup_contract(
       verified (:func:`exact_verify_pairs`), fall entirely inside the
       exact set — true by construction, cross-checking the two
       independent exact-Jaccard implementations.
-    - **recall-floor sentinel** (-2, -2): >= 90% of HIGH-confidence
-      exact cross pairs (Jaccard >= 80%) were proposed by banding
-      (per-pair miss at J=0.8 is ~1.5% with 8 bands of 4 rows).
+    - **recall-floor sentinel** (-2, -2): banding may miss at most
+      ``max(1, count/10)`` of the HIGH-confidence exact cross pairs
+      (Jaccard >= 80%; per-pair miss at J=0.8 is ~1.5% with 8 bands of
+      4 rows).  The floor allowance is ``greatest(1, count div 10)``
+      rather than a flat 90% ratio (ADVICE r9): a flat ratio demands
+      100% recall whenever the corpus has fewer than 10 high-J pairs
+      (found*10 >= count*9 tolerates zero misses below count=10),
+      which re-creates exactly the corpus-coincidence fragility the
+      contract restatement removed — a reseeded corpus with ~5 high-J
+      cross pairs would fail the gate on one legal banding miss.
 
     ``exact_cross`` must carry (new_id, corpus_id, inter, uni);
     ``cand`` the raw banding candidates (new_id, corpus_id)."""
     exact_cross = exact_cross.localCheckpoint(eager=True)
+    # exact_verify_pairs' finalize() already eagerly localCheckpoints its
+    # result (ADVICE r9: a second checkpoint here would re-materialize
+    # the same small frame); the select below is cheap lineage on top of
+    # the checkpointed blocks and is reused by both sentinel rows.
     found = exact_verify_pairs(
         docs, cand, threshold_pct=30,
         left_col="new_id", right_col="corpus_id",
-    ).select("new_id", "corpus_id").localCheckpoint(eager=True)
+    ).select("new_id", "corpus_id")
     per_row = exact_cross.select(
         "new_id", "corpus_id", F.lit(True).alias("legal")
     )
@@ -229,8 +251,10 @@ def cross_dedup_contract(
         found.withColumn("__f", F.lit(1)), ["new_id", "corpus_id"], "left"
     ).agg(
         (
-            F.coalesce(F.sum("__f"), F.lit(0)) * 10
-            >= F.count(F.lit(1)) * 9
+            F.count(F.lit(1)) - F.coalesce(F.sum("__f"), F.lit(0))
+            <= F.greatest(
+                F.lit(1), F.floor(F.count(F.lit(1)) / 10).cast("int")
+            )
         ).alias("legal")
     ).select(
         F.lit(-2).cast("long").alias("new_id"),
@@ -424,6 +448,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     verify_threshold_pct: int | None = 30,
+    max_bucket: int | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, optionally
     verified with exact signature-level Jaccard.
@@ -431,14 +457,56 @@ def minhash_lsh_pairs(
     Banding: the signature splits into ``bands`` rows of
     ``num_hashes/bands`` hashes; docs colliding on any band's hash are
     candidates. Shuffle is an equi-join on (band, hash) — linear in
-    corpus size times bands, never all-pairs.
+    corpus size times bands, never all-pairs... per BUCKET.  A bucket
+    of B colliding docs still contributes B*(B-1)/2 candidate rows, so
+    the hottest (band, bhash) bucket is the quadratic hazard (VERDICT
+    r9 item 4): a boilerplate-heavy corpus — thousands of identical or
+    near-identical "terms of service" docs sharing one signature —
+    lands in ONE bucket and emits B^2/2 candidates before any verify
+    step can dispose of them.
+
+    ``max_bucket`` is the scale knob, the banded twin of
+    ``jaccard_pairs``' ``max_df``: buckets whose size exceeds it are
+    dropped BEFORE the self-join, bounding per-bucket candidate output
+    at max_bucket^2/2.  The documented mitigation for what a dropped
+    hot bucket contains: run :func:`dedup_exact` FIRST — byte-identical
+    boilerplate (the overwhelmingly common cause of a giant bucket) has
+    identical signatures and is caught exactly and linearly there; the
+    residual near-identical family keeps ``bands - 1`` other chances to
+    collide in a non-hot bucket.  Default None preserves the exact LSH
+    definition (what the oracles check) but WARNS unless the caller
+    acknowledges with ``exact=True`` — same warn-unless-exact contract
+    as ``jaccard_pairs`` (the 100 TB caller should hear about the
+    hazard before the job, not after).
     """
+    import warnings
+
     from .util import finalize
 
+    if max_bucket is None and not exact:
+        warnings.warn(
+            "minhash_lsh_pairs called without max_bucket: the banded "
+            "self-join is quadratic in the hottest (band, bhash) "
+            "bucket. Pass max_bucket=<cap> for corpus-scale runs "
+            "(after a dedup_exact pre-pass), or exact=True to "
+            "acknowledge the exact-but-unbounded semantics.",
+            stacklevel=2,
+        )
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
     sig = _signature_table(df, id_col, text_col, num_hashes, shingle_n)
     band_rows = _band_rows(sig, bands, rows_per_band)
+    if max_bucket is not None:
+        # Per-bucket census + left-semi keep: one aggregate on the SAME
+        # (band, bhash) keys the join shuffles on, so AQE co-locates it
+        # with the join exchange; hot buckets never reach the self-join.
+        small = (
+            band_rows.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("band", "bhash")
+        )
+        band_rows = band_rows.join(small, ["band", "bhash"], "left_semi")
 
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
@@ -702,9 +770,22 @@ def minhash_lsh_join(
     shingle_n: int = 3,
     verify_threshold_pct: int | None = 30,
     broadcast_new: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicates of a NEW document batch against an existing corpus
     ``minhash_index`` — the daily-ingest dedup shape.
+
+    ``max_bucket`` (optional) is the hot-bucket cap for the CROSS probe
+    (VERDICT r9 item 4): a corpus (band, bhash) bucket holding B docs
+    emits B candidate rows per colliding batch doc, so boilerplate
+    buckets dominate probe output on duplicate-heavy corpora. With the
+    cap set, corpus buckets larger than it are dropped before the
+    probe (one bucketed-scan census of the corpus bands table — cheap
+    next to the probe itself, and the batch side is untouched). Same
+    mitigation contract as :func:`minhash_lsh_pairs`: dedup_exact the
+    corpus first; a dropped bucket's family keeps bands-1 other
+    chances to collide. Default None = exact probe semantics (what the
+    oracles check).
 
     Output: (new_id, corpus_id, sig_agree), one row per cross near-dup.
     ``verify_threshold_pct=None`` skips signature verification and
@@ -736,7 +817,7 @@ def minhash_lsh_join(
 
     out, new_sig = _minhash_lsh_join_plan(
         new_df, index, id_col, text_col, num_hashes, bands, shingle_n,
-        verify_threshold_pct, broadcast_new,
+        verify_threshold_pct, broadcast_new, max_bucket,
     )
     return finalize(out, new_sig)
 
@@ -751,6 +832,7 @@ def _minhash_lsh_join_plan(
     shingle_n: int,
     verify_threshold_pct: int | None,
     broadcast_new: bool,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Un-finalized (plan, persisted-new-signature) pair for
     minhash_lsh_join — split out so plan-shape tests can pin the
@@ -776,6 +858,14 @@ def _minhash_lsh_join_plan(
     nb = _band_rows(new_sig, bands, rows_per_band)
     if corpus_bands is None:
         corpus_bands = _band_rows(index, bands, rows_per_band)
+    if max_bucket is not None:
+        small = (
+            corpus_bands.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("band", "bhash")
+        )
+        corpus_bands = corpus_bands.join(small, ["band", "bhash"], "left_semi")
     cand = _candidate_probe(nb, corpus_bands, broadcast_new)
     if verify_threshold_pct is None:
         return cand.select("new_id", "corpus_id"), new_sig

@@ -921,7 +921,6 @@ def pagerank_weighted(
         .localCheckpoint(eager=True)
     )
     ranks = verts.select("id", F.lit(init).cast("long").alias("rank_fp"))
-    prev = None
     for _ in range(iterations):
         carriers = ranks.join(wsum, ranks["id"] == wsum["u"]).select(
             "u", "rank_fp", "wsum"

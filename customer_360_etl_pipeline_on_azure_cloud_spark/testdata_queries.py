@@ -947,7 +947,7 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     exact = jaccard_pairs(docs, exact=True).localCheckpoint(eager=True)
     cand = minhash_lsh_pairs(
-        docs, num_hashes=32, bands=8, verify_threshold_pct=None
+        docs, num_hashes=32, bands=8, verify_threshold_pct=None, exact=True
     ).select("id_a", "id_b")
     found = exact_verify_pairs(docs, cand, threshold_pct=30).select(
         "id_a", "id_b"
@@ -2322,7 +2322,7 @@ def _dedup_clusters_contract(
 
     exact = jaccard_pairs(docs, exact=True).localCheckpoint(eager=True)
     cand = minhash_lsh_pairs(
-        docs, num_hashes=32, bands=8, verify_threshold_pct=None
+        docs, num_hashes=32, bands=8, verify_threshold_pct=None, exact=True
     ).select("id_a", "id_b")
     mh = exact_verify_pairs(docs, cand, threshold_pct=30).select(
         "id_a", "id_b"

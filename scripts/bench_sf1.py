@@ -128,14 +128,23 @@ def main() -> None:
     for name in names:
         if name not in registry:
             continue
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", name,
-             sf_dir, str(PASSES)],
-            capture_output=True,
-            text=True,
-            cwd=ROOT,
-            timeout=3600,
-        )
+        # A hung worker must cost its own row, not the whole artifact
+        # (ADVICE r9: an uncaught TimeoutExpired aborted the loop and
+        # discarded every completed row, since the file is written at
+        # the end).
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", name,
+                 sf_dir, str(PASSES)],
+                capture_output=True,
+                text=True,
+                cwd=ROOT,
+                timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            out[name] = {"err": "timeout 3600s", "sf0.1_sec_min": base.get(name)}
+            print(name, out[name], file=sys.stderr)
+            continue
         rec: dict[str, object] = {
             "err": f"worker exit {proc.returncode}: {proc.stderr[-200:]}"
         }

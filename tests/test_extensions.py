@@ -41,7 +41,7 @@ def test_minhash_lsh_recall_vs_exact_jaccard(docs):
     lsh = {
         (r["id_a"], r["id_b"])
         for r in minhash_lsh_pairs(
-            docs, num_hashes=32, bands=8, verify_threshold_pct=30
+            docs, num_hashes=32, bands=8, verify_threshold_pct=30, exact=True
         ).collect()
     }
     # banded LSH at b=8,r=4 catches j>=0.3 pairs with high probability;
@@ -67,7 +67,7 @@ def test_exact_verify_pairs_matches_exact_self_join(docs):
     )
 
     cand = minhash_lsh_pairs(
-        docs, num_hashes=32, bands=8, verify_threshold_pct=None
+        docs, num_hashes=32, bands=8, verify_threshold_pct=None, exact=True
     ).select("id_a", "id_b")
     verified = {
         (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
@@ -320,6 +320,123 @@ def test_jaccard_max_df_plan_has_broadcast_anti_join(docs):
     finally:
         sh_all.unpersist()
     assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+# --- hot-bucket cap (banded MinHash, VERDICT r9 item 4) ----------------------
+
+
+def test_minhash_max_bucket_generous_cap_is_exact(docs):
+    """A cap above every observed bucket size must not change the
+    candidate-pair set — the hot-bucket filter only narrows semantics
+    when it actually drops buckets (twin of the max_df property)."""
+    exact = {
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=32, bands=8, verify_threshold_pct=30, exact=True
+        ).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=32, bands=8, verify_threshold_pct=30,
+            max_bucket=10**9,
+        ).collect()
+    }
+    assert capped == exact
+
+
+def test_minhash_max_bucket_bounds_identical_doc_blowup(spark):
+    """The 100 TB hazard the cap exists for: ~1k byte-identical
+    boilerplate docs share one signature, land in ONE (band, bhash)
+    bucket per band, and the uncapped self-join emits B*(B-1)/2
+    candidates. With the cap: zero candidates from the hot family,
+    genuine small near-dup pairs untouched, and the documented
+    mitigation (dedup_exact pre-pass) catches the identical family
+    exactly and linearly."""
+    from pyspark.sql import functions as F
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        dedup_exact,
+    )
+
+    n_boiler = 1000
+    boiler = [(i, "terms of service apply to every request made here")
+              for i in range(n_boiler)]
+    near = [
+        (10_001, "alpha beta gamma delta epsilon zeta eta theta"),
+        (10_002, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    docs = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+
+    uncapped = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, verify_threshold_pct=None, exact=True
+    ).count()
+    assert uncapped >= n_boiler * (n_boiler - 1) // 2  # the quadratic blowup
+
+    capped = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, verify_threshold_pct=None,
+        max_bucket=100,
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (10_001, 10_002) in pairs  # small genuine bucket survives
+    # bounded: nothing from the hot family; at most cap^2/2 per bucket
+    assert len(pairs) == 1
+
+    # mitigation: the identical family is one exact-dedup group
+    groups = dedup_exact(docs, F.xxhash64("text")).collect()
+    boiler_group = [g for g in groups if g["n_copies"] == n_boiler]
+    assert len(boiler_group) == 1 and boiler_group[0]["keeper_doc_id"] == 0
+
+
+def test_minhash_uncapped_warns_capped_and_exact_do_not(spark):
+    """Scale-safety contract, mirroring jaccard_pairs: no max_bucket and
+    no exact=True -> warn; either knob silences it."""
+    import warnings as _w
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    with pytest.warns(UserWarning, match="without max_bucket"):
+        minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        minhash_lsh_pairs(docs, num_hashes=8, bands=4, exact=True)
+        minhash_lsh_pairs(docs, num_hashes=8, bands=4, max_bucket=100)
+
+
+def test_minhash_join_max_bucket_caps_corpus_hot_bucket(spark):
+    """Cross-probe twin: a hot corpus bucket (many identical corpus
+    docs) stops contributing candidates under the cap while normal
+    corpus matches survive."""
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_join,
+    )
+
+    corpus_rows = [(i, "terms of service apply to every request made here")
+                   for i in range(500)]
+    corpus_rows.append((9_000, "alpha beta gamma delta epsilon zeta eta theta"))
+    new_rows = [
+        (20_000, "terms of service apply to every request made here"),
+        (20_001, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    idx = minhash_index(corpus)
+
+    uncapped = minhash_lsh_join(
+        new, idx, verify_threshold_pct=None
+    )
+    assert uncapped.filter("new_id = 20000").count() == 500
+
+    capped = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lsh_join(
+            new, idx, verify_threshold_pct=None, max_bucket=100
+        ).collect()
+    }
+    assert (20_001, 9_000) in capped  # normal bucket survives
+    assert not any(n == 20_000 for n, _ in capped)  # hot family capped
 
 
 # --- incremental corpus dedup (minhash_index + minhash_lsh_join) ------------

@@ -486,7 +486,7 @@ def test_cluster_aware_split_audits_to_zero_leakage(spark):
     split = q_cluster_aware_split(spark, SF_SMALL).select("doc_id", "split")
     docs = load_table(spark, SF_SMALL, "documents")
     pairs = minhash_lsh_pairs(
-        docs, num_hashes=32, bands=8, verify_threshold_pct=30
+        docs, num_hashes=32, bands=8, verify_threshold_pct=30, exact=True
     ).select("id_a", "id_b")
     sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
     sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
