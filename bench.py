@@ -270,6 +270,11 @@ PHASED_QUERIES = [
 #: their own exact-verification work inside the query), so their r0 ratio
 #: compares different computations. The raw-operator cost without the
 #: verification twin is r0's number; the delta IS the verification.
+#: The 2x regression gate for THESE queries is asserted against
+#: BENCH_r9_rebase.json — the first committed min-of-3 measurement of
+#: the current definitions (VERDICT r9 item 2: without a re-baseline
+#: the gate was unfalsifiable for this family). Everything else keeps
+#: the frozen BENCH_r0 denominator.
 REDEFINED_SINCE_R0 = [
     "simhash_near_dup",     # + brute-force Hamming<=3 violation set
     "ann_topk_lsh",         # + exact top-20 comparison summary
@@ -387,6 +392,52 @@ def main() -> None:
         passes_done = p + 1
 
     total = round(sum(timings.values()), 3)
+
+    # --- falsifiable per-query regression gate (VERDICT r9 item 2) ---
+    # Denominator: BENCH_r9_rebase.json for REDEFINED_SINCE_R0 queries
+    # (first measurement of the current definitions), BENCH_r0.json for
+    # the original 40-query overlap. Queries first benched after r0 and
+    # never re-baselined have no denominator and are skipped (their
+    # cross-round trend lives in the committed BENCH_LOCAL artifacts).
+    here = os.path.dirname(os.path.abspath(__file__))
+    baseline: dict[str, float] = {}
+    baseline_src: dict[str, str] = {}
+    try:
+        with open(os.path.join(here, "BENCH_r0.json")) as fh:
+            for q, v in json.load(fh)["queries"].items():
+                baseline[q], baseline_src[q] = v, "r0"
+        with open(os.path.join(here, "BENCH_r9_rebase.json")) as fh:
+            for q, v in json.load(fh)["queries"].items():
+                baseline[q], baseline_src[q] = v, "r9_rebase"
+    except OSError:
+        pass
+    if abs(sf - 0.1) > 1e-9:
+        baseline = {}  # baselines are sf0.1 numbers; other SFs get no gate
+    ratios = {
+        q: round(timings[q] / baseline[q], 2)
+        for q in timings
+        if q in baseline and baseline[q] > 0
+    }
+    over_2x = {
+        q: {"ratio": r, "baseline": baseline[q], "vs": baseline_src[q]}
+        for q, r in sorted(ratios.items(), key=lambda kv: -kv[1])
+        if r > 2.0
+    }
+    gate = {
+        "n_with_baseline": len(ratios),
+        "aggregate_ratio": (
+            round(
+                sum(timings[q] for q in ratios)
+                / sum(baseline[q] for q in ratios),
+                3,
+            )
+            if ratios
+            else None
+        ),
+        "over_2x": over_2x,
+        "baselines": "BENCH_r0.json + BENCH_r9_rebase.json (redefined family)",
+    }
+
     payload = {
         "metric": "total_query_sec",
         "value": total,
@@ -400,6 +451,7 @@ def main() -> None:
         "spark_version": spark.version,
         "passes": passes_done,
         "redefined_since_r0": REDEFINED_SINCE_R0,
+        "gate": gate,
         "conf": {
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
@@ -436,6 +488,8 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "errors": dict(list(errors.items())[:3]),
+        "gate_aggregate_ratio": gate["aggregate_ratio"],
+        "gate_over_2x": {q: v["ratio"] for q, v in list(over_2x.items())[:5]},
         "full_artifact": "BENCH_LOCAL_latest.json",
     }
     line = json.dumps(summary)

@@ -2662,41 +2662,140 @@ CORE_QUERIES["stratified_sample"] = (q_stratified_sample, SQL_STRATIFIED_SAMPLE)
 def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/packing.py): documents walked per
     language in doc_id order, greedily packed into 500-token context
-    windows. The per-doc pack assignment is deterministic, so the DuckDB
-    recursive-CTE twin replays the walk exactly — a full oracle for an
-    applyInPandas operator."""
+    windows — restated as a SCALE-VALID CONTRACT (VERDICT r9 item 3,
+    the pattern that retired the other 12 sf1 exclusions in r9).
+
+    The previous oracle replayed the walk with a one-row-per-step
+    recursive CTE — exact, but sequential and quadratic in DuckDB at
+    50k+ rows, so doc_packing was the registry's last sf1 exclusion.
+    This contract is equally COMPLETE: for a fixed order and budget,
+    the greedy assignment is the UNIQUE per-group contiguous
+    segmentation in which (a) every multi-doc pack fits the budget and
+    (b) every pack boundary is forced (the next pack's first doc could
+    not have fit). Proof sketch: walk the segments in order — (b)
+    forces each segment to end exactly where greedy ends it, (a) rules
+    out ending earlier than greedy only if the boundary were unforced.
+    So the four sentinels below jointly pin the full per-doc pack_id
+    the old oracle echoed, while every oracle aggregate stays linear:
+
+    - conservation_docs / conservation_tokens: per-lang doc and token
+      totals of the PACKED output — the oracle recomputes both from
+      the raw table (items neither lost nor invented);
+    - capacity: every pack with >= 2 docs fits the 500-token budget
+      (an oversized single doc legally gets its own pack);
+    - contiguous: walking docs in doc_id order, pack_id starts at 0
+      and steps by 0 or 1 — packs are contiguous, ordered intervals;
+    - boundary_forced: for every pack after the first, the previous
+      pack's total plus this pack's first doc exceeds the budget.
+
+    The per-doc semantics additionally stay pinned engine-side by the
+    hypothesis property test (tests/test_scalar_properties.py
+    test_pack_sequences_matches_reference_walk) against an independent
+    reference walk."""
     from .operators.packing import pack_sequences
 
+    budget = 500
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
     )
-    out = pack_sequences(
+    # Four contract branches read the packed output; materialize the
+    # Arrow walk ONCE (family style: eager localCheckpoint) instead of
+    # letting plan inlining re-run it per branch.
+    packed = pack_sequences(
         docs, group_col="lang", order_col="doc_id",
-        token_col="n_tokens", budget=500,
+        token_col="n_tokens", budget=budget,
+    ).select("lang", "doc_id", "n_tokens", "pack_id").localCheckpoint(
+        eager=True
     )
-    return out.select("lang", "doc_id", "n_tokens", "pack_id")
+
+    conservation = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    cons_docs = conservation.select(
+        "lang", F.lit("conservation_docs").alias("chk"),
+        F.col("n_docs").cast("long").alias("val"), F.lit(True).alias("legal"),
+    )
+    cons_toks = conservation.select(
+        "lang", F.lit("conservation_tokens").alias("chk"),
+        F.col("sum_tokens").cast("long").alias("val"),
+        F.lit(True).alias("legal"),
+    )
+
+    packs = packed.groupBy("lang", "pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.count(F.lit(1)).alias("n_in_pack"),
+        F.min_by("n_tokens", "doc_id").alias("first_tokens"),
+    )
+    capacity = packs.groupBy("lang").agg(
+        F.min(
+            (F.col("n_in_pack") == 1) | (F.col("pack_tokens") <= budget)
+        ).alias("legal")
+    ).select(
+        "lang", F.lit("capacity").alias("chk"),
+        F.lit(0).cast("long").alias("val"), "legal",
+    )
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    steps = packed.select(
+        "lang",
+        F.col("pack_id").alias("pid"),
+        F.lag("pack_id").over(w).alias("prev_pid"),
+    )
+    contiguous = steps.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("prev_pid").isNull(), F.col("pid") == 0).otherwise(
+                (F.col("pid") - F.col("prev_pid")).isin(0, 1)
+            )
+        ).alias("legal")
+    ).select(
+        "lang", F.lit("contiguous").alias("chk"),
+        F.lit(0).cast("long").alias("val"), "legal",
+    )
+
+    wp = Window.partitionBy("lang").orderBy("pack_id")
+    forced = packs.select(
+        "lang", "pack_id", "first_tokens",
+        F.lag("pack_tokens").over(wp).alias("prev_tokens"),
+    ).groupBy("lang").agg(
+        F.min(
+            F.when(F.col("prev_tokens").isNull(), F.lit(True)).otherwise(
+                F.col("prev_tokens") + F.col("first_tokens") > budget
+            )
+        ).alias("legal")
+    ).select(
+        "lang", F.lit("boundary_forced").alias("chk"),
+        F.lit(0).cast("long").alias("val"), "legal",
+    )
+
+    return (
+        cons_docs.unionByName(cons_toks)
+        .unionByName(capacity)
+        .unionByName(contiguous)
+        .unionByName(forced)
+    )
 
 
 SQL_DOC_PACKING = """
-WITH RECURSIVE d AS (
-  SELECT lang, doc_id,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+WITH d AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
   FROM documents
-), walk(lang, rn, doc_id, n_tokens, cum, pack_id) AS (
-  SELECT lang, rn, doc_id, n_tokens, n_tokens, CAST(0 AS BIGINT)
-  FROM d WHERE rn = 1
-  UNION ALL
-  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
-         CASE WHEN walk.cum + d.n_tokens <= 500
-              THEN walk.cum + d.n_tokens ELSE d.n_tokens END,
-         CASE WHEN walk.cum + d.n_tokens <= 500
-              THEN walk.pack_id ELSE walk.pack_id + 1 END
-  FROM walk JOIN d ON d.lang = walk.lang AND d.rn = walk.rn + 1
 )
-SELECT lang, doc_id, n_tokens, pack_id FROM walk
+SELECT lang, 'conservation_docs' AS chk, CAST(COUNT(*) AS BIGINT) AS val,
+       TRUE AS legal
+FROM d GROUP BY lang
+UNION ALL
+SELECT lang, 'conservation_tokens', CAST(SUM(n_tokens) AS BIGINT), TRUE
+FROM d GROUP BY lang
+UNION ALL
+SELECT lang, 'capacity', CAST(0 AS BIGINT), TRUE FROM d GROUP BY lang
+UNION ALL
+SELECT lang, 'contiguous', CAST(0 AS BIGINT), TRUE FROM d GROUP BY lang
+UNION ALL
+SELECT lang, 'boundary_forced', CAST(0 AS BIGINT), TRUE FROM d GROUP BY lang
 """
 
 
@@ -3592,61 +3691,47 @@ CORE_QUERIES.update(
 #
 # The external driver's correctness gate checks the FIRST 50 registered
 # queries, so registration order decides which operators get the strong
-# (driver-run, oracle-hashed) check vs the local-pytest-only check.  The
-# window below puts one representative of every operator family inside the
-# gate — the full reference §2 surface, the newly-fixed event-time/streaming
-# queries, and the LLM-curation surface (dedup, ANN, PII, chunking,
-# contamination, tf-idf, CMS heavy hitters, SCD2, upsert).  Near-twins whose
-# sibling is already in-window (e.g. users_click_not_purchase /
-# users_click_and_purchase, returnflag_cube / returnflag_rollup,
-# value_range_join / range_join_fact_fact) sit after the window; they keep
-# full oracle coverage via tests/test_oracle_parity.py.
+# (driver-run, oracle-hashed) check vs the local-pytest-only check.
+#
+# r10 rotation (VERDICT r9 item 1): every name below is one of the 134
+# queries that had NO driver-gate row in any of CORRECTNESS_r01..r09 —
+# the union of those files is 77 names, all banked green, so the window
+# rotates AGGRESSIVELY toward the never-gated set (priority names called
+# out by the r9 verdict first). Rotated-out queries keep full oracle
+# coverage via correctness_full.py / tests/test_oracle_parity.py and
+# their banked driver rows. At 50/round the never-gated backlog
+# (134 -> 84 after this round) empties by r12.
 
 DRIVER_WINDOW: list[str] = [
-    # reference §2 surface
-    "pricing_summary", "supplier_distinct_parts", "user_activeness",
-    "priority_recode", "returnflag_pivot", "supplier_most_flag",
-    "supplier_flag_mix", "customer_segmentation", "top_event_per_user",
-    "user_trend", "region_rollup", "positional_zip", "union_halves",
-    "dedup_user_event", "props_json", "supplier_360", "customer360_merged",
-    "reference_e2e",
-    # event time: the full as-of trio (backward/forward/nearest, r9
-    # rotation per VERDICT r8 item 1) + sessionization + OHLC bars
-    # (keyed min_by/max_by first/last). event_gaps / range joins rotate
-    # out with r1-r8 driver rows banked; full oracle coverage retained
-    # in correctness_full / tests/test_oracle_parity.py.
-    "asof_last_purchase", "asof_next_purchase", "asof_nearest_purchase",
-    "sessionized_events", "event_ohlc_bars",
-    # streaming (windowed/stateful + foreachBatch sinks): the
-    # exactly-once JDBC promotion sink enters the gate (r8-new)
-    "streaming_event_counts", "streaming_sessions",
-    "streaming_sketch_rollup", "streaming_exactly_once_jdbc",
-    # LLM-data curation: dedup family. semantic_dedup_distributed /
-    # substring_dedup_apply / doc_packing rotate out with r8 driver
-    # rows banked; families stay represented (minhash banding,
-    # winnowing fingerprints, exact dedup, contamination spans).
-    "doc_profile", "doc_exact_dedup", "minhash_near_dup",
-    "winnowing_dedup_pairs",
-    # similarity search (brute/multi-probe-LSH + the persisted-IVFPQ
-    # lifecycle, which exercises the IVF cell machinery end-to-end)
-    "ann_topk", "ann_topk_lsh", "ann_topk_ivfpq_indexed",
-    # text analysis / curation (+ classifier TRAINING, not just scoring)
-    "bm25_search", "tfidf_keywords", "pii_redaction", "doc_chunking",
-    "contamination_check", "stratified_sample",
-    "quality_classifier_train",
-    # graph: weighted pagerank (supersedes the uniform form, r8-new),
-    # BFS hop census, and the PERSISTED graph-index lifecycle
-    # (build -> append -> probe, VERDICT r8 item 8)
-    "part_pagerank_weighted", "part_bfs_hops", "part_graph_route_indexed",
-    # data layout: Hilbert curve clustering (r8-new)
-    "hilbert_layout",
-    # forecasting: Holt linear trend in integer fixed point (r8-new)
-    "revenue_holt_forecast",
-    # sketches / CDC / multimodal (media decode plumbing rides inside
-    # the pHash pipeline: decode -> 64-bit hash -> pigeonhole blocking)
-    "heavy_hitters_cms",
-    "scd2_user_state", "orders_upsert",
-    "media_phash_near_dup",
+    # r9-verdict priority names
+    "semantic_dedup", "semantic_dedup_hierarchical",
+    "incremental_corpus_dedup", "incremental_corpus_dedup_indexed",
+    "dedup_best_survivors", "cluster_aware_split", "split_leakage_audit",
+    "token_budget_fill", "hybrid_search_rrf", "streaming_attribution",
+    # dedup family (banding contracts, spans, CDC-chunk blobs,
+    # incremental/streaming index lifecycles, CC increments)
+    "dedup_clusters_twophase", "doc_near_dup_core", "streaming_dedup",
+    "duplicate_spans", "decontamination_apply", "media_blob_dedup",
+    "streaming_index_dedup", "incremental_index_update",
+    "incremental_components_update", "doc_containment_pairs",
+    # similarity search: the compressed-domain (PQ / IVFPQ) pair, the
+    # persisted-IVF lifecycle, streaming probe, index append, cohesion
+    # audit, and the embedding transforms (PCA projection, int8
+    # quantization)
+    "ann_topk_pq", "ann_topk_ivfpq", "ann_topk_ivf_indexed",
+    "streaming_ann_probe", "incremental_ann_index_update",
+    "ivf_cohesion_audit", "embedding_pca_project", "embedding_quantization",
+    # text analysis / curation / training-prep
+    "gopher_quality_flags", "doc_lm_perplexity", "collocation_pmi",
+    "quality_classifier_gd_train", "classifier_calibration",
+    "source_kl_divergence", "source_mixture_temperature",
+    "lang_quota_sample", "importance_resample", "corpus_curation_report",
+    "bpe_train_merges", "curriculum_interleave", "training_shard_manifest",
+    "dataset_split",
+    # analytics / graph / privacy / event-time
+    "nation_revenue_share", "customer_rfm", "cohort_retention",
+    "part_triangles", "part_communities", "k_anonymity_generalize",
+    "point_in_time_features", "streaming_ohlc_bars",
 ]
 # NOTE: the actual reorder (window first, tail after) runs at the END
 # of this module, after every registration — see _apply_driver_window().

@@ -31,29 +31,20 @@ from customer_360_etl_pipeline_on_azure_cloud_spark.session import get_spark  # 
 
 # Every registry query is either RUN here or EXCLUDED with a stated,
 # per-query reason (r7 verdict item 2: the sf1 artifact must count
-# every registry entry).  Remaining exclusion class — a property of
-# the ORACLE, never of the Spark implementation (sf0.1-exact):
+# every registry entry).  The exclusion list is EMPTY as of r10:
 #
-#   oracle-cost — the DuckDB twin is deliberately sequential
-#     (one-row-per-step recursive CTE) or otherwise quadratic at 50k+
-#     rows; the Spark side is linear and sf0.1-verified.
-#
-# The former "lsh-coincidence" and "corpus-specific-claim" classes are
-# gone (r9, VERDICT r8 item 2): every member was restated as a
-# scale-valid contract that asserts here.
-EXCLUDED: dict[str, str] = {
-    "doc_packing": (
-        "oracle-cost: one-row-per-step recursive CTE replay, quadratic "
-        "in DuckDB at 50k rows; Spark side linear per group, "
-        "sf0.1-exact"
-    ),
-    # r9 (VERDICT r8 item 2): the former 12-member "lsh-coincidence"
-    # exclusion family is GONE — every member was restated as a
-    # scale-valid contract (exact-set echo + precision sentinel over
-    # exact-verified candidates + recall-floor sentinel; see
-    # operators/dedup.py cross_dedup_contract and the per-query
-    # docstrings) and now asserts at sf1 instead of being skipped.
-}
+# - r9 (VERDICT r8 item 2): the 12-member "lsh-coincidence" family was
+#   restated as scale-valid contracts (exact-set echo + precision
+#   sentinel over exact-verified candidates + recall-floor sentinel;
+#   see operators/dedup.py cross_dedup_contract).
+# - r10 (VERDICT r9 item 3): doc_packing — the last "oracle-cost"
+#   exclusion (one-row-per-step recursive CTE, quadratic in DuckDB at
+#   50k rows) — was restated as the greedy-packing contract
+#   (conservation + capacity + contiguity + boundary-forced sentinels,
+#   which jointly determine the greedy assignment uniquely; see
+#   q_doc_packing's docstring). Every oracle aggregate is linear, so
+#   the full registry asserts at every SF.
+EXCLUDED: dict[str, str] = {}
 
 
 TABLES = (

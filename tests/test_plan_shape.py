@@ -166,10 +166,34 @@ def test_bm25_topk_never_sorts_the_corpus(spark):
 
 def test_doc_packing_single_group_shuffle(spark):
     # packing shuffles once on the group key; the walk itself is one
-    # Arrow stage (FlatMapGroupsInPandas), no extra exchanges
-    plan = plan_of(spark, "doc_packing")
+    # Arrow stage (FlatMapGroupsInPandas), no extra exchanges. Pinned
+    # on the OPERATOR rather than the registered query: q_doc_packing
+    # is now the scale-valid contract form (r10), whose sentinel
+    # aggregations legitimately add post-walk exchanges over the tiny
+    # per-pack frame.
+    from pyspark.sql import functions as F
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    df = pack_sequences(
+        docs, group_col="lang", order_col="doc_id",
+        token_col="n_tokens", budget=500,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    # the registered contract query materializes the walk ONCE (eager
+    # localCheckpoint) — its final plan reads checkpoint blocks, never
+    # a re-inlined Arrow walk per contract branch
+    contract_plan = plan_of(spark, "doc_packing")
+    assert "FlatMapGroupsInPandas" not in contract_plan
 
 
 def test_reference_e2e_no_cartesian_broadcast_dims(spark):
