@@ -379,13 +379,21 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
             if name in PHASED_QUERIES and "build" in phase_sink:
                 # build = one-time index construction; probe = the
-                # recurring daily cost. Min per component across passes.
+                # recurring daily cost (residual), plus any finer
+                # phase() spans the query marked (e.g. probe_bfs /
+                # probe_route). Min per component across passes.
                 build = round(phase_sink["build"], 3)
-                probe = round(max(dt - build, 0.0), 3)
+                entry = {
+                    "build": build,
+                    "probe": round(max(dt - build, 0.0), 3),
+                }
+                for k, v in phase_sink.items():
+                    if k != "build":
+                        entry[k] = round(v, 3)
                 prev = subtimings.get(name)
                 subtimings[name] = {
-                    "build": min(prev["build"], build) if prev else build,
-                    "probe": min(prev["probe"], probe) if prev else probe,
+                    k: min(prev[k], v) if prev and k in prev else v
+                    for k, v in entry.items()
                 }
             if name not in rows:
                 rows[name] = len(out)

@@ -6759,15 +6759,33 @@ def q_part_graph_route_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_buckets=8, mode="append",
         )
         weighted.unpersist()
-    edges = read_graph_index(spark, name)
+    # Both probes walk the SAME standing edge table 7 rounds total
+    # (4 BFS frontier expansions + 3 relaxations), each round a
+    # broadcast-frontier map-side pass over the edges — persist the
+    # table across the two probes so rounds 2..7 read cached blocks
+    # instead of re-scanning parquet (measured at sf0.1: bfs 3.5->1.7s,
+    # min_cost 3.7->1.5s warm, NOTES_r10). Safe to unpersist before
+    # returning: both probes eagerly localCheckpoint per round, so the
+    # returned join reads only checkpoint blocks.
+    edges = read_graph_index(spark, name).persist()
     seeds = li.select("l_partkey").distinct().orderBy("l_partkey").limit(3)
-    hops = bfs_hops(
-        edges, seeds, max_hops=4, src="u", dst="v",
-        assume_symmetric=True, dedup_edges=False, materialized=True,
-    ).select(F.col("id").alias("part_id"), F.col("hops").cast("int").alias("hops"))
-    route = min_cost_bounded(
-        edges, seeds, rounds=3, materialized=True
-    ).select(F.col("id").alias("part_id"), F.col("cost").alias("min_cost"))
+    # The two probe phases are individually attributed (both algorithms
+    # execute eagerly inside their constructors via per-round counts),
+    # so the bench artifact can show that "probe" cost is 7 rounds of
+    # genuinely iterative graph work, not index-scan overhead.
+    with phase("probe_bfs"):
+        hops = bfs_hops(
+            edges, seeds, max_hops=4, src="u", dst="v",
+            assume_symmetric=True, dedup_edges=False, materialized=True,
+        ).select(
+            F.col("id").alias("part_id"),
+            F.col("hops").cast("int").alias("hops"),
+        )
+    with phase("probe_route"):
+        route = min_cost_bounded(
+            edges, seeds, rounds=3, materialized=True
+        ).select(F.col("id").alias("part_id"), F.col("cost").alias("min_cost"))
+    edges.unpersist()
     return hops.join(route, "part_id", "full_outer")
 
 

@@ -63,20 +63,49 @@ def run_incremental(
     checkpoint: str,
     sink_table: str,
     mode: str = "append",
+    state_partitions: int | None = None,
 ) -> None:
     """Process everything available now, then stop (the reference's
     'catch up on daily files' pattern with exactly-once checkpoints).
     Results land in an in-memory table for tests; swap format for
-    parquet/kafka in production."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    parquet/kafka in production.
+
+    ``state_partitions`` sizes the stateful operator's shuffle/state
+    partition count for THIS query, independent of the session's batch
+    ``spark.sql.shuffle.partitions``.  Streaming state cost is
+    per-partition-per-micro-batch (an HDFS-state-store delta file, a
+    task, a commit) regardless of rows held, so a query whose state
+    cardinality is small pays pure fixed overhead for every extra
+    partition: measured on streaming_event_counts at sf0.1 (~600 state
+    groups), 32 partitions = 4.4 s, 8 = 2.2 s, 4 = 1.2 s min-of-3
+    (NOTES_r10, VERDICT r9 item 2 drift diagnosis).  Size it to state
+    cardinality — a 100 TB stream with billions of groups wants many
+    partitions; a bounded dashboard aggregate wants few.  The count is
+    baked into the checkpoint at first start (Spark pins
+    ``sql.shuffle.partitions`` per checkpoint), so it must be chosen
+    when the query is FIRST started; the session conf is restored only
+    after the run completes — batch-0 planning reads the conf
+    ASYNCHRONOUSLY after ``start()`` returns, so restoring earlier
+    would race it.
+    """
+    spark = stream_df.sparkSession
+    prior = None
+    if state_partitions is not None:
+        prior = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
 
 
 def run_foreach_batch(
