@@ -297,6 +297,12 @@ REDEFINED_SINCE_R0 = [
     "streaming_index_dedup",
 ]
 
+#: r10 redefinitions (same marker idea, later cut point): doc_packing's
+#: oracle-cost recursive-CTE echo became the greedy-packing contract
+#: (VERDICT r9 item 3), so its cross-round trend breaks at r9->r10.
+#: Not in BENCH_r0 or BENCH_r9_rebase, so it carries no gate ratio.
+REDEFINED_IN_R10 = ["doc_packing"]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -459,6 +465,7 @@ def main() -> None:
         "spark_version": spark.version,
         "passes": passes_done,
         "redefined_since_r0": REDEFINED_SINCE_R0,
+        "redefined_in_r10": REDEFINED_IN_R10,
         "gate": gate,
         "conf": {
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),

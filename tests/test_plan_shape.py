@@ -176,6 +176,9 @@ def test_doc_packing_single_group_shuffle(spark):
     from customer_360_etl_pipeline_on_azure_cloud_spark.operators.packing import (
         pack_sequences,
     )
+    from customer_360_etl_pipeline_on_azure_cloud_spark.sources.tables import (
+        load_table,
+    )
 
     spark.catalog.clearCache()
     docs = load_table(spark, SF_SMALL, "documents").select(

@@ -215,3 +215,56 @@ def test_interval_join_drops_late_right_row(spark):
         assert nb == 4
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_run_incremental_state_partitions_pins_and_restores(spark):
+    """The state_partitions knob (r10, streaming_event_counts drift fix)
+    must (a) actually run the stateful operator at the requested
+    partition count — pinned via the checkpoint's offset metadata,
+    where Spark records the conf it froze at first start — (b) leave
+    the session's batch shuffle conf untouched afterwards, and (c)
+    change no results."""
+    import json
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="c360_state_parts_")
+    try:
+        src = f"{tmp}/src"
+        b1 = [(_at(10.0), "click"), (_at(10.25), "view")]
+        b2 = [(_at(11.0), "click")]
+        _write_batches(spark, src, "ts timestamp, event_type string", b1, b2)
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        counts = windowed_counts(stream, window="1 hour", watermark="2 hours")
+        prior = spark.conf.get("spark.sql.shuffle.partitions")
+        run_incremental(
+            counts, f"{tmp}/ckpt", "state_parts_sink", mode="complete",
+            state_partitions=3,
+        )
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+        got = {
+            (r["window_start"], r["event_type"]): r["n"]
+            for r in spark.table("state_parts_sink").collect()
+        }
+        assert got == {
+            (_at(10.0), "click"): 1,
+            (_at(10.0), "view"): 1,
+            (_at(11.0), "click"): 1,
+        }, got
+        # offset metadata records the conf frozen into the checkpoint
+        offsets_dir = f"{tmp}/ckpt/offsets"
+        first = sorted(
+            f for f in os.listdir(offsets_dir)
+            if not f.startswith(".") and not f.endswith(".crc")
+        )[0]
+        with open(os.path.join(offsets_dir, first)) as fh:
+            lines = fh.read().splitlines()
+        meta = json.loads(lines[1])
+        assert (
+            meta["conf"]["spark.sql.shuffle.partitions"] == "3"
+        ), meta["conf"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
