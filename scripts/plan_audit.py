@@ -25,7 +25,7 @@ tests/test_plan_shape.py instead.)
 
 Some queries execute work when CALLED (index builds, streaming
 demos) — the audit tolerates that; it reads the final plan of the
-RETURNED DataFrame.  Writes PLAN_AUDIT_r9.json.
+RETURNED DataFrame.  Writes PLAN_AUDIT_r10.json.
 
 Usage: python scripts/plan_audit.py [sf_dir]   (default sf0.01)
 """
@@ -90,7 +90,7 @@ def main() -> None:
         ),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "PLAN_AUDIT_r9.json"), "w") as fh:
+    with open(os.path.join(root, "PLAN_AUDIT_r10.json"), "w") as fh:
         json.dump({"summary": summary, "per_query": out}, fh, indent=1)
         fh.write("\n")
     print(json.dumps(summary))
