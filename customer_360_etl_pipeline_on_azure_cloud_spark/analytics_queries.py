@@ -694,7 +694,18 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ckpt = tempfile.mkdtemp(prefix="c360_q_attr_")
     name = f"stream_attr_{os.path.basename(ckpt).split('_')[-1]}"
-    run_incremental(out, os.path.join(ckpt, "ckpt"), name, mode="append")
+    # state_partitions=8: join state is keyed by user_id (~1.5k keys at
+    # the bench SF) and stream-stream join keeps FOUR state stores per
+    # partition (left/right rows + watermark bookkeeping), so the
+    # per-partition-per-micro-batch fixed cost (delta file + task +
+    # commit) dominates at 32 partitions. Measured min-of-3 at sf0.1:
+    # 32 parts = 6.5 s, 8 = 2.2 s, 4 = 1.9 s — 8 keeps headroom for
+    # the key count. Size to state cardinality — a 100 TB stream with
+    # billions of users wants many partitions.
+    run_incremental(
+        out, os.path.join(ckpt, "ckpt"), name, mode="append",
+        state_partitions=8,
+    )
     return spark.table(name)
 
 
@@ -7133,6 +7144,9 @@ def q_streaming_holt_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     holt = stateful_holt(stream, "event_type", "day", "cents")
     name = f"stream_holt_{os.path.basename(tmp).split('_')[-1]}"
+    # Measured: state_partitions=4 is a no-op here (2.62 vs 2.56 s
+    # min-of-3 at sf0.1) — cost is the arrival-file setup plus two
+    # sequential micro-batches, not per-partition state overhead.
     run_incremental(
         holt, os.path.join(tmp, "ckpt"), name, mode="append"
     )
