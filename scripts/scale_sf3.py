@@ -14,7 +14,11 @@ Claim under test: growth on 3x data stays well under the quadratic 9x
 (and under the verdict's lenient 10x bar) — i.e. the sub-quadratic
 trend from sf0.1->sf1 holds for another 3x.
 
-Usage: python scripts/scale_sf3.py    # writes SCALE_r10.json
+Usage: python scripts/scale_sf3.py [query ...]   # merges SCALE_r10.json
+
+With no arguments runs the two default outliers; explicit names (must
+exist in BENCH_SF1_local.json for the growth denominator) extend the
+artifact — existing rows for other queries are preserved.
 """
 
 from __future__ import annotations
@@ -30,11 +34,18 @@ PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
 
 def main() -> None:
+    names = sys.argv[1:] or QUERIES
     sf3_dir = os.path.join(ROOT, "testdata_scale", "sf3")
+    art = os.path.join(ROOT, "SCALE_r10.json")
     with open(os.path.join(ROOT, "BENCH_SF1_local.json")) as fh:
         sf1 = json.load(fh)["queries"]
+    unknown = [n for n in names if n not in sf1]
+    assert not unknown, f"no sf1 baseline for: {unknown}"
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    if os.path.exists(art):
+        with open(art) as fh:
+            out.update(json.load(fh).get("queries", {}))
+    for name in names:
         try:
             proc = subprocess.run(
                 [sys.executable,
@@ -70,7 +81,7 @@ def main() -> None:
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "queries": out,
     }
-    with open(os.path.join(ROOT, "SCALE_r10.json"), "w") as fh:
+    with open(art, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(json.dumps({
