@@ -42,9 +42,16 @@ def main() -> None:
     unknown = [n for n in names if n not in sf1]
     assert not unknown, f"no sf1 baseline for: {unknown}"
     out: dict[str, dict] = {}
+    extra: dict[str, object] = {}
     if os.path.exists(art):
         with open(art) as fh:
-            out.update(json.load(fh).get("queries", {}))
+            prior = json.load(fh)
+        out.update(prior.get("queries", {}))
+        # preserve hand-recorded sections (e.g. operator_only rows)
+        extra = {
+            k: v for k, v in prior.items()
+            if k not in ("method", "sf_dir", "cpus", "queries")
+        }
     for name in names:
         try:
             proc = subprocess.run(
@@ -80,6 +87,7 @@ def main() -> None:
         "sf_dir": sf3_dir,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "queries": out,
+        **extra,
     }
     with open(art, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
