@@ -707,8 +707,15 @@ def bfs_hops(
                 F.broadcast(frontier), sym["u"] == frontier["id"]
             )
         else:
-            expanded = frontier.join(
-                sym.hint("shuffle_hash"), frontier["id"] == sym["u"]
+            # the hint marks the BUILD side — it must be the
+            # vertex-sized frontier, never the edges: per task the
+            # build is |frontier|/partitions rows, while an edge-side
+            # build is |E|/partitions and AQE's partition coalescing
+            # concentrates it further (measured at sf10: 8 coalesced
+            # partitions x ~10M edges -> >1 GB LongToUnsafeRowMap per
+            # task, "Can't acquire memory to build hash relation")
+            expanded = frontier.hint("shuffle_hash").join(
+                sym, frontier["id"] == sym["u"]
             )
         cand = expanded.select(F.col("v").alias("id")).distinct()
         seen = visited.select("id")
@@ -780,8 +787,10 @@ def min_cost_bounded(
         if n_dist <= broadcast_limit:
             relaxed = e.join(F.broadcast(dist), e["u"] == dist["id"])
         else:
-            relaxed = dist.join(
-                e.hint("shuffle_hash"), dist["id"] == e["u"]
+            # build side = vertex-sized dist, never the edges (see
+            # bfs_hops: an edge-side build OOMs per task at scale)
+            relaxed = dist.hint("shuffle_hash").join(
+                e, dist["id"] == e["u"]
             )
         relaxed = relaxed.select(
             F.col("v").alias("id"), (F.col("cost") + F.col("w")).alias("cost")

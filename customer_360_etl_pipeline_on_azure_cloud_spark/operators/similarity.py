@@ -2672,3 +2672,100 @@ def pca_power_project(
         lambda acc, x: acc + x,
     )
     return df.select(F.col(id_col), proj.alias("pc1_fp"))
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    lam_pct: int = 70,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity rerank [Carbonell & Goldstein
+    1998]: from the exact-cosine top-``shortlist`` candidates for ONE
+    query vector, greedily select ``k`` so each pick maximizes
+
+        mmr(c) = lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)
+
+    with ``lam = lam_pct / 100`` and ties broken by lower id — the
+    standard redundancy-penalized selection for RAG context assembly
+    and diverse training-batch curation (relevance alone returns near-
+    duplicate clusters; MMR spends the budget on coverage).
+
+    Physical split, and why it holds at 100 TB: the CORPUS-sized work
+    — cosine against every vector and the top-``shortlist`` cut — is
+    one broadcast-query scan + TakeOrderedAndProject, identical to
+    :func:`cosine_topk_bruteforce` (swap in an ANN probe upstream for
+    a pre-cut corpus when even one scan is too much).  The greedy
+    itself is inherently sequential in ``k`` and sees ONLY the
+    shortlist (bounded by construction, default 50 rows), so it runs
+    driver-side over the collected shortlist — the same query-sized
+    scalar bridge as the PQ codebook / quantile-broadcast patterns
+    (SURVEY §2 X2), NOT a corpus collect.  Cost O(k * shortlist) dots.
+
+    Cross-engine exactness: relevance comes from the engine's
+    sequential-fold :func:`dot` (bitwise DuckDB ``list_dot_product``
+    parity); the driver-side pairwise sims replay the identical fold
+    (Python float ops are the same IEEE-754 doubles), so a DuckDB
+    oracle that unrolls the greedy reproduces every comparison
+    bit-for-bit.  Output carries only BIGINTs: (mmr_rank, id,
+    rel_e9 = floor(rel * 1e9)).
+    """
+    if not 0 <= lam_pct <= 100:
+        raise ValueError("mmr_rerank: lam_pct must be in [0, 100]")
+    q = with_norm(query, vec_col).select(
+        F.col("__vec").alias("qvec"), F.col("__norm").alias("qnorm")
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("__vec").alias("nvec"),
+        F.col("__norm").alias("nnorm"),
+    )
+    rel = dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))
+    rows = (
+        c.crossJoin(F.broadcast(q))
+        .select("cand_id", "nvec", "nnorm", rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), "cand_id")
+        .limit(shortlist)
+        .collect()
+    )
+    lam = lam_pct / 100.0
+    remaining = {
+        r["cand_id"]: (list(r["nvec"]), r["nnorm"], r["rel"]) for r in rows
+    }
+
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        # identical reduction order to dot()/list_dot_product: products
+        # left-folded into the accumulator one element at a time
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    picks: list[tuple[int, int, int]] = []
+    maxsim: dict[int, float] = {}
+    import math
+
+    while remaining and len(picks) < k:
+        if not picks:
+            scored = [(v[2], cid) for cid, v in remaining.items()]
+        else:
+            scored = [
+                (lam * v[2] - (1.0 - lam) * maxsim[cid], cid)
+                for cid, v in remaining.items()
+            ]
+        best_score, best_id = max(scored, key=lambda t: (t[0], -t[1]))
+        bvec, bnorm, brel = remaining.pop(best_id)
+        picks.append(
+            (len(picks) + 1, best_id, int(math.floor(brel * 1e9)))
+        )
+        for cid, (cvec, cnorm, _crel) in remaining.items():
+            s = _fold_dot(cvec, bvec) / (cnorm * bnorm)
+            if cid not in maxsim or s > maxsim[cid]:
+                maxsim[cid] = s
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        picks, schema="mmr_rank bigint, vec_id bigint, rel_e9 bigint"
+    )

@@ -3894,4 +3894,90 @@ def q_ann_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORE_QUERIES["ann_topk_ivfpq_indexed"] = (q_ann_topk_ivfpq_indexed, SQL_ANN_SUMMARY)
 
 
+def q_mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity selection: MMR-rerank (operators/similarity.py
+    mmr_rerank — Carbonell & Goldstein 1998) the exact-cosine top-50
+    shortlist for query vector 0 down to 10 picks with lambda = 0.70 —
+    the redundancy-penalized retrieval RAG context assembly and
+    diverse-batch curation run after ANN, completing the retrieval
+    family (brute force / LSH / IVF / PQ / RRF fusion / MMR).
+
+    Exactness: relevance and pairwise sims are sequential-fold doubles
+    (bitwise list_dot_product parity); lambda enters as 70.0/100.0 and
+    the penalty weight as 1.0 - (70.0/100.0) IN BOTH ENGINES (the
+    latter is NOT the double nearest 0.3 — replaying the expression,
+    not the decimal, is what keeps every greedy comparison identical);
+    the oracle unrolls the 10 greedy steps like part_pagerank's rounds.
+    Output is BIGINT-only: (mmr_rank, vec_id, rel_e9)."""
+    from .operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") == 0),
+        k=10,
+        lam_pct=70,
+        shortlist=50,
+    )
+
+
+def _mmr_oracle_sql(k: int = 10, shortlist: int = 50, lam: str = "70.0 / 100.0") -> str:
+    """Unrolled-greedy MMR oracle (one CTE pair per pick, the
+    part_pagerank unrolling pattern): pick_i = argmax over unselected
+    shortlist members of lam*rel - (1-lam)*max(sim to selected),
+    ties to the lower vec_id."""
+    head = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qe,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id = 0
+), sc AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         list_dot_product(embedding::DOUBLE[], qe)
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * qn)
+           AS rel
+  FROM embeddings, q WHERE vec_id <> 0
+), cand AS MATERIALIZED (
+  -- MATERIALIZED: referenced once per unrolled pick; inlined, DuckDB
+  -- re-opens the parquet per reference and exhausts file handles
+  SELECT vec_id, e, nrm, rel FROM sc ORDER BY rel DESC, vec_id LIMIT {shortlist}
+), sims AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+p1 AS MATERIALIZED (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT vec_id FROM p1)"""
+    # every p_i / sel_i is MATERIALIZED: sel_i references sel_{i-1}
+    # twice, so inlined expansion is 2^k plan copies (measured: the
+    # 10-step inlined form never finishes and exhausts file handles
+    # re-opening the scan at the leaves; materialized it's millisecond)
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  ORDER BY ({lam}) * c.rel - (1.0 - ({lam})) * (
+      SELECT max(sim) FROM sims
+      WHERE ia = c.vec_id AND ib IN (SELECT vec_id FROM sel{i - 1})
+    ) DESC, c.vec_id
+  LIMIT 1
+),
+sel{i} AS MATERIALIZED (
+  SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM p{i})""")
+    picks = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS mmr_rank, CAST(vec_id AS BIGINT) AS vec_id,"
+        f" CAST(floor(rel * 1000000000.0) AS BIGINT) AS rel_e9 FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return head + "".join(steps) + "\n" + picks
+
+
+SQL_MMR_DIVERSE_RERANK = _mmr_oracle_sql()
+
+CORE_QUERIES["mmr_diverse_rerank"] = (q_mmr_diverse_rerank, SQL_MMR_DIVERSE_RERANK)
+
+
 _apply_driver_window()
