@@ -1171,6 +1171,7 @@ def duplicate_token_spans(
     text_col: str = "text",
     window: int = 8,
     max_docs_per_window: int | None = None,
+    broadcast_shared: bool = True,
 ) -> DataFrame:
     """The FINISHED substring-dedup output (VERDICT r5 item 4): per
     document, the maximal merged token ranges TO REMOVE — the actual
@@ -1197,12 +1198,23 @@ def duplicate_token_spans(
     ``max_docs_per_window`` drops boilerplate stop-passages (license
     headers) exactly as in shared_passage_stats.
 
+    ``broadcast_shared`` (default True) force-broadcasts the shared-key
+    set back onto the window rows — right whenever duplicated windows
+    are a small fraction of the corpus.  The set scales with DUPLICATE
+    MASS, not corpus size, so on a heavily-duplicated 100 TB corpus it
+    can itself be data-scale; pass ``False`` there to fall back to a
+    shuffled equi-join on ``wkey`` (the window rows are already
+    key-shuffled by the census aggregate, so the fallback reuses that
+    partitioning) — the same hazard/knob contract as
+    ``exact_verify_pairs(broadcast_pairs=)``.
+
     Output: ``(doc_id, span_start, span_end, cut_tokens)`` — BIGINT
     only; span bounds are 1-based inclusive token positions and
     ``cut_tokens = span_end - span_start + 1``.
     """
     per_doc = _merged_span_arrays(
-        df, id_col, text_col, window, max_docs_per_window
+        df, id_col, text_col, window, max_docs_per_window,
+        broadcast_shared=broadcast_shared,
     )
     return per_doc.select("doc_id", F.explode("spans").alias("sp")).select(
         "doc_id",
@@ -1218,6 +1230,7 @@ def _merged_span_arrays(
     text_col: str,
     window: int,
     max_docs_per_window: int | None,
+    broadcast_shared: bool = True,
 ) -> DataFrame:
     """``(doc_id, spans array<struct<s,e>>)`` — the merged cut spans of
     :func:`duplicate_token_spans` kept per-doc (rows only for docs with
@@ -1250,9 +1263,10 @@ def _merged_span_arrays(
     if max_docs_per_window is not None:
         shared = shared.filter(F.col("n_docs") <= max_docs_per_window)
 
-    hits = w.join(F.broadcast(shared.select("wkey")), "wkey").select(
-        "doc_id", "pos"
-    )
+    skeys = shared.select("wkey")
+    if broadcast_shared:
+        skeys = F.broadcast(skeys)
+    hits = w.join(skeys, "wkey").select("doc_id", "pos")
     per_doc = hits.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("pos")).alias("ps")
     )
@@ -1303,6 +1317,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     window: int = 8,
     max_docs_per_window: int | None = None,
+    broadcast_shared: bool = True,
 ) -> DataFrame:
     """APPLY the substring-dedup cut (the last step of Lee et al.
     2022): remove every :func:`duplicate_token_spans` range from every
@@ -1319,7 +1334,8 @@ def remove_duplicate_spans(
     which token-level dedup treats as equivalent).
     """
     spans_df = _merged_span_arrays(
-        df, id_col, text_col, window, max_docs_per_window
+        df, id_col, text_col, window, max_docs_per_window,
+        broadcast_shared=broadcast_shared,
     )
     return _apply_span_cut(df, spans_df, id_col, text_col)
 

@@ -890,3 +890,24 @@ def test_remove_duplicate_spans_consistent_with_spans(spark):
         cleaned.select("doc_id", F.col("clean_text").alias("text")), window=8
     ).count()
     assert again == 0
+
+
+def test_duplicate_spans_shuffled_fallback_matches_broadcast(spark):
+    # broadcast_shared=False (the heavily-duplicated-corpus path: the
+    # shared-key set scales with duplicate mass, so at 100 TB it may
+    # not be broadcastable) must produce the identical span table
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.dedup import (
+        duplicate_token_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, duplicate_token_spans(docs, window=8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            duplicate_token_spans(
+                docs, window=8, broadcast_shared=False
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
