@@ -687,6 +687,17 @@ def bfs_hops(
     visited = frontier.withColumn("hops", F.lit(0))
     n_frontier = frontier.count()
     n_visited = n_frontier
+    # lazily built u-partitioned copy of the edges for past-the-limit
+    # rounds: a shuffled hash join re-shuffles BOTH inputs per round,
+    # and the edge side is the big one — pre-partitioning it ONCE on
+    # the join key (persisted DISK_ONLY: InMemoryRelation preserves
+    # outputPartitioning, so EnsureRequirements adds no new Exchange;
+    # deserialized heap caching of an edge list is the known OOM) makes
+    # every subsequent big-frontier round shuffle O(frontier) only.
+    # Built on demand because small-frontier BFS never pays for it.
+    from pyspark import StorageLevel
+
+    sym_shj = None
     for h in range(1, max_hops + 1):
         if n_frontier == 0:
             break
@@ -714,8 +725,12 @@ def bfs_hops(
             # concentrates it further (measured at sf10: 8 coalesced
             # partitions x ~10M edges -> >1 GB LongToUnsafeRowMap per
             # task, "Can't acquire memory to build hash relation")
+            if sym_shj is None:
+                sym_shj = sym.repartition(F.col("u")).persist(
+                    StorageLevel.DISK_ONLY
+                )
             expanded = frontier.hint("shuffle_hash").join(
-                sym, frontier["id"] == sym["u"]
+                sym_shj, frontier["id"] == sym_shj["u"]
             )
         cand = expanded.select(F.col("v").alias("id")).distinct()
         seen = visited.select("id")
@@ -732,6 +747,8 @@ def bfs_hops(
             nxt.withColumn("hops", F.lit(h))
         ).localCheckpoint(eager=True)
         frontier = nxt
+    if sym_shj is not None:
+        sym_shj.unpersist()
     return visited
 
 
@@ -783,14 +800,23 @@ def min_cost_bounded(
         .localCheckpoint(eager=True)
     )
     n_dist = dist.count()
+    from pyspark import StorageLevel
+
+    e_shj = None  # lazy u-partitioned edge copy, see bfs_hops
     for _ in range(rounds):
         if n_dist <= broadcast_limit:
             relaxed = e.join(F.broadcast(dist), e["u"] == dist["id"])
         else:
             # build side = vertex-sized dist, never the edges (see
-            # bfs_hops: an edge-side build OOMs per task at scale)
+            # bfs_hops: an edge-side build OOMs per task at scale);
+            # edges pre-partitioned on u once so later rounds shuffle
+            # O(vertices), not O(edges)
+            if e_shj is None:
+                e_shj = e.repartition(F.col("u")).persist(
+                    StorageLevel.DISK_ONLY
+                )
             relaxed = dist.hint("shuffle_hash").join(
-                e, dist["id"] == e["u"]
+                e_shj, dist["id"] == e_shj["u"]
             )
         relaxed = relaxed.select(
             F.col("v").alias("id"), (F.col("cost") + F.col("w")).alias("cost")
@@ -802,6 +828,8 @@ def min_cost_bounded(
             .localCheckpoint(eager=True)
         )
         n_dist = dist.count()
+    if e_shj is not None:
+        e_shj.unpersist()
     return dist
 
 

@@ -38,7 +38,7 @@ LANGS = ["en", "es", "fr", "de", "zh"]
 LANG_W = [0.44, 0.15, 0.13, 0.14, 0.14]
 
 
-def gen(sf: float, out_dir: str) -> None:
+def gen(sf: float, out_dir: str, docs_only: bool = False) -> None:
     rng = random.Random(20260813)
     n_docs = int(50_000 * sf / 1.0)
     n_vecs = int(20_000 * sf / 1.0)
@@ -88,6 +88,11 @@ def gen(sf: float, out_dir: str) -> None:
     pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
     pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
     print(f"wrote {n_docs} docs, {n_vecs} vecs -> {out_dir}")
+    if docs_only:
+        # dedup-cascade scale points only need the documents table;
+        # facts at sf>=30 (180M+ lineitem rows) cost minutes and GBs
+        # for nothing
+        return
     gen_facts(sf, out_dir)
     gen_dims(sf, out_dir)
 
@@ -310,5 +315,7 @@ def gen_dims(sf: float, out_dir: str) -> None:
 
 if __name__ == "__main__":
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    docs_only = "--docs-only" in sys.argv[2:]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    gen(sf, os.path.join(root, "testdata_scale", f"sf{sf:g}"))
+    gen(sf, os.path.join(root, "testdata_scale", f"sf{sf:g}"),
+        docs_only=docs_only)
