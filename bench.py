@@ -249,9 +249,10 @@ BENCH_QUERIES = [
     "streaming_holt_by_type",
     # round 9: exact-budget epoch assembly
     "token_budget_fill",
-    # round 10: MMR diversity rerank (no r0/rebase baseline yet —
-    # first committed measurement becomes its reference)
+    # round 10: diversity selection pair (no r0/rebase baseline yet —
+    # first committed measurement becomes their reference)
     "mmr_diverse_rerank",
+    "coreset_kcenter",
 ]
 
 #: Composite queries that pay an in-query index BUILD before the

@@ -2769,3 +2769,82 @@ def mmr_rerank(
     return spark.createDataFrame(
         picks, schema="mmr_rank bigint, vec_id bigint, rel_e9 bigint"
     )
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection [Gonzalez 1985, 2-approx for
+    the k-center objective]: pick the point FARTHEST from everything
+    picked so far, ``k`` times — the standard diversity/coverage
+    selection for eval-set construction, labeling budgets, and
+    codebook seeding.  Farthest-in-cosine = lowest max-cosine to any
+    selected center; the first pick is the lowest id (a deterministic
+    seed the oracle can replay; k-means++-style random seeding would
+    not be).  Ties break to the lower id.
+
+    Where :func:`mmr_rerank`'s greedy sees only a bounded shortlist,
+    k-center's greedy state is CORPUS-sized by definition, so the
+    operator keeps it distributed: one running ``best_cos`` column
+    (max cosine to any selected center) maintained incrementally —
+    per round ONE narrow map (``greatest(best_cos, cos(row, new
+    center))``, the center rides in as a broadcast literal array, no
+    join) + one TakeOrderedAndProject argmin; ``localCheckpoint`` per
+    round keeps the plan O(1) in rounds.  Per round the cluster moves
+    O(|corpus|) compute and O(1) rows to the driver — never vectors,
+    except the k selected ones.  Recomputing max-cos against all
+    centers each round (the stateless form) would be k× the work for
+    identical results.
+
+    Cross-engine exactness: the cosine is the sequential-fold
+    :func:`dot`; the incremental ``greatest`` fold is replayed
+    verbatim by the oracle (same doubles → same comparisons).  Output
+    BIGINTs only: ``(pick_round, id, maxcos_e9)`` where ``maxcos_e9 =
+    floor(best_cos * 1e9)`` AT SELECTION TIME (round 1 carries the
+    ``-2.0`` init sentinel = -2000000000: nothing was selected yet).
+    """
+    import math
+
+    if k < 1:
+        raise ValueError("kcenter_select: k must be >= 1")
+    state = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col("__vec").alias("vec"),
+        F.col("__norm").alias("nrm"),
+        F.lit(-2.0).alias("best_cos"),
+    ).localCheckpoint(eager=True)
+    picks: list[tuple[int, int, int]] = []
+    chosen: list[int] = []
+    for rnd in range(1, k + 1):
+        cand = (
+            state.filter(~F.col("id").isin(chosen)) if chosen else state
+        )
+        row = (
+            cand.orderBy(F.col("best_cos").asc(), F.col("id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break  # corpus exhausted before k
+        r = row[0]
+        picks.append((rnd, r["id"], int(math.floor(r["best_cos"] * 1e9))))
+        chosen.append(r["id"])
+        cvec = F.array(*[F.lit(float(x)) for x in r["vec"]])
+        cnorm = float(r["nrm"])
+        new_cos = dot(F.col("vec"), cvec) / (F.col("nrm") * F.lit(cnorm))
+        prev = state
+        state = state.select(
+            "id",
+            "vec",
+            "nrm",
+            F.greatest(F.col("best_cos"), new_cos).alias("best_cos"),
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    state.unpersist()
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        picks, schema="pick_round bigint, vec_id bigint, maxcos_e9 bigint"
+    )

@@ -3980,4 +3980,84 @@ SQL_MMR_DIVERSE_RERANK = _mmr_oracle_sql()
 CORE_QUERIES["mmr_diverse_rerank"] = (q_mmr_diverse_rerank, SQL_MMR_DIVERSE_RERANK)
 
 
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity/coverage selection over the WHOLE corpus: greedy
+    k-center (operators/similarity.py kcenter_select — Gonzalez 1985)
+    picks 8 embeddings, each the farthest-in-cosine from everything
+    picked before — eval-set construction and labeling-budget
+    allocation, the corpus-sized complement of mmr_diverse_rerank's
+    shortlist greedy (there the state is 50 rows on the driver; here
+    it is a distributed best-cos column updated by one narrow map per
+    round, O(1) rows to the driver per pick).
+
+    Exactness: sequential-fold cosines, and the oracle replays the
+    incremental greatest() fold verbatim (not a from-scratch max over
+    centers — same values either way, but the replay keeps every
+    comparison bitwise-identical by construction). Output BIGINT-only:
+    (pick_round, vec_id, maxcos_e9); round 1 carries the -2.0 init
+    sentinel (-2000000000)."""
+    from .operators.similarity import kcenter_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=8)
+
+
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    """Unrolled greedy k-center oracle: pick_i = argmin over unselected
+    of the running max-cos state st_{i-1}; st_i folds the new center in
+    with the same greatest() the operator uses. All step CTEs are
+    MATERIALIZED (see _mmr_oracle_sql: inlined recursive references
+    explode exponentially)."""
+    head = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+pick1 AS MATERIALIZED (
+  SELECT vec_id, -2.0::DOUBLE AS bc FROM base ORDER BY vec_id LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT vec_id FROM pick1),
+st1 AS MATERIALIZED (
+  SELECT p.vec_id, p.e, p.nrm,
+         greatest(-2.0::DOUBLE,
+                  list_dot_product(p.e, c.e) / (p.nrm * c.nrm)) AS bc
+  FROM base p,
+       (SELECT e, nrm FROM base
+        WHERE vec_id = (SELECT vec_id FROM pick1)) c
+)"""
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f""",
+pick{i} AS MATERIALIZED (
+  SELECT vec_id, bc FROM st{i - 1}
+  WHERE vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  ORDER BY bc, vec_id LIMIT 1
+),
+sel{i} AS MATERIALIZED (
+  SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM pick{i}
+)""")
+        if i < k:  # the last state table feeds no further pick
+            steps.append(f""",
+st{i} AS MATERIALIZED (
+  SELECT p.vec_id, p.e, p.nrm,
+         greatest(p.bc, list_dot_product(p.e, c.e) / (p.nrm * c.nrm)) AS bc
+  FROM st{i - 1} p,
+       (SELECT e, nrm FROM base
+        WHERE vec_id = (SELECT vec_id FROM pick{i})) c
+)""")
+    picks = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS pick_round,"
+        f" CAST(vec_id AS BIGINT) AS vec_id,"
+        f" CAST(floor(bc * 1000000000.0) AS BIGINT) AS maxcos_e9 FROM pick{i}"
+        for i in range(1, k + 1)
+    )
+    return head + "".join(steps) + "\n" + picks
+
+
+SQL_CORESET_KCENTER = _kcenter_oracle_sql()
+
+CORE_QUERIES["coreset_kcenter"] = (q_coreset_kcenter, SQL_CORESET_KCENTER)
+
+
 _apply_driver_window()

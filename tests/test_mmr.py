@@ -97,3 +97,62 @@ def test_k_exceeding_candidates_and_bad_lambda(spark):
     assert len(got) == 2  # stops when the shortlist is exhausted
     with pytest.raises(ValueError):
         mmr_rerank(corpus, query, lam_pct=101)
+
+
+# --- greedy k-center coreset (the corpus-sized diversity greedy) -----------
+
+
+def test_kcenter_covers_planted_clusters(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    # three orthogonal clusters; k=3 must pick one member of each
+    rows = []
+    for cid, base in enumerate(
+        [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]]
+    ):
+        for j in range(4):
+            v = list(base)
+            v[3] = 0.01 * j  # slight within-cluster spread
+            rows.append((cid * 10 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        map(tuple, kcenter_select(df, k=3).collect())
+    )
+    assert [t[0] for t in got] == [1, 2, 3]
+    clusters = {t[1] // 10 for t in got}
+    assert clusters == {0, 1, 2}
+    assert got[0][1] == 0  # round 1 = lowest id
+    assert got[0][2] == -2_000_000_000  # init sentinel
+
+
+def test_kcenter_shapes_and_partition_invariance(spark):
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    emb = _emb(spark)
+    a = sorted(map(tuple, kcenter_select(emb, k=6).collect()))
+    b = sorted(map(tuple, kcenter_select(emb.repartition(7), k=6).collect()))
+    assert a == b
+    assert [t[0] for t in a] == list(range(1, 7))
+    assert len({t[1] for t in a}) == 6
+    # maxcos at selection is the corpus min -> non-decreasing over rounds
+    # (each round removes the farthest point, coverage only tightens)
+    tail = [t[2] for t in a][1:]
+    assert tail == sorted(tail)
+
+
+def test_kcenter_exhaustion_and_bad_k(spark):
+    import pytest as _pytest
+
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert kcenter_select(df, k=10).count() == 3  # stops when exhausted
+    with _pytest.raises(ValueError):
+        kcenter_select(df, k=0)
