@@ -349,23 +349,48 @@ def _jaccard_pairs_plan(
 # --- MinHash + LSH ----------------------------------------------------------
 
 
+def _sig_fold(sh: Column, num_hashes: int) -> Column:
+    """num_hashes-long MinHash array over a shingle-array column, as ONE
+    left fold: each shingle emits its num_hashes xxhash64(s, j) values
+    in-row, and the fold keeps the element-wise minimum (zip_with +
+    least).  NULL when the shingle array is empty — a <shingle_n-token
+    doc has no shingle identity and must not band (the old form gave it
+    an all-NULL signature that still banded, colliding every short doc
+    into one bucket).
+
+    Shape matters, measured on the sf1 documents (50k docs, ~50 shingles
+    x 32 hashes): the previous nested-transform form (transform over the
+    seed sequence, array_min(transform(sh, ...)) per seed) evaluates as
+    INTERPRETED nested higher-order functions — 41 s vs 6.2 s for this
+    single-pass fold (6.7x), identical signatures bit-for-bit.  The
+    r10 sf30 straggler (one task pinned in ArrayTransform.nullSafeEval
+    for 20+ min) is what exposed it."""
+    fold = F.aggregate(
+        F.transform(
+            sh,
+            lambda s: F.array(
+                *[F.xxhash64(s, F.lit(j)) for j in range(num_hashes)]
+            ),
+        ),
+        F.array(*[F.lit(2**63 - 1).cast("long")] * num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q)),
+    )
+    return F.when(F.size(sh) > 0, fold)
+
+
 def minhash_signature(
     text: Column | str, num_hashes: int = 32, shingle_n: int = 3
 ) -> Column:
     """MinHash signature as array<long>: for seed j, min over shingles of
-    xxhash64(shingle, j). Pure column expressions — a narrow map, no
-    Python, no shuffle; signatures for 100 TB of docs cost one scan.
-
-    Shape matters: the outer ``transform`` over the seed sequence keeps
-    the shingle array a SINGLE subexpression — building 32 separate
-    ``array_min(transform(shingles, ...))`` columns would re-evaluate the
-    whole shingle construction (split/concat/distinct) 32x per row, which
-    measured ~40x slower at sf0.1."""
-    sh = word_shingles(text, shingle_n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
-    )
+    xxhash64(shingle, j); NULL for docs with no shingles. Pure column
+    expressions — a narrow map, no Python, no shuffle; signatures for
+    100 TB of docs cost one scan.  (The empty-guard references the
+    shingle expression twice, so the inline form re-evaluates the
+    shingle construction 2x per row — _signature_table materializes
+    shingles behind a persist barrier first, which is the path every
+    operator here uses; see _sig_fold for the fold-vs-nested-transform
+    measurement.)"""
+    return _sig_fold(word_shingles(text, shingle_n), num_hashes)
 
 
 def _signature_table(
@@ -401,14 +426,9 @@ def _signature_table(
     sig = (
         shingled.select(
             "id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda j: F.array_min(
-                    F.transform(F.col("sh"), lambda s: F.xxhash64(s, j))
-                ),
-            ).alias("sig"),
+            _sig_fold(F.col("sh"), num_hashes).alias("sig"),
         )
-        .filter(F.size(F.col("sig")) > 0)
+        .filter(F.col("sig").isNotNull())
         .persist()
     )
     sig.count()
