@@ -1648,6 +1648,7 @@ def pq_codebooks_distributed(
     coarse_cents: np.ndarray | None = None,
     init: np.ndarray | None = None,
     seed: int = 11,
+    prepared_resid: DataFrame | None = None,
 ) -> np.ndarray:
     """Distributed per-subspace PQ codebook fit: the WHOLE corpus
     trains every subspace codebook — removes the last trainer that
@@ -1679,6 +1680,14 @@ def pq_codebooks_distributed(
     Driver-side state: the ``(m, ksub, d/m)`` codebook matrix =
     ``ksub * d`` doubles, plus ``ksub * d`` aggregate rows per round —
     independent of corpus size.  Returns ``(m, ksub, d/m)``.
+
+    ``prepared_resid``: an :func:`_ivfpq_assign_resid` frame whose
+    ``resid`` column is EXACTLY what this function's own prep pass
+    would compute (L2-normalized, coarse-residual float64) — the prep
+    pass then just quantizes it (same ``np.rint``, bit-identical
+    ``qvec``; pinned) instead of re-scanning the raw corpus.  The
+    caller guarantees the frame matches ``coarse_cents``; ``corpus``
+    and ``vec_col`` are ignored for the prep when it is given.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -1720,11 +1729,33 @@ def pq_codebooks_distributed(
                 }
             )
 
-    prepared = (
-        corpus.select(id_col, vec_col)
-        .mapInPandas(prep, prep_schema)
-        .persist(StorageLevel.DISK_ONLY)
-    )
+    if prepared_resid is not None:
+
+        def prep_resid(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                R_ = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["resid"]]
+                )
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].astype("int64"),
+                        "qvec": list(np.rint(R_ * fscale).astype(np.int64)),
+                    }
+                )
+
+        prepared = (
+            prepared_resid.select("id", "resid")
+            .mapInPandas(prep_resid, prep_schema)
+            .persist(StorageLevel.DISK_ONLY)
+        )
+    else:
+        prepared = (
+            corpus.select(id_col, vec_col)
+            .mapInPandas(prep, prep_schema)
+            .persist(StorageLevel.DISK_ONLY)
+        )
     try:
         head = prepared.select(F.size("qvec").alias("d")).limit(1).collect()
         if not head:
@@ -2094,7 +2125,8 @@ def _ivfpq_fit(
     id_col: str,
     vec_col: str,
     codebook_fit: str = "distributed",
-) -> tuple[np.ndarray, np.ndarray]:
+    return_assigned: bool = False,
+) -> tuple:
     """Fit the IVFPQ quantizer pair: coarse centroids over
     L2-normalized vectors + RESIDUAL product-quantization codebooks
     (residuals v - centroid are smaller and better centered than raw
@@ -2115,7 +2147,12 @@ def _ivfpq_fit(
     fit for no measurable recall gain here (the recall pins and
     summary oracles gate this at every SF).  ``codebook_fit="sample"``
     is the FAISS-standard fast path over the deterministic ordered
-    sample.  Returns ``(centroids (k, d), books (m, ksub, d/m))``."""
+    sample.  Returns ``(centroids (k, d), books (m, ksub, d/m))``.
+
+    ``return_assigned=True`` additionally returns the persisted
+    :func:`_ivfpq_assign_resid` frame the distributed fit computed
+    (``None`` for the sample fit) so the encode step can reuse it
+    instead of re-scanning the corpus — caller owns the unpersist."""
     if codebook_fit == "distributed":
         unit = with_norm(corpus, vec_col).select(
             F.col(id_col).alias(id_col),
@@ -2146,10 +2183,24 @@ def _ivfpq_fit(
             unit, k=len(init), id_col=id_col, vec_col=vec_col,
             iters=3, init=init,
         )
-        books = pq_codebooks_distributed(
-            corpus, m, ksub, id_col=id_col, vec_col=vec_col,
-            coarse_cents=cents, iters=3,
+        # ONE shared normalize+assign+residual pass feeds both the
+        # codebook fit's quantization and (via return_assigned) the
+        # encode step — previously each re-scanned the raw corpus to
+        # recompute it (guide §8: move the heavy read once)
+        assigned = _ivfpq_assign_resid(corpus, cents, id_col, vec_col).persist(
+            StorageLevel.DISK_ONLY
         )
+        try:
+            books = pq_codebooks_distributed(
+                corpus, m, ksub, id_col=id_col, vec_col=vec_col,
+                coarse_cents=cents, iters=3, prepared_resid=assigned,
+            )
+        except Exception:
+            assigned.unpersist()
+            raise
+        if return_assigned:
+            return cents, books, assigned
+        assigned.unpersist()
         return cents, books
     if codebook_fit != "sample":
         raise ValueError(f"ivfpq: unknown codebook_fit {codebook_fit!r}")
@@ -2168,7 +2219,64 @@ def _ivfpq_fit(
     c_sq = (cents**2).sum(axis=1)
     assign_s = (-2.0 * (S @ cents.T) + c_sq[None, :]).argmin(axis=1)
     books = pq_codebooks(S - cents[assign_s], m, ksub)
+    if return_assigned:
+        return cents, books, None
     return cents, books
+
+
+def _ivfpq_assign_resid(
+    corpus: DataFrame,
+    cents: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One Arrow pass shared by the IVFPQ codebook fit and the encode
+    step: ``(id, cell, resid)`` — the L2-normalized vector's nearest
+    coarse cell (row-local argmin, split-invariant) and its FLOAT64
+    residual ``v/||v|| - centroid[cell]``.
+
+    Exists because the distributed fit and the encode otherwise each
+    re-scan the raw corpus to recompute EXACTLY this (normalize →
+    assign → subtract): at index-build scale that is a redundant full
+    pass over the corpus (guide §8: materialize a scan's output once
+    and reuse it).  The residual is kept in float64 — not fixed point
+    — so the codebook fit's ``np.rint(resid * scale)`` quantization
+    and the encode's code argmins both see bit-identical inputs to
+    what their own passes computed (pinned in
+    tests/test_ivfpq_shared_assign.py).  The caller persists
+    (DISK_ONLY — the frame is corpus-sized, d doubles/row) and owns
+    the unpersist."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents = np.asarray(cents, dtype=np.float64)
+    c_sq = (cents**2).sum(axis=1)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("resid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n_ = np.linalg.norm(V, axis=1)
+            V = V / np.where(n_ == 0, 1.0, n_)[:, None]
+            cell = (-2.0 * (V @ cents.T) + c_sq[None, :]).argmin(axis=1)
+            R_ = V - cents[cell]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "cell": cell.astype(np.int32),
+                    "resid": list(R_),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
 def _ivfpq_encode(
@@ -2177,10 +2285,16 @@ def _ivfpq_encode(
     books: np.ndarray,
     id_col: str,
     vec_col: str,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """One Arrow pass: ``(cell, neighbor_id, codes)`` — each vector
     assigned to its nearest coarse cell, its residual quantized to m
-    codes (row-local argmins: split-invariant)."""
+    codes (row-local argmins: split-invariant).
+
+    ``assigned`` (an :func:`_ivfpq_assign_resid` frame) skips the
+    normalize+assign recompute and codes the stored residuals instead
+    of re-scanning the raw corpus — bit-identical output (same float64
+    residuals, same argmins; pinned), one fewer corpus pass."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -2195,6 +2309,34 @@ def _ivfpq_encode(
         ]
     )
 
+    def _codes(R_: np.ndarray) -> np.ndarray:
+        codes = np.empty((len(R_), m), dtype=np.int32)
+        for j in range(m):
+            sub = R_[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = (
+                -2.0 * (sub @ books[j].T) + b_sq[j][None, :]
+            ).argmin(axis=1)
+        return codes
+
+    if assigned is not None:
+
+        def encode_assigned(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                R_ = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["resid"]]
+                )
+                yield pd.DataFrame(
+                    {
+                        "cell": pdf["cell"].astype("int32"),
+                        "neighbor_id": pdf["id"].astype("int64"),
+                        "codes": list(_codes(R_)),
+                    }
+                )
+
+        return assigned.mapInPandas(encode_assigned, code_schema)
+
     def encode(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -2204,17 +2346,11 @@ def _ivfpq_encode(
             V = V / np.where(n_ == 0, 1.0, n_)[:, None]
             cell = (-2.0 * (V @ cents.T) + c_sq[None, :]).argmin(axis=1)
             R_ = V - cents[cell]
-            codes = np.empty((len(V), m), dtype=np.int32)
-            for j in range(m):
-                sub = R_[:, j * dsub : (j + 1) * dsub]
-                codes[:, j] = (
-                    -2.0 * (sub @ books[j].T) + b_sq[j][None, :]
-                ).argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "cell": cell.astype(np.int32),
                     "neighbor_id": pdf[id_col].astype("int64"),
-                    "codes": list(codes),
+                    "codes": list(_codes(R_)),
                 }
             )
 
@@ -2485,15 +2621,26 @@ def write_ivfpq_index(
         fs = path.getFileSystem(hconf)
         if fs.exists(path):
             fs.delete(path, True)
-    cents, books = _ivfpq_fit(
+    cents, books, assigned = _ivfpq_fit(
         corpus, n_centroids, m, ksub, sample_size, id_col, vec_col,
-        codebook_fit=codebook_fit,
+        codebook_fit=codebook_fit, return_assigned=True,
     )
-    coded = _ivfpq_encode(corpus, cents, books, id_col, vec_col)
-    write_bucketed(
-        coded, f"{name}_codes",
-        bucket_by="cell", num_buckets=num_buckets, sort_by="cell", mode=mode,
-    )
+    try:
+        # the distributed fit hands back its (id, cell, resid) pass so
+        # the encode codes the stored residuals instead of re-scanning
+        # the corpus (bit-identical codes; sample fit returns None and
+        # keeps the direct corpus pass)
+        coded = _ivfpq_encode(
+            corpus, cents, books, id_col, vec_col, assigned=assigned
+        )
+        write_bucketed(
+            coded, f"{name}_codes",
+            bucket_by="cell", num_buckets=num_buckets, sort_by="cell",
+            mode=mode,
+        )
+    finally:
+        if assigned is not None:
+            assigned.unpersist()
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",

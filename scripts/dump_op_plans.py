@@ -105,6 +105,45 @@ def main() -> None:
         )
     dump("op_graph_fallback_round", j, hdr)
 
+    # IVFPQ encode input: corpus re-scan (r9) vs the shared persisted
+    # (id, cell, resid) assignment pass (r10) — the fourth-session
+    # change; codes bit-identical (tests/test_ivfpq_shared_assign.py)
+    from customer_360_etl_pipeline_on_azure_cloud_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    if shape == "r9":
+        cents, books = sim._ivfpq_fit(
+            emb, 16, 16, 64, 2000, "vec_id", "embedding",
+            codebook_fit="distributed",
+        )
+        coded = sim._ivfpq_encode(emb, cents, books, "vec_id", "embedding")
+        hdr2 = (
+            "-- IVFPQ encode, r9 form: re-scans the raw corpus and "
+            "recomputes the normalize+assign+residual pass the "
+            "distributed codebook fit already ran (plan roots at the "
+            "embeddings parquet scan)"
+        )
+        dump("op_ivfpq_encode", coded, hdr2)
+    else:
+        cents, books, assigned = sim._ivfpq_fit(
+            emb, 16, 16, 64, 2000, "vec_id", "embedding",
+            codebook_fit="distributed", return_assigned=True,
+        )
+        coded = sim._ivfpq_encode(
+            emb, cents, books, "vec_id", "embedding", assigned=assigned
+        )
+        hdr2 = (
+            "-- IVFPQ encode, r10 form: codes the persisted (id, cell, "
+            "resid) frame the codebook fit shared (plan roots at "
+            "InMemoryTableScan of the assignment pass — the raw-corpus "
+            "scan and the n_centroids-dim assign matmul are gone; "
+            "codes bit-identical, tests/test_ivfpq_shared_assign.py)"
+        )
+        dump("op_ivfpq_encode", coded, hdr2)
+        assigned.unpersist()
+
 
 if __name__ == "__main__":
     main()
