@@ -678,6 +678,14 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5000 tokens of each source, same docs on every rerun"), which is
     one cumulative-sum window per source.
 
+    Cross-engine pinning (r10 driver gate): the order key is the md5
+    prefix converted to BIGINT (the ``gate_int`` idiom that the
+    driver-green importance_resample / source-mixture selectors use)
+    rather than the raw hex VARCHAR — numeric order on the fixed-width
+    hex prefix is identical to its lexicographic order, and a BIGINT
+    sort key cannot be perturbed by any engine-version collation or
+    string-comparison difference.
+
     Scale notes: the window is one hash-partition shuffle on source
     (the running sum needs each source's order, exactly like the quota
     sampler); a corpus-dominating source at 100 TB range-partitions on
@@ -691,7 +699,9 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("ntok"),
     )
-    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    from .operators.sampling import gate_int
+
+    gate = gate_int(F.col("doc_id"))
     w = (
         Window.partitionBy("source")
         .orderBy(gate.asc(), F.col("doc_id").asc())
@@ -733,7 +743,9 @@ cum AS (
   SELECT source, ntok,
          SUM(ntok) OVER (
            PARTITION BY source
-           ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT),
+                    doc_id
            ROWS UNBOUNDED PRECEDING
          ) AS cum
   FROM docs

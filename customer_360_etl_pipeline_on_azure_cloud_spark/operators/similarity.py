@@ -1476,7 +1476,13 @@ def embedding_quant_stats(
 
     Cross-engine exactness: the quantization arithmetic is the
     identical IEEE double expression tree on both engines, and every
-    output column is BIGINT.
+    output column is BIGINT.  The half-up rounding is spelled
+    ``floor(x + 0.5)`` (non-negative domain) rather than ``round(x)``
+    deliberately: ``floor`` is IEEE-unambiguous in every engine and
+    engine VERSION, while ``round`` tie/implementation semantics for
+    DOUBLE have historically differed between engines (Java BigDecimal
+    HALF_UP on the shortest decimal rendering vs C ``std::round`` on
+    the binary value vs banker's rounding) — r10 driver-gate pinning.
 
     Output: ``(dim, n_levels, q_min, q_max, q_sum)``.
     """
@@ -1490,11 +1496,11 @@ def embedding_quant_stats(
         "dim",
         F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
         .otherwise(
-            F.round(
+            F.floor(
                 (F.col("val").cast("double") - F.col("mn").cast("double"))
                 * scale
-                / (F.col("mx").cast("double") - F.col("mn").cast("double")),
-                0,
+                / (F.col("mx").cast("double") - F.col("mn").cast("double"))
+                + F.lit(0.5)
             ).cast("long")
         )
         .alias("qv"),

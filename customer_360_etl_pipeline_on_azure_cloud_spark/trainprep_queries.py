@@ -655,8 +655,9 @@ WITH v AS (
 ), q AS (
   SELECT v.dim,
          CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
-              ELSE CAST(round((v.val::DOUBLE - s.mn::DOUBLE) * 255.0
-                              / (s.mx::DOUBLE - s.mn::DOUBLE)) AS BIGINT)
+              ELSE CAST(floor((v.val::DOUBLE - s.mn::DOUBLE) * 255.0
+                              / (s.mx::DOUBLE - s.mn::DOUBLE)
+                              + 0.5) AS BIGINT)
          END AS qv
   FROM v JOIN s ON v.dim = s.dim
 )
