@@ -533,6 +533,7 @@ def kmeans_distributed(
     scale: int = 1 << 20,
     init: np.ndarray | None = None,
     seed: int = 11,
+    prepared: DataFrame | None = None,
 ) -> np.ndarray:
     """Distributed k-means: k-means||-style seeding [Bahmani et al.
     2012, VLDB] + integer-exact distributed Lloyd rounds. Lifts the
@@ -558,6 +559,14 @@ def kmeans_distributed(
     `init` overrides seeding with explicit centroids (the equality pin
     vs `_kmeans_lite` in tests/test_extensions.py uses this).
 
+    ``prepared`` hands in an already-persisted ``(id, vec, qvec)``
+    frame built EXACTLY the way this function would build it
+    (``id_col -> id``, ``_as_double(vec_col) -> vec``,
+    ``_quantized(vec_col, scale) -> qvec``) so a caller that needs the
+    same frame for its own passes (e.g. the IVFPQ seed sample) pays
+    the corpus scan once — the caller owns persist and unpersist; the
+    Lloyd rounds read only ``qvec`` from it either way.
+
     Driver-side bound (documented, not hidden): the seeding reduction
     holds ~seed_rounds*oversample candidate vectors and runs a greedy
     weighted k-means++ over them — O(k * candidates * d) driver flops.
@@ -575,14 +584,17 @@ def kmeans_distributed(
     if oversample is None:
         oversample = max(2 * k, 16)
 
-    e = (
-        df.select(
-            F.col(id_col).alias("id"),
-            _as_double(F.col(vec_col)).alias("vec"),
-            _quantized(vec_col, scale).alias("qvec"),
+    if prepared is not None:
+        e = prepared
+    else:
+        e = (
+            df.select(
+                F.col(id_col).alias("id"),
+                _as_double(F.col(vec_col)).alias("vec"),
+                _quantized(vec_col, scale).alias("qvec"),
+            )
+            .persist()
         )
-        .persist()
-    )
     try:
         if init is not None:
             centroids = np.asarray(init, dtype=np.float64)
@@ -590,8 +602,13 @@ def kmeans_distributed(
             centroids = _seed_kmeanspp(
                 e, k, seed_rounds, oversample, scale, seed
             )
+        # Lloyd reads only the quantized coordinates — select them
+        # explicitly so the Arrow boundary ships one column, not the
+        # whole (id, vec, qvec) row (guide §4.1: opaque functions
+        # defeat column pruning unless the caller projects first)
+        eq = e.select("qvec")
         for _ in range(iters):
-            rows = _lloyd_stats(e, centroids, "qvec", scale)
+            rows = _lloyd_stats(eq, centroids, "qvec", scale)
             new = centroids.copy()
             counts: dict[int, int] = {}
             for r in rows:
@@ -605,7 +622,8 @@ def kmeans_distributed(
             centroids = new
         return centroids
     finally:
-        e.unpersist()
+        if prepared is None:
+            e.unpersist()
 
 
 def _seed_kmeanspp(
@@ -1689,11 +1707,20 @@ def pq_codebooks_distributed(
 
     ``prepared_resid``: an :func:`_ivfpq_assign_resid` frame whose
     ``resid`` column is EXACTLY what this function's own prep pass
-    would compute (L2-normalized, coarse-residual float64) — the prep
-    pass then just quantizes it (same ``np.rint``, bit-identical
-    ``qvec``; pinned) instead of re-scanning the raw corpus.  The
-    caller guarantees the frame matches ``coarse_cents``; ``corpus``
-    and ``vec_col`` are ignored for the prep when it is given.
+    would compute (L2-normalized, coarse-residual float64) — the fit
+    rounds then read it DIRECTLY, quantizing each batch with the same
+    ``np.rint`` the prep pass applies (bit-identical ``qvec`` values;
+    pinned in tests/test_ivfpq_shared_assign.py), instead of
+    materializing a second corpus-sized fixed-point copy: one
+    persisted corpus-scale frame per index build, not two (r10 ADVICE
+    — the double DISK_ONLY persist doubled build scratch footprint).
+    Requires ``coarse_cents`` (the residuals are only meaningful
+    relative to the quantizer that produced them; ``ValueError``
+    otherwise); the caller owns the frame's persistence and guarantees
+    it matches ``coarse_cents`` — the residual dimensionality is
+    checked against it.  ``corpus`` and ``vec_col`` are ignored when
+    it is given.  The caller also guarantees the frame is non-empty
+    (the corpus-scan path probes emptiness itself).
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -1735,27 +1762,20 @@ def pq_codebooks_distributed(
                 }
             )
 
-    if prepared_resid is not None:
-
-        def prep_resid(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                R_ = np.array(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["resid"]]
-                )
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"].astype("int64"),
-                        "qvec": list(np.rint(R_ * fscale).astype(np.int64)),
-                    }
-                )
-
-        prepared = (
-            prepared_resid.select("id", "resid")
-            .mapInPandas(prep_resid, prep_schema)
-            .persist(StorageLevel.DISK_ONLY)
-        )
+    resid_mode = prepared_resid is not None
+    if resid_mode:
+        if cents is None:
+            raise ValueError(
+                "pq_codebooks_distributed: prepared_resid requires "
+                "coarse_cents — the stored residuals are only "
+                "meaningful relative to the coarse quantizer that "
+                "produced them"
+            )
+        # read the caller-persisted (id, resid) frame directly; the
+        # residual dim equals the coarse quantizer's dim, so no probe
+        # job is needed for d
+        prepared = prepared_resid.select("id", "resid")
+        d = int(cents.shape[1])
     else:
         prepared = (
             corpus.select(id_col, vec_col)
@@ -1763,10 +1783,11 @@ def pq_codebooks_distributed(
             .persist(StorageLevel.DISK_ONLY)
         )
     try:
-        head = prepared.select(F.size("qvec").alias("d")).limit(1).collect()
-        if not head:
-            raise ValueError("pq_codebooks_distributed: empty corpus")
-        d = int(head[0]["d"])
+        if not resid_mode:
+            head = prepared.select(F.size("qvec").alias("d")).limit(1).collect()
+            if not head:
+                raise ValueError("pq_codebooks_distributed: empty corpus")
+            d = int(head[0]["d"])
         if d % m != 0:
             raise ValueError(
                 f"pq_codebooks_distributed: dim {d} not divisible by m={m}"
@@ -1792,7 +1813,24 @@ def pq_codebooks_distributed(
                 .limit(4 * ksub)
                 .collect()
             )
-            S = np.array([np.asarray(r["qvec"], dtype=np.int64) for r in rows])
+            if resid_mode:
+                if not rows:
+                    raise ValueError("pq_codebooks_distributed: empty corpus")
+                if len(rows[0]["resid"]) != d:
+                    raise ValueError(
+                        "pq_codebooks_distributed: prepared_resid dim "
+                        f"{len(rows[0]['resid'])} != coarse_cents dim {d}"
+                    )
+                S = np.rint(
+                    np.array(
+                        [np.asarray(r["resid"], dtype=np.float64) for r in rows]
+                    )
+                    * fscale
+                ).astype(np.int64)
+            else:
+                S = np.array(
+                    [np.asarray(r["qvec"], dtype=np.int64) for r in rows]
+                )
             books = np.empty((m, ksub, dsub), dtype=np.float64)
             for j in range(m):
                 sub = S[:, j * dsub : (j + 1) * dsub]
@@ -1813,6 +1851,10 @@ def pq_codebooks_distributed(
             ]
         )
 
+        # each round ships exactly one column through Arrow (guide
+        # §4.1); resid batches are quantized in-batch with the same
+        # np.rint the prep pass applies — bit-identical qvec values
+        data = prepared.select("resid" if resid_mode else "qvec")
         for _ in range(iters):
             Cq = np.rint(books * fscale).astype(np.int64)  # (m, ksub, dsub)
 
@@ -1820,9 +1862,20 @@ def pq_codebooks_distributed(
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
-                    Q = np.array(
-                        [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
-                    )
+                    if resid_mode:
+                        Q = np.rint(
+                            np.array(
+                                [
+                                    np.asarray(v, dtype=np.float64)
+                                    for v in pdf["resid"]
+                                ]
+                            )
+                            * fscale
+                        ).astype(np.int64)
+                    else:
+                        Q = np.array(
+                            [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
+                        )
                     out_j, out_c, out_n, out_s = [], [], [], []
                     for j in range(m):
                         Qj = np.ascontiguousarray(
@@ -1847,7 +1900,7 @@ def pq_codebooks_distributed(
                     )
 
             merged = (
-                prepared.mapInPandas(stats, stats_schema)
+                data.mapInPandas(stats, stats_schema)
                 .select("j", "cell", "n", F.posexplode("qsum").alias("pos", "qs"))
                 .groupBy("j", "cell", "pos")
                 .agg(
@@ -1872,7 +1925,8 @@ def pq_codebooks_distributed(
             books = new
         return books
     finally:
-        prepared.unpersist()
+        if not resid_mode:
+            prepared.unpersist()
 
 
 def pq_topk(
@@ -2173,22 +2227,39 @@ def _ivfpq_fit(
                 ),
             ).alias(vec_col),
         )
-        hkey = F.md5(F.concat_ws("|", F.col(id_col), F.lit("ivfpqseed")))
-        seed_rows = (
-            unit.withColumn("__h", hkey)
-            .orderBy("__h", id_col)
-            .limit(n_centroids)
-            .collect()
-        )
-        if not seed_rows:
-            raise ValueError("ivfpq: empty corpus")
-        init = np.array(
-            [np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows]
-        )
-        cents = kmeans_distributed(
-            unit, k=len(init), id_col=id_col, vec_col=vec_col,
-            iters=3, init=init,
-        )
+        # ONE materialization of the normalized corpus serves both the
+        # seed sample and the Lloyd rounds (guide §2.4): previously the
+        # seed TakeOrdered scanned the raw corpus through the O(d^2)
+        # normalize transform and kmeans_distributed then re-scanned it
+        # to build its persisted (id, vec, qvec) frame — the frame is
+        # now built first (the exact expression kmeans_distributed
+        # would build) and the seed is taken FROM it, saving a full
+        # corpus pass per build.
+        e = unit.select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("vec"),
+            _quantized(vec_col, 1 << 20).alias("qvec"),
+        ).persist()
+        try:
+            hkey = F.md5(F.concat_ws("|", F.col("id"), F.lit("ivfpqseed")))
+            seed_rows = (
+                e.withColumn("__h", hkey)
+                .orderBy("__h", "id")
+                .limit(n_centroids)
+                .select("vec")
+                .collect()
+            )
+            if not seed_rows:
+                raise ValueError("ivfpq: empty corpus")
+            init = np.array(
+                [np.asarray(r["vec"], dtype=np.float64) for r in seed_rows]
+            )
+            cents = kmeans_distributed(
+                unit, k=len(init), id_col=id_col, vec_col=vec_col,
+                iters=3, init=init, prepared=e,
+            )
+        finally:
+            e.unpersist()
         # ONE shared normalize+assign+residual pass feeds both the
         # codebook fit's quantization and (via return_assigned) the
         # encode step — previously each re-scanned the raw corpus to
@@ -2563,10 +2634,31 @@ def cosine_topk_ivfpq(
                 f"(m={m}, ksub={ksub})"
             )
     else:
-        cents, books = _ivfpq_fit(
+        # mirror write_ivfpq_index (ADVICE r10): the distributed fit
+        # already persisted the corpus-sized (id, cell, resid) pass —
+        # reuse it for the encode instead of re-scanning the raw
+        # corpus (bit-identical codes, tests/test_ivfpq_shared_assign)
+        cents, books, assigned = _ivfpq_fit(
             corpus, n_centroids, m, ksub, sample_size, id_col, vec_col,
-            codebook_fit=codebook_fit,
+            codebook_fit=codebook_fit, return_assigned=True,
         )
+        if assigned is not None:
+            try:
+                # the probe result is lazy, so the assigned frame can't
+                # stay persisted until the caller's action: materialize
+                # the (m bytes/vector) codes eagerly — one read of the
+                # already-persisted residual blocks, one small write —
+                # and release the float64 residuals now
+                coded = _ivfpq_encode(
+                    corpus, cents, books, id_col, vec_col,
+                    assigned=assigned,
+                ).localCheckpoint(eager=True)
+            finally:
+                assigned.unpersist()
+            return _ivfpq_probe(
+                coded, cents, books, corpus, queries, k, nprobe,
+                int(shortlist), id_col, vec_col, exclude_self,
+            )
     coded = _ivfpq_encode(corpus, cents, books, id_col, vec_col)
     return _ivfpq_probe(
         coded, cents, books, corpus, queries, k, nprobe, int(shortlist),
@@ -2607,6 +2699,14 @@ def write_ivfpq_index(
     is valid; daily arrivals go through :func:`append_ivfpq_index`
     (stored quantizers reused), and ``compact_ivf_index``'s swap
     recipe applies to ``{name}_codes`` unchanged.
+
+    Scratch-disk note for billion-vector builds: the distributed fit
+    persists ONE corpus-sized frame (the shared ``(id, cell, resid)``
+    float64 assignment pass, DISK_ONLY) for the whole build — the PQ
+    Lloyd rounds and the encode read it directly and quantize
+    in-batch, so peak temporary footprint is ~d doubles per vector
+    (plus the normalized-corpus Lloyd frame during the coarse fit
+    only), not a second fixed-point copy on top.
     """
     from .skew import write_bucketed
 
