@@ -223,9 +223,11 @@ def cross_dedup_contract(
       contract restatement removed — a reseeded corpus with ~5 high-J
       cross pairs would fail the gate on one legal banding miss.
 
-    ``exact_cross`` must carry (new_id, corpus_id, inter, uni);
-    ``cand`` the raw banding candidates (new_id, corpus_id)."""
-    exact_cross = exact_cross.localCheckpoint(eager=True)
+    ``exact_cross`` must carry (new_id, corpus_id, inter, uni), already
+    materialized — :func:`exact_cross_pairs` localCheckpoints its
+    (small) result via finalize(), so the three consumers below read
+    checkpointed blocks; ``cand`` the raw banding candidates
+    (new_id, corpus_id)."""
     # exact_verify_pairs' finalize() already eagerly localCheckpoints its
     # result (ADVICE r9: a second checkpoint here would re-materialize
     # the same small frame); the select below is cheap lineage on top of
@@ -264,26 +266,60 @@ def cross_dedup_contract(
     return per_row.unionByName(precision_row).unionByName(floor_row)
 
 
-def exact_cross_pairs(docs: DataFrame, rank_expr: Column) -> DataFrame:
+def exact_cross_pairs(
+    docs: DataFrame, rank_expr: Column, threshold_pct: int = 30
+) -> DataFrame:
     """Exact cross-membership pair set for :func:`cross_dedup_contract`:
-    the exact Jaccard >= 30% pairs whose ends differ in arrival
-    ``rank`` (0 = standing corpus; higher = later batch), oriented
-    (new_id = later end, corpus_id = earlier end).  Same-rank pairs
-    (batch-internal) are out of scope, matching minhash_lsh_join."""
-    ex = jaccard_pairs(docs, exact=True)
-    ids = docs.select(F.col("doc_id").alias("__id"), rank_expr.alias("__rk"))
-    ra = ids.select(F.col("__id").alias("id_a"), F.col("__rk").alias("__rka"))
-    rb = ids.select(F.col("__id").alias("id_b"), F.col("__rk").alias("__rkb"))
-    j = ex.join(ra, "id_a").join(rb, "id_b").filter(
-        F.col("__rka") != F.col("__rkb")
+    the exact Jaccard >= threshold_pct% pairs whose ends differ in
+    arrival ``rank`` (0 = standing corpus; higher = later batch),
+    oriented (new_id = later end, corpus_id = earlier end).  Same-rank
+    pairs (batch-internal) are out of scope, matching minhash_lsh_join.
+
+    Shape (r10 verdict item 4, guide §2.3 — don't compute what you
+    throw away): the rank is attached to the shingle rows BEFORE the
+    shared-shingle self-join and the join condition is ``a.rk > b.rk``
+    directly, so the quadratic pair enumeration and the (inter) shuffle
+    carry ONLY cross-membership pairs — never the same-rank
+    (corpus-internal / batch-internal) pairs the old form computed via
+    the full :func:`jaccard_pairs` set and then discarded.  For a
+    shingle seen by d_new batch docs and d_corpus standing docs that is
+    d_new*d_corpus aggregated rows instead of (d_new+d_corpus)^2/2 —
+    with a 20%/80% split, ~3x less join output for identical results
+    (pinned bit-identical across the rewrite and by the shared oracle
+    at every SF).  Same integer-exact arithmetic as jaccard_pairs."""
+    from .util import finalize, spread
+
+    sh = (
+        spread(docs)
+        .select(
+            F.col("doc_id").alias("id"),
+            rank_expr.alias("rk"),
+            F.explode(word_shingles("text", 3)).alias("s"),
+        )
+        .persist()
     )
-    a_newer = F.col("__rka") > F.col("__rkb")
-    return j.select(
-        F.when(a_newer, F.col("id_a")).otherwise(F.col("id_b")).alias("new_id"),
-        F.when(a_newer, F.col("id_b")).otherwise(F.col("id_a")).alias("corpus_id"),
-        "inter",
-        "uni",
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.rk") > F.col("b.rk")),
+        )
+        .groupBy(
+            F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sa = sizes.select(F.col("id").alias("new_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("corpus_id"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= F.col("uni") * threshold_pct)
+        .select("new_id", "corpus_id", "inter", "uni")
+    )
+    return finalize(out, sh)
 
 
 def _jaccard_pairs_plan(
