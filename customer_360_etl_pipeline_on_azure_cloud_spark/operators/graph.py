@@ -183,6 +183,7 @@ def pagerank_fixed(
     iterations: int = 3,
     damping_pct: int = 85,
     scale: int = 10**12,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """PageRank over a directed edge list in 64-bit integer fixed-point
     arithmetic — rank values are expressed in units of ``1/scale`` so
@@ -216,10 +217,18 @@ def pagerank_fixed(
     broadcast-able probe, so the edges are never reshuffled; the
     ``groupBy(dst)`` sum partially aggregates map-side, shuffling
     O(vertices) bytes per round, not O(edges).  The rank vector is
-    localCheckpoint'ed per round (truncating lineage so plan size
-    stays O(1) in rounds) and the superseded round's blocks are freed
-    immediately.  Driver traffic is a single count (N); ranks never
-    leave the cluster.
+    localCheckpoint'ed every ``checkpoint_interval`` rounds AND on the
+    final round (r10 verdict item 6, guide §2.4: each eager checkpoint
+    is a separate job plus an O(vertices) block write/read — a pure
+    per-round fixed cost, since no driver decision depends on the
+    intermediate ranks).  The interval bounds plan depth at
+    ``checkpoint_interval`` rounds of joins between truncations — the
+    plan-growth guard — while unchecked rounds fuse into the next
+    checkpoint's single job; the recurrence itself is untouched, so
+    results are bit-identical at any interval (pytest-pinned).
+    Superseded checkpoint blocks are freed as soon as the next
+    checkpoint materializes.  Driver traffic is a single count (N);
+    ranks never leave the cluster.
     """
     from pyspark import StorageLevel
 
@@ -250,9 +259,11 @@ def pagerank_fixed(
         .agg(F.count(F.lit(1)).alias("outdeg"))
         .localCheckpoint(eager=True)
     )
+    if checkpoint_interval < 1:
+        raise ValueError("pagerank_fixed: checkpoint_interval must be >= 1")
     ranks = verts.select("id", F.lit(init).cast("long").alias("rank_fp"))
-    prev = None
-    for _ in range(iterations):
+    prev_ckpt = None
+    for i in range(iterations):
         shares = (
             ranks.join(outdeg, ranks["id"] == outdeg["u"])
             .select("u", F.expr("rank_fp div outdeg").alias("share"))
@@ -274,14 +285,18 @@ def pagerank_fixed(
                     )
                 ).cast("long").alias("rank_fp"),
             )
-            # eager checkpoint materializes new_ranks, so the PREVIOUS
-            # round's blocks (and, after the loop, the edge cache) can
-            # be dropped without risking recomputation of freed blocks
-            .localCheckpoint(eager=True)
         )
-        if prev is not None:
-            prev.unpersist()
-        prev, ranks = ranks, new_ranks
+        if (i + 1) % checkpoint_interval == 0 or i == iterations - 1:
+            # eager checkpoint materializes this round (fusing any
+            # unchecked rounds since the last truncation into one job),
+            # so the PREVIOUS checkpoint's blocks (and, after the loop,
+            # the edge cache) can be dropped without risking
+            # recomputation of freed blocks
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = new_ranks
+        ranks = new_ranks
     e.unpersist()
     outdeg.unpersist()
     verts.unpersist()
@@ -645,11 +660,19 @@ def bfs_hops(
     visited set to drop re-discovered vertices BEFORE they re-expand —
     that dedup is what keeps per-round work O(frontier boundary), not
     O(paths), which grows combinatorially without it.  The visited set
-    is vertex-sized, never edge-sized.  ``localCheckpoint(eager=True)``
-    per round truncates lineage (plan stays O(1) across rounds) and
-    lets the early-exit ``isEmpty()`` probe reuse the materialized
-    frontier instead of recomputing the whole prefix.  The driver sees
-    one boolean per round — control flow only, never data.
+    is vertex-sized, never edge-sized.  Each round's FRONTIER is
+    ``localCheckpoint(eager=True)``-ed (truncating lineage so the plan
+    stays O(1) across rounds, and letting the early-exit count probe
+    reuse the materialized frontier instead of recomputing the whole
+    prefix); the VISITED set is kept as a lazy union of those
+    checkpointed frontiers rather than eagerly re-copied per round
+    (r10 verdict item 6: the per-round visited checkpoint was a
+    separate job that re-materialized the whole O(visited) set every
+    round for no reader that needs it — the anti-join and the final
+    result read the union of already-materialized blocks; plan growth
+    is one union node per hop, bounded by ``max_hops``).  The driver
+    sees one count per round — control flow only, never data — and
+    the final round skips it (nothing consumes it).
 
     ``assume_symmetric=True`` skips the symmetrizing union when the
     caller's edge list already contains both directions (e.g. an
@@ -739,13 +762,16 @@ def bfs_hops(
         else:
             nxt = cand.join(seen.hint("shuffle_hash"), "id", "left_anti")
         nxt = nxt.localCheckpoint(eager=True)
+        if h == max_hops:
+            # last round: no further strategy decision or exit probe
+            # consumes the count — skip the job
+            visited = visited.unionByName(nxt.withColumn("hops", F.lit(h)))
+            break
         n_frontier = nxt.count()
         if n_frontier == 0:
             break
         n_visited += n_frontier
-        visited = visited.unionByName(
-            nxt.withColumn("hops", F.lit(h))
-        ).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt.withColumn("hops", F.lit(h)))
         frontier = nxt
     if sym_shj is not None:
         sym_shj.unpersist()
@@ -803,7 +829,7 @@ def min_cost_bounded(
     from pyspark import StorageLevel
 
     e_shj = None  # lazy u-partitioned edge copy, see bfs_hops
-    for _ in range(rounds):
+    for rnd in range(rounds):
         if n_dist <= broadcast_limit:
             relaxed = e.join(F.broadcast(dist), e["u"] == dist["id"])
         else:
@@ -827,7 +853,10 @@ def min_cost_bounded(
             .agg(F.min("cost").alias("cost"))
             .localCheckpoint(eager=True)
         )
-        n_dist = dist.count()
+        if rnd < rounds - 1:
+            # the count only feeds the NEXT round's join-strategy
+            # choice; the final round has no consumer for it
+            n_dist = dist.count()
     if e_shj is not None:
         e_shj.unpersist()
     return dist
@@ -898,6 +927,7 @@ def pagerank_weighted(
     damping_pct: int = 85,
     scale: int = 10**12,
     materialized: bool = False,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """Weighted PageRank in 64-bit integer fixed point — the
     :func:`pagerank_fixed` recurrence with rank flowing PROPORTIONAL
@@ -915,9 +945,10 @@ def pagerank_weighted(
     Same scale shape as pagerank_fixed (edges persisted once or, with
     ``materialized=True``, read straight off a
     :func:`write_graph_index` table; O(vertices) shuffles per round;
-    one scalar count to the driver) and the same determinism argument:
-    integer ops are associative, so the oracle unrolls the identical
-    rounds.
+    one scalar count to the driver; ``checkpoint_interval`` bounds
+    plan depth while skipping the per-round eager-checkpoint job —
+    see pagerank_fixed) and the same determinism argument: integer
+    ops are associative, so the oracle unrolls the identical rounds.
     """
     from pyspark import StorageLevel
 
@@ -957,8 +988,10 @@ def pagerank_weighted(
         .agg(F.sum("w").alias("wsum"))
         .localCheckpoint(eager=True)
     )
+    if checkpoint_interval < 1:
+        raise ValueError("pagerank_weighted: checkpoint_interval must be >= 1")
     ranks = verts.select("id", F.lit(init).cast("long").alias("rank_fp"))
-    for _ in range(iterations):
+    for i in range(iterations):
         carriers = ranks.join(wsum, ranks["id"] == wsum["u"]).select(
             "u", "rank_fp", "wsum"
         )
@@ -982,8 +1015,9 @@ def pagerank_weighted(
                     )
                 ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % checkpoint_interval == 0 or i == iterations - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
         ranks = new_ranks
     # only e holds persist() blocks; the localCheckpoint'ed frames
     # (verts/wsum/ranks) are eagerly-materialized block scans with no
