@@ -1840,16 +1840,27 @@ CORE_QUERIES["ann_topk_ivf_indexed"] = (q_ann_topk_ivf_indexed, SQL_ANN_SUMMARY)
 
 def q_streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector search AS A STREAM: query vectors arrive as files in a
-    watched directory (maxFilesPerTrigger=1 + availableNow delivers
-    them in MULTIPLE micro-batches) and foreachBatch probes each batch
-    against the STANDING persisted IVF index — the serving shape of
-    embedding search over a fixed corpus (the vector sibling of
+    watched directory and foreachBatch probes each micro-batch against
+    the STANDING persisted IVF index — the serving shape of embedding
+    search over a fixed corpus (the vector sibling of
     streaming_index_dedup).
 
     Per-query top-k depends only on the query and the index, so the
     union over micro-batches equals the one-shot probe and this SHARES
     ann_topk_ivf's oracle summary; the per-batch probe broadcasts only
     that batch's queries and reads the probed cells' buckets.
+
+    Batch sizing (r10 verdict item 3, guide §2.2's fixed-overhead
+    lesson applied to micro-batches): every micro-batch pays the full
+    fixed probe cost — stream trigger, query broadcast, bucketed cell
+    scan, sink append, checkpoint commit — so availableNow is left to
+    FUSE all pending arrival files into one batch (no
+    maxFilesPerTrigger cap) instead of forcing one batch per file;
+    the result is the same union by construction (isolated probe cost
+    here: ~2x for 2 files when capped at 1/batch).  The
+    one-batch-per-file shape stays demonstrated (and pinned) by
+    streaming_index_dedup / streaming_dq_gate, where per-batch
+    sequencing is the point.
 
     Though this query's per-batch output is bounded (|queries| x k),
     it uses the same scale-safe sink recipe as streaming_dq_gate /
@@ -1889,9 +1900,7 @@ def q_streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_file_source,
     )
 
-    stream = stream_file_source(
-        spark, arrivals, emb.schema, max_files_per_trigger=1
-    )
+    stream = stream_file_source(spark, arrivals, emb.schema)
     sink = os.path.join(tmp, "topk")
 
     def probe(batch_df: DataFrame) -> DataFrame:
@@ -3710,45 +3719,46 @@ CORE_QUERIES.update(
 # queries, so registration order decides which operators get the strong
 # (driver-run, oracle-hashed) check vs the local-pytest-only check.
 #
-# r10 rotation (VERDICT r9 item 1): every name below is one of the 134
-# queries that had NO driver-gate row in any of CORRECTNESS_r01..r09 —
-# the union of those files is 77 names, all banked green, so the window
-# rotates AGGRESSIVELY toward the never-gated set (priority names called
-# out by the r9 verdict first). Rotated-out queries keep full oracle
-# coverage via correctness_full.py / tests/test_oracle_parity.py and
-# their banked driver rows. At 50/round the never-gated backlog
-# (134 -> 84 after this round) empties by r12.
+# r11 rotation (VERDICT r10 items 1+5): the two r10 hash-mismatch
+# queries stay in the window so the driver re-gates their r11
+# engine-agnostic pinning (item 1 — the round's only gate blocker);
+# the other 48 slots rotate to never-gated names (86 remained after
+# r10: 84 + the two r10 additions). 40 are taken in registry order;
+# 6 swap ahead of simpler aggregate queries because their multi-
+# operator paths (streaming gates, classifier scoring, curve layout,
+# weighted graph routing) carry more cross-engine divergence risk
+# than single-shuffle rollups; the final 2 are the r10 additions the
+# r10 verdict (item 8) requires gated. Rotated-out and still-deferred
+# queries (38 remain never-gated) keep full oracle coverage via
+# correctness_full.py / tests/test_oracle_parity.py, the committed
+# full-registry sweeps, and the fresh-process vanilla driver-sim.
 
 DRIVER_WINDOW: list[str] = [
-    # r9-verdict priority names
-    "semantic_dedup", "semantic_dedup_hierarchical",
-    "incremental_corpus_dedup", "incremental_corpus_dedup_indexed",
-    "dedup_best_survivors", "cluster_aware_split", "split_leakage_audit",
-    "token_budget_fill", "hybrid_search_rrf", "streaming_attribution",
-    # dedup family (banding contracts, spans, CDC-chunk blobs,
-    # incremental/streaming index lifecycles, CC increments)
-    "dedup_clusters_twophase", "doc_near_dup_core", "streaming_dedup",
-    "duplicate_spans", "decontamination_apply", "media_blob_dedup",
-    "streaming_index_dedup", "incremental_index_update",
-    "incremental_components_update", "doc_containment_pairs",
-    # similarity search: the compressed-domain (PQ / IVFPQ) pair, the
-    # persisted-IVF lifecycle, streaming probe, index append, cohesion
-    # audit, and the embedding transforms (PCA projection, int8
-    # quantization)
-    "ann_topk_pq", "ann_topk_ivfpq", "ann_topk_ivf_indexed",
-    "streaming_ann_probe", "incremental_ann_index_update",
-    "ivf_cohesion_audit", "embedding_pca_project", "embedding_quantization",
-    # text analysis / curation / training-prep
-    "gopher_quality_flags", "doc_lm_perplexity", "collocation_pmi",
-    "quality_classifier_gd_train", "classifier_calibration",
-    "source_kl_divergence", "source_mixture_temperature",
-    "lang_quota_sample", "importance_resample", "corpus_curation_report",
-    "bpe_train_merges", "curriculum_interleave", "training_shard_manifest",
-    "dataset_split",
-    # analytics / graph / privacy / event-time
-    "nation_revenue_share", "customer_rfm", "cohort_retention",
-    "part_triangles", "part_communities", "k_anonymity_generalize",
-    "point_in_time_features", "streaming_ohlc_bars",
+    # r10-verdict item 1: the two driver-env hash mismatches, re-gated
+    # after the r11 arithmetic pinning
+    "token_budget_fill", "embedding_quantization",
+    # never-gated backlog, registry order
+    "doc_rare_token_stats", "vocab_topk", "media_frame_sample",
+    "table_profile", "shipping_priority", "returned_item_revenue",
+    "late_ship_priority", "running_revenue", "rolling_event_value",
+    "scd2_snapshot", "incremental_pricing", "skew_salted_segments",
+    "value_outliers", "zorder_layout", "session_error_overlap",
+    "priority_grouping_sets", "value_histogram", "segment_event_chisq",
+    "cheapest_supplier_per_part", "embedding_norms",
+    "top3_parts_per_supplier", "order_value_quartiles",
+    "orders_change_feed", "funnel_stages", "weighted_doc_sample",
+    "referential_integrity", "daily_value_gapfill",
+    "sliding_active_users", "cumulative_unique_users",
+    "event_transitions", "shard_balance", "dq_expectations",
+    "orders_quarantine", "above_avg_idle_customers", "basket_rules",
+    "streaming_dq_gate", "sketch_rollup_users", "k_anonymity_audit",
+    "part_pareto_front", "benford_audit",
+    # higher-divergence-risk multi-operator paths, pulled forward
+    "streaming_quality_gate", "streaming_holt_by_type",
+    "quality_classifier_gd_score", "hybrid_search_multi",
+    "layout_curve_compare", "part_affinity_route",
+    # r10 additions (verdict item 8: must be driver-gated)
+    "mmr_diverse_rerank", "coreset_kcenter",
 ]
 # NOTE: the actual reorder (window first, tail after) runs at the END
 # of this module, after every registration — see _apply_driver_window().
