@@ -90,7 +90,8 @@ def main() -> None:
         ),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "PLAN_AUDIT_r10.json"), "w") as fh:
+    out_name = os.environ.get("PLAN_AUDIT_OUT", "PLAN_AUDIT_r10.json")
+    with open(os.path.join(root, out_name), "w") as fh:
         json.dump({"summary": summary, "per_query": out}, fh, indent=1)
         fh.write("\n")
     print(json.dumps(summary))
